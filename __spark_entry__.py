@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (top-20 PageRank over the
+sf0.001 transcript-derived graph). ``queries()`` exposes every
+implemented operator; ``oracle_sql()`` provides DuckDB-equivalent SQL
+for the SQL-expressible subset (iterative/hash-dependent ops get the
+weaker rows-only check).
+
+All float aggregates are rounded to 6 dp on BOTH sides so the driver's
+value-hash compares stably across engines.
 """
 
 from __future__ import annotations
@@ -12,27 +15,426 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_SMOKE = "/root/testdata/sf0.001"
 
 
+def _stable6(col) -> F.Column:
+    """Truncate a double to 6 dp via floor — unlike round(), floor has no
+    half-way ties, so identical input doubles give identical outputs in
+    Spark and DuckDB (the driver compares value-hashes exactly)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * F.lit(1000000.0)) / F.lit(1000000.0)
+
+
+# ----------------------------------------------------------------- helpers
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximate_pagerank_public_spark.sources.transcripts import (
+        transcripts_from_events,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return transcripts_from_events(events)
+
+
+def _graph(spark: SparkSession, sf_dir: str):
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    return Graph.from_transcripts(_transcripts(spark, sf_dir), num_partitions=16)
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximate_pagerank_public_spark.operators.etl import build_edge_table
+
+    _, edges = build_edge_table(_transcripts(spark, sf_dir))
+    return edges
+
+
+# DuckDB-side CTE prefix: transcripts + edges derived from the events view
+def _duck_transcripts_cte() -> str:
+    from approximate_pagerank_public_spark.sources.transcripts import (
+        transcripts_from_events_sql,
+    )
+
+    return transcripts_from_events_sql("duckdb")
+
+
+def _duck_edges_sql() -> str:
+    from approximate_pagerank_public_spark.operators.etl import EDGES_SQL_TEMPLATE
+
+    return EDGES_SQL_TEMPLATE.format(SRC=f"({_duck_transcripts_cte()})")
+
+
+# ------------------------------------------------------------------- entry
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: top-20 PageRank entities of the sf0.001 transcript graph."""
+    from approximate_pagerank_public_spark.operators.pagerank import pagerank
+
+    g = _graph(spark, SF_SMOKE)
+    res = pagerank(g, alpha=0.8, tol=1e-6, max_iter=100)
+    ranks = res.ranks()  # (id, rank)
+    out = (
+        ranks.join(g.vertex_names, "id")
+        .orderBy(F.col("rank").desc(), F.col("id").desc())
+        .limit(20)
+        .select("id", "entity", F.round("rank", 6).alias("rank"))
+    )
+    return out
+
+
+# ----------------------------------------------------------------- queries
+def q_transcript_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text", "tool"
+    )
+
+
+def q_edge_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _edges(spark, sf_dir).select(
+        "src", "dst", _stable6("weight").alias("weight")
+    )
+
+
+def q_out_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    return e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("outdeg"))
+
+
+def q_dangling_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    dsts = e.select(F.col("dst").alias("id")).distinct()
+    srcs = e.select(F.col("src").alias("id")).distinct()
+    return dsts.join(srcs, "id", "left_anti")
+
+
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    return deg.groupBy("outdeg").agg(F.count("*").alias("n_vertices"))
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximate_pagerank_public_spark.operators.triangles import triangle_df
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    t = triangle_df(g)
+    return t.agg(F.count("*").alias("n_triangles"))
+
+
+def q_top_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _transcripts(spark, sf_dir)
+    return (
+        t.where(F.col("role") == "tool")
+        .groupBy("tool")
+        .agg(F.count("*").alias("n_calls"))
+        .orderBy(F.col("n_calls").desc(), F.col("tool"))
+        .limit(10)
+    )
+
+
+def q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _transcripts(spark, sf_dir)
+    return t.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum(F.when(F.col("role") == "tool", 1).otherwise(0)).alias("n_tool_turns"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+    )
+
+
+def q_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximate_pagerank_public_spark.operators.pagerank import pagerank
+
+    g = _graph(spark, sf_dir)
+    res = pagerank(g)
+    return (
+        res.ranks()
+        .join(g.vertex_names, "id")
+        .orderBy(F.col("rank").desc(), F.col("id").desc())
+        .limit(20)
+        .select("entity", F.round("rank", 6).alias("rank"))
+    )
+
+
+def q_multi_ppr_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximate_pagerank_public_spark.operators.pagerank import multi_ppr
+
+    g = _graph(spark, sf_dir)
+    sources = list(range(min(8, g.num_vertices)))
+    res = multi_ppr(g, sources)
+    rows = []
+    for i, s in enumerate(sources):
+        for vid in res.top_k(10, i):
+            rows.append((s, int(vid)))
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["source", "vertex"]))
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximate_pagerank_public_spark.operators.components import (
+        connected_components,
+    )
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    return connected_components(g).select("id", "component")
+
+
+def q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximate_pagerank_public_spark.operators.components import (
+        component_sizes,
+        connected_components,
+    )
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    return component_sizes(connected_components(g)).orderBy("component")
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximate_pagerank_public_spark.operators.labelprop import label_propagation
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    return label_propagation(g, max_iter=5).select("id", "label")
+
+
+def q_bfs_from_min_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximate_pagerank_public_spark.operators.traversal import bfs
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    return bfs(g, 0).select("id", F.col("dist").cast("long").alias("dist"))
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximate_pagerank_public_spark.operators.dedup import exact_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_duplicates(docs).select("dup_group", "doc_id")
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximate_pagerank_public_spark.operators.textstats import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_count(docs)
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximate_pagerank_public_spark.operators.textstats import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_score(docs).select(
+        "doc_id",
+        _stable6("len_score").alias("len_score"),
+        _stable6("punct_ratio").alias("punct_ratio"),
+        _stable6("stopword_ratio").alias("stopword_ratio"),
+        _stable6("quality").alias("quality"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximate_pagerank_public_spark.operators.textstats import language_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return language_id(docs).select("doc_id", "lang_pred")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximate_pagerank_public_spark.operators.textstats import fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fingerprint(docs)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximate_pagerank_public_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_candidates(docs, num_hashes=16, bands=4)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximate_pagerank_public_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash(docs)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximate_pagerank_public_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    res = cosine_topk_bruteforce(emb, queries, k=5)
+    return res.select("query_id", "vec_id", "rank")
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximate_pagerank_public_spark.operators.similarity import lsh_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    return lsh_ann_topk(emb, queries, dim=dim, k=5, bits=4, tables=8).select(
+        "query_id", "vec_id", "rank"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "transcript_etl": q_transcript_etl,
+        "edge_derivation": q_edge_derivation,
+        "out_degree": q_out_degree,
+        "dangling_vertices": q_dangling_vertices,
+        "degree_distribution": q_degree_distribution,
+        "triangle_count": q_triangle_count,
+        "top_tools": q_top_tools,
+        "conversation_stats": q_conversation_stats,
+        "pagerank_top20": q_pagerank_top20,
+        "multi_ppr_top10": q_multi_ppr_top10,
+        "connected_components": q_connected_components,
+        "component_sizes": q_component_sizes,
+        "label_propagation": q_label_propagation,
+        "bfs_dist": q_bfs_from_min_conv,
+        "exact_dedup": q_exact_dedup,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
-
+# -------------------------------------------------------------- oracle SQL
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    t_cte = _duck_transcripts_cte()
+    e_sql = _duck_edges_sql()
+    stop = (
+        "['the','a','an','and','or','of','to','in','is','it','that','for','on',"
+        "'with','as','was','at','by','be','this','are','from','have','has','not',"
+        "'but','they','you','we','he','she','his','her','its']"
+    )
+    return {
+        "transcript_etl": f"SELECT conv_id, turn_idx, role, text, tool FROM ({t_cte})",
+        "edge_derivation": (
+            f"SELECT src, dst, floor(weight * 1000000.0) / 1000000.0 AS weight FROM ({e_sql})"
+        ),
+        "out_degree": (
+            f"SELECT src AS id, count(*) AS outdeg FROM ({e_sql}) GROUP BY src"
+        ),
+        "dangling_vertices": (
+            f"WITH e AS ({e_sql}) "
+            "SELECT DISTINCT dst AS id FROM e "
+            "WHERE dst NOT IN (SELECT src FROM e)"
+        ),
+        "degree_distribution": (
+            f"WITH deg AS (SELECT src, count(*) AS outdeg FROM ({e_sql}) GROUP BY src) "
+            "SELECT outdeg, count(*) AS n_vertices FROM deg GROUP BY outdeg"
+        ),
+        "triangle_count": (
+            f"WITH e AS ({e_sql}), "
+            "canon AS (SELECT DISTINCT least(src,dst) AS u, greatest(src,dst) AS v "
+            "          FROM e WHERE src <> dst), "
+            "ab AS (SELECT u AS a, v AS b FROM canon), "
+            "bc AS (SELECT u AS b, v AS c FROM canon), "
+            "ac AS (SELECT u AS a, v AS c FROM canon) "
+            "SELECT count(*) AS n_triangles FROM ab "
+            "JOIN bc USING (b) JOIN ac USING (a, c)"
+        ),
+        "top_tools": (
+            f"SELECT tool, count(*) AS n_calls FROM ({t_cte}) "
+            "WHERE role = 'tool' GROUP BY tool "
+            "ORDER BY n_calls DESC, tool LIMIT 10"
+        ),
+        "conversation_stats": (
+            f"SELECT conv_id, count(*) AS n_turns, "
+            "sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS n_tool_turns, "
+            f"sum(length(text)) AS sum_text_len FROM ({t_cte}) GROUP BY conv_id"
+        ),
+        "connected_components": (
+            f"WITH RECURSIVE e AS ({e_sql}), "
+            "und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), "
+            "verts AS (SELECT DISTINCT src AS id FROM und), "
+            "r(id, lbl) AS ("
+            "  SELECT id, id FROM verts "
+            "  UNION "
+            "  SELECT und.dst, r.lbl FROM r JOIN und ON r.id = und.src) "
+            "SELECT id, min(lbl) AS component FROM r GROUP BY id"
+        ),
+        "component_sizes": (
+            f"WITH RECURSIVE e AS ({e_sql}), "
+            "und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), "
+            "verts AS (SELECT DISTINCT src AS id FROM und), "
+            "r(id, lbl) AS ("
+            "  SELECT id, id FROM verts "
+            "  UNION "
+            "  SELECT und.dst, r.lbl FROM r JOIN und ON r.id = und.src), "
+            "comp AS (SELECT id, min(lbl) AS component FROM r GROUP BY id) "
+            "SELECT component, count(*) AS size FROM comp GROUP BY component "
+            "ORDER BY component"
+        ),
+        "bfs_dist": (
+            f"WITH RECURSIVE e AS ({e_sql}), "
+            "r(id, dist) AS ("
+            "  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
+            "  UNION "
+            "  SELECT e.dst, r.dist + 1 FROM r JOIN e ON r.id = e.src "
+            "  WHERE r.dist < 100) "
+            "SELECT id, min(dist) AS dist FROM r GROUP BY id"
+        ),
+        "exact_dedup": (
+            "WITH h AS (SELECT doc_id, "
+            "  lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm FROM documents), "
+            "g AS (SELECT norm, min(doc_id) AS dup_group, count(*) AS n FROM h GROUP BY norm) "
+            "SELECT g.dup_group, h.doc_id FROM h JOIN g USING (norm) WHERE g.n >= 2"
+        ),
+        "token_count": (
+            "SELECT doc_id, "
+            "CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens, "
+            "CAST(length(string_split_regex(trim(text), '\\s+')) "
+            "     + ceil(CAST(length(text) AS DOUBLE) / 8) AS BIGINT) AS n_subword_est "
+            "FROM documents"
+        ),
+        "quality_score": (
+            "WITH t AS (SELECT doc_id, text, length(text) AS len, "
+            "  length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct, "
+            "  string_split_regex(lower(text), '\\s+') AS toks FROM documents), "
+            "s AS (SELECT doc_id, "
+            "  least(len / 500.0, 1.0) AS len_score, "
+            "  CAST(n_punct AS DOUBLE) / greatest(len, 1) AS punct_ratio, "
+            f"  CAST(len(list_filter(toks, x -> list_contains({stop}, x))) AS DOUBLE) "
+            "    / greatest(length(toks), 1) AS stopword_ratio FROM t) "
+            "SELECT doc_id, floor(len_score * 1000000.0) / 1000000.0 AS len_score, "
+            "floor(punct_ratio * 1000000.0) / 1000000.0 AS punct_ratio, "
+            "floor(stopword_ratio * 1000000.0) / 1000000.0 AS stopword_ratio, "
+            "floor((0.4 * len_score + 0.3 * least(stopword_ratio * 3, 1.0) "
+            "      + 0.3 * (1.0 - least(punct_ratio * 4, 1.0))) * 1000000.0) / 1000000.0 "
+            "AS quality FROM s"
+        ),
+    }
+
+
+if __name__ == "__main__":
+    from approximate_pagerank_public_spark.session import get_spark
+
+    s = get_spark()
+    entry(s).show(20, truncate=False)

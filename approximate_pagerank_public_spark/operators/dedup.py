@@ -1,0 +1,183 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's operator set (its dedup is edge-level,
+``removeSelfloop``/``undirectFast`` at ``utils.hpp:399-446``), these are
+the document-level dedup passes a 100 TB text pipeline needs. All are
+expressed in built-in Spark SQL functions (JVM-side, codegen'd); no
+Python in any hot path.
+
+- :func:`exact_duplicates` — hash-groupBy on normalized text.
+- :func:`minhash_lsh_candidates` — shingle → minhash (k independent
+  permutations via ``xxhash64`` with seed salts) → band buckets →
+  self-join on bucket. Shuffle cost: O(docs × bands) rows, each tiny.
+- :func:`simhash` — 64-bit simhash over token hashes using bit-plane
+  aggregation.
+- :func:`ngram_jaccard` — exact Jaccard on character n-gram sets for a
+  candidate pair set (verification stage after LSH).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _normalized_text(col: str = "text") -> F.Column:
+    return F.lower(F.regexp_replace(F.col(col), r"\s+", " "))
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """``(dup_group, doc_id)`` for docs whose normalized text collides;
+    only groups with ≥2 members. dup_group = min doc_id of the group."""
+    h = docs.select(
+        F.col(id_col).alias("doc_id"), F.xxhash64(_normalized_text(text_col)).alias("h")
+    )
+    groups = h.groupBy("h").agg(
+        F.min("doc_id").alias("dup_group"), F.count("*").alias("n")
+    )
+    return (
+        h.join(groups.where(F.col("n") >= 2), "h")
+        .select("dup_group", "doc_id")
+    )
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """``(doc_id, shingle)`` — word n-gram shingles, distinct per doc."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(_normalized_text(text_col), " ").alias("toks"),
+    )
+    # sliding window of n tokens via transform over index range
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
+            )
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """``(doc_id, sig: array<bigint>)`` — min over xxhash64(shingle, seed)
+    per seed; one groupBy, vectorized JVM-side."""
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        "doc_id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs ``(a, b)`` with a < b: docs sharing
+    at least one LSH band bucket."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(shingles(docs, id_col, text_col, shingle_n), num_hashes)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """``(doc_id, simhash: bigint)`` — 64-bit simhash: for each bit plane,
+    sign of Σ over tokens of ±1 by that bit of xxhash64(token)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(_normalized_text(text_col), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    expr = F.lit(0).cast("long")
+    for i in range(64):
+        expr = expr.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+        )
+    return bit_sums.select("doc_id", expr.alias("simhash"))
+
+
+def ngram_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard similarity for candidate pairs ``(a, b)`` —
+    the LSH verification stage. Returns ``(a, b, jaccard)``."""
+    sh = shingles(docs, id_col, text_col, shingle_n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = sh.select(F.col("doc_id").alias("a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        pairs.join(sa, "a")
+        .join(sb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    zb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    return (
+        pairs.join(inter, ["a", "b"], "left")
+        .join(za, "a")
+        .join(zb, "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.coalesce("inter", F.lit(0))
+                / (F.col("sza") + F.col("szb") - F.coalesce("inter", F.lit(0)))
+            ).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,149 @@
+"""Transcript → edge-table ETL.
+
+Derives the engine's native graph model (``vertices(id, entity)``,
+``edges(src, dst, weight)``) from a transcript table, following
+FIXTURES.md §2:
+
+- **consecutive-turn link**: entity(turn i) → entity(turn i+1) within a
+  conversation, ordered by ``turn_idx`` (``lag`` window — stable turn
+  ordering invariant from ``BASELINE.json.input_hint``);
+- **turn→tool link**: ``conv:<id>`` → ``tool:<t>`` for each tool turn;
+- **role attribution**: ``role:<r>`` → ``conv:<id>`` for each role that
+  appears in the conversation;
+
+then self-loop removal + dedup (reference semantics: ``removeSelfloop``,
+``src/common/utils/utils.hpp:399-446,599-608``), dense-rank entity → id
+densification (reference: SNAP id remap,
+``src/resources/python/convert_snap_to_mtx.py:38-60``), and out-degree
+edge-weight normalization ``weight = 1/outdeg(src)`` (reference:
+``src/common/utils/utils.hpp:886-895``).
+
+The whole derivation is SQL-expressible; :data:`EDGES_SQL_TEMPLATE`
+is the dialect-shared oracle text (DuckDB runs it verbatim).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# {SRC} = transcripts relation (table name or CTE).
+EDGES_SQL_TEMPLATE = """
+WITH turns AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN role = 'tool' THEN 'tool:' || tool
+              ELSE 'role:' || role END AS entity
+  FROM {SRC}
+),
+consec AS (
+  SELECT lag(entity) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS src_entity,
+         entity AS dst_entity
+  FROM turns
+),
+conv_tool AS (
+  SELECT 'conv:' || conv_id AS src_entity, 'tool:' || tool AS dst_entity
+  FROM {SRC} WHERE role = 'tool'
+),
+role_conv AS (
+  SELECT DISTINCT 'role:' || role AS src_entity, 'conv:' || conv_id AS dst_entity
+  FROM {SRC}
+),
+raw_edges AS (
+  SELECT src_entity, dst_entity FROM consec WHERE src_entity IS NOT NULL
+  UNION ALL SELECT src_entity, dst_entity FROM conv_tool
+  UNION ALL SELECT src_entity, dst_entity FROM role_conv
+),
+dedup AS (
+  SELECT DISTINCT src_entity, dst_entity FROM raw_edges
+  WHERE src_entity <> dst_entity
+),
+verts AS (
+  SELECT entity, dense_rank() OVER (ORDER BY entity) - 1 AS id
+  FROM (SELECT src_entity AS entity FROM dedup
+        UNION
+        SELECT dst_entity AS entity FROM dedup) u
+)
+SELECT vs.id AS src, vd.id AS dst,
+       1.0 / CAST(count(*) OVER (PARTITION BY vs.id) AS DOUBLE) AS weight
+FROM dedup e
+JOIN verts vs ON e.src_entity = vs.entity
+JOIN verts vd ON e.dst_entity = vd.entity
+"""
+
+
+def turn_entity() -> F.Column:
+    """Entity of a turn: its tool for tool turns, else its role."""
+    return F.when(
+        F.col("role") == "tool", F.concat(F.lit("tool:"), F.col("tool"))
+    ).otherwise(F.concat(F.lit("role:"), F.col("role")))
+
+
+def derive_entity_edges(transcripts: DataFrame) -> DataFrame:
+    """Directed entity-pair edges (pre-densification), deduped and
+    self-loop-free. Columns: ``src_entity, dst_entity``."""
+    turns = transcripts.select("conv_id", "turn_idx", turn_entity().alias("entity"))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    consec = turns.select(
+        F.lag("entity").over(w).alias("src_entity"), F.col("entity").alias("dst_entity")
+    ).where(F.col("src_entity").isNotNull())
+    conv_tool = transcripts.where(F.col("role") == "tool").select(
+        F.concat(F.lit("conv:"), F.col("conv_id")).alias("src_entity"),
+        F.concat(F.lit("tool:"), F.col("tool")).alias("dst_entity"),
+    )
+    role_conv = transcripts.select(
+        F.concat(F.lit("role:"), F.col("role")).alias("src_entity"),
+        F.concat(F.lit("conv:"), F.col("conv_id")).alias("dst_entity"),
+    ).distinct()
+    raw = consec.unionAll(conv_tool).unionAll(role_conv)
+    return raw.where(F.col("src_entity") != F.col("dst_entity")).distinct()
+
+
+def densify_vertices(entity_edges: DataFrame) -> DataFrame:
+    """Dense int64 ids for entities: ``vertices(id, entity)``.
+
+    ``dense_rank`` over a global sort of the (small relative to edges)
+    entity dictionary — the id remap the reference does via
+    ``id_to_id_map`` in ``convert_snap_to_mtx.py``. At 100 TB the
+    dictionary is still ~|V| rows (≪ |E|), and this is a one-time ETL
+    job; if |V| itself is extreme, swap for ``zipWithIndex``-style
+    per-partition offsets.
+    """
+    ents = (
+        entity_edges.select(F.col("src_entity").alias("entity"))
+        .union(entity_edges.select(F.col("dst_entity").alias("entity")))
+        .distinct()
+    )
+    w = Window.orderBy("entity")
+    return ents.select((F.dense_rank().over(w) - 1).cast("long").alias("id"), "entity")
+
+
+def build_edge_table(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Full ETL: transcripts → (vertices(id, entity), edges(src, dst, weight)).
+
+    weight = 1/outdeg(src) over the deduped edge set (reference
+    out-degree normalization, ``utils.hpp:886-895``).
+    """
+    entity_edges = derive_entity_edges(transcripts)
+    vertices = densify_vertices(entity_edges)
+    # dictionary join: vertices is tiny vs edges → broadcast both sides' lookups
+    e = (
+        entity_edges.join(
+            F.broadcast(vertices.withColumnRenamed("entity", "src_entity")
+                        .withColumnRenamed("id", "src")),
+            "src_entity",
+        )
+        .join(
+            F.broadcast(vertices.withColumnRenamed("entity", "dst_entity")
+                        .withColumnRenamed("id", "dst")),
+            "dst_entity",
+        )
+        .select("src", "dst")
+    )
+    wdeg = Window.partitionBy("src")
+    edges = e.select(
+        "src",
+        "dst",
+        (F.lit(1.0) / F.count("*").over(wdeg).cast("double")).alias("weight"),
+    )
+    return vertices, edges

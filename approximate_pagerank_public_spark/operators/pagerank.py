@@ -1,0 +1,319 @@
+"""PageRank, personalized PageRank, and 8-source multi-PPR.
+
+Semantics match the reference goldens exactly (see
+``functions/golden.py`` for formula citations):
+
+- :func:`pagerank` ≙ ``PageRankCPU::execute``
+  (``pagerank_cpu.cpp:25-68``; defaults α=0.8, tol=1e-6, max_iter=100
+  from ``src/common/utils/options.hpp:20-22``). The *approximation*
+  axes of the reference are exposed as parameters: a small ``max_iter``
+  budget (FPGA default 6) and the L1 early-termination threshold.
+- :func:`personalized_pagerank` ≙ ``personalized_pagerank_golden``
+  (``gold_algorithms.hpp:105-140``).
+- :func:`multi_ppr` ≙ the FPGA flagship ``multi_ppr_main``
+  (``multi_personalized_pagerank.cpp:114-241``): S sources propagate
+  through **one SpMV per superstep** — the rank state is an (S, N)
+  block, so the edge stream is read once per iteration regardless of S,
+  exactly how the FPGA amortizes its memory streams across 8 queries.
+
+Execution modes:
+
+- ``mode='broadcast'`` — Arrow-kernel supersteps (1 Spark job each),
+  driver holds O(S·N) f64 state. Right when the vertex state fits the
+  driver (≲ 10^8 vertices).
+- ``mode='distributed'`` — pure-DataFrame supersteps with co-partitioned
+  rank state and in-memory lineage truncation every iteration; vertex
+  state never leaves the cluster. Right at 10^12-turn scale.
+- ``mode='auto'`` picks by ``num_vertices``.
+
+Every superstep appends to the iteration-metrics series
+``(iter, l1_err, sq_l2_err, dangling_sum, wall_ms)`` — the reference's
+per-iteration convergence-error write-back (V9) — and optionally
+checkpoints durably via :class:`CheckpointManager` for mid-run resume.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from approximate_pagerank_public_spark.operators.spmv import (
+    gather_contrib,
+    gather_contrib_df,
+)
+from approximate_pagerank_public_spark.plans.checkpoint import CheckpointManager
+from approximate_pagerank_public_spark.plans.graph import Graph
+
+BROADCAST_MAX_VERTICES = 100_000_000  # ~0.8 GB/source of f64 driver state
+
+
+@dataclass
+class PageRankResult:
+    iterations: int
+    converged: bool
+    metrics: list[dict] = field(repr=False)
+    sources: list[int] | None
+    ranks_np: np.ndarray | None = field(default=None, repr=False)  # (S, N)
+    ranks_df: DataFrame | None = field(default=None, repr=False)
+    _graph: Graph | None = field(default=None, repr=False)
+
+    def ranks(self) -> DataFrame:
+        """Vertex-state DataFrame: ``(id, rank)`` or ``(id, rank_0..{S-1})``."""
+        if self.ranks_df is not None:
+            return self.ranks_df
+        import pandas as pd
+
+        r = self.ranks_np
+        n = r.shape[1]
+        pdf = pd.DataFrame({"id": np.arange(n, dtype=np.int64)})
+        if self.sources is None:
+            pdf["rank"] = r[0]
+        else:
+            for i in range(r.shape[0]):
+                pdf[f"rank_{i}"] = r[i]
+        return self._graph.spark.createDataFrame(pdf)
+
+    def rank_vector(self, source_pos: int = 0) -> np.ndarray:
+        if self.ranks_np is not None:
+            return self.ranks_np[source_pos]
+        col = "rank" if self.sources is None else f"rank_{source_pos}"
+        pdf = self.ranks_df.select("id", col).toPandas().sort_values("id")
+        return pdf[col].to_numpy(np.float64)
+
+    def top_k(self, k: int, source_pos: int = 0) -> list[int]:
+        """Ranked vertex ids, ties broken by **higher id first** —
+        reference ``sort_pr`` (``evaluation_utils.hpp:17-39``)."""
+        r = self.rank_vector(source_pos)
+        order = np.lexsort((-np.arange(len(r)), -r))
+        return order[:k].tolist()
+
+
+def _superstep_np(
+    graph: Graph,
+    pr: np.ndarray,
+    alpha: float,
+    sources: list[int] | None,
+    dangling: np.ndarray,
+) -> np.ndarray:
+    """One broadcast-mode superstep on an (S, N) block."""
+    n = graph.num_vertices
+    contrib = gather_contrib(graph, pr)  # (S, N), one Spark job
+    d = pr[:, dangling].sum(axis=1)  # dangling dot (K2)
+    new = alpha * contrib + (alpha / n) * d[:, None]  # axpb (K3)
+    if sources is None:
+        new += (1.0 - alpha) / n
+    else:
+        new[np.arange(len(sources)), sources] += 1.0 - alpha  # K4
+    return new
+
+
+def _run_broadcast(
+    graph: Graph,
+    alpha: float,
+    tol: float,
+    max_iter: int,
+    sources: list[int] | None,
+    checkpoint_dir: str | None,
+    checkpoint_every: int,
+    resume: bool,
+) -> PageRankResult:
+    n = graph.num_vertices
+    dangling = graph.dangling_mask()
+    if sources is None:
+        pr = np.full((1, n), 1.0 / n, dtype=np.float64)
+    else:
+        pr = np.zeros((len(sources), n), dtype=np.float64)
+        pr[np.arange(len(sources)), sources] = 1.0
+
+    metrics: list[dict] = []
+    start_it = 0
+    ckpt = CheckpointManager(checkpoint_dir, every=checkpoint_every) if checkpoint_dir else None
+    if ckpt and resume:
+        loaded = ckpt.load_latest(graph.spark)
+        if loaded is not None:
+            start_it, pr, metrics = loaded
+
+    converged = False
+    it = start_it
+    for it in range(start_it + 1, max_iter + 1):
+        t0 = time.perf_counter()
+        new = _superstep_np(graph, pr, alpha, sources, dangling)
+        diff = new - pr
+        l1 = np.abs(diff).sum(axis=1)
+        sq = (diff * diff).sum(axis=1)
+        pr = new
+        metrics.append(
+            {
+                "iter": it,
+                "l1_err": float(l1.max()),
+                "sq_l2_err": float(sq.max()),
+                "dangling_sum": float(pr[:, dangling].sum(axis=1).max()),
+                "wall_ms": (time.perf_counter() - t0) * 1e3,
+            }
+        )
+        if ckpt:
+            ckpt.save(
+                graph.spark,
+                it,
+                pr,
+                metrics,
+                config={"alpha": alpha, "tol": tol, "max_iter": max_iter, "sources": sources},
+                num_partitions=graph.num_partitions,
+            )
+        if l1.max() <= tol:
+            converged = True
+            break
+    return PageRankResult(
+        iterations=it,
+        converged=converged,
+        metrics=metrics,
+        sources=sources,
+        ranks_np=pr,
+        _graph=graph,
+    )
+
+
+def _run_distributed(
+    graph: Graph,
+    alpha: float,
+    tol: float,
+    max_iter: int,
+    source: int | None,
+) -> PageRankResult:
+    """Pure-DataFrame supersteps; vertex state stays on the cluster.
+
+    Per iteration: dangling-dot scalar agg, gather join + partial/final
+    hash agg, axpb projection, L1 scalar agg; rank state is re-hashed to
+    the loop's partitioning and lineage-truncated (``localCheckpoint``).
+    """
+    spark = graph.spark
+    n = graph.num_vertices
+    p = graph.num_partitions
+    verts = graph.vertices
+    if source is None:
+        ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    else:
+        ranks = verts.withColumn(
+            "rank", F.when(F.col("id") == source, 1.0).otherwise(0.0)
+        )
+    ranks = ranks.repartition(p, "id").localCheckpoint()
+    dangling = graph.dangling_vertices().repartition(p, "id").persist()
+    dangling.count()
+
+    metrics: list[dict] = []
+    converged = False
+    it = 0
+    for it in range(1, max_iter + 1):
+        t0 = time.perf_counter()
+        d = (
+            ranks.join(dangling, "id", "left_semi").agg(F.sum("rank")).first()[0]
+            or 0.0
+        )
+        contribs = gather_contrib_df(graph, ranks)
+        shift = (alpha / n) * d + ((1.0 - alpha) / n if source is None else 0.0)
+        new_rank = F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(shift)
+        if source is not None:
+            new_rank = new_rank + F.when(F.col("id") == source, 1.0 - alpha).otherwise(0.0)
+        new = (
+            verts.join(contribs, verts.id == contribs.dst, "left")
+            .select("id", new_rank.alias("rank"))
+            .repartition(p, "id")
+            .localCheckpoint()
+        )
+        err_row = (
+            new.join(ranks.withColumnRenamed("rank", "_old"), "id")
+            .agg(
+                F.sum(F.abs(F.col("rank") - F.col("_old"))).alias("l1"),
+                F.sum(F.pow(F.col("rank") - F.col("_old"), 2)).alias("sq"),
+            )
+            .first()
+        )
+        ranks.unpersist()
+        ranks = new
+        metrics.append(
+            {
+                "iter": it,
+                "l1_err": float(err_row["l1"]),
+                "sq_l2_err": float(err_row["sq"]),
+                "dangling_sum": float(d),
+                "wall_ms": (time.perf_counter() - t0) * 1e3,
+            }
+        )
+        if err_row["l1"] <= tol:
+            converged = True
+            break
+    dangling.unpersist()
+    return PageRankResult(
+        iterations=it,
+        converged=converged,
+        metrics=metrics,
+        sources=None if source is None else [source],
+        ranks_df=ranks.withColumnRenamed("rank", "rank_0" if source is not None else "rank"),
+        _graph=graph,
+    )
+
+
+def _pick_mode(graph: Graph, mode: str) -> str:
+    if mode != "auto":
+        return mode
+    return "broadcast" if graph.num_vertices <= BROADCAST_MAX_VERTICES else "distributed"
+
+
+def pagerank(
+    graph: Graph,
+    alpha: float = 0.8,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    mode: str = "auto",
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = True,
+) -> PageRankResult:
+    mode = _pick_mode(graph, mode)
+    if mode == "broadcast":
+        return _run_broadcast(
+            graph, alpha, tol, max_iter, None, checkpoint_dir, checkpoint_every, resume
+        )
+    return _run_distributed(graph, alpha, tol, max_iter, None)
+
+
+def personalized_pagerank(
+    graph: Graph,
+    source: int,
+    alpha: float = 0.8,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    mode: str = "auto",
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = True,
+) -> PageRankResult:
+    mode = _pick_mode(graph, mode)
+    if mode == "broadcast":
+        return _run_broadcast(
+            graph, alpha, tol, max_iter, [source], checkpoint_dir, checkpoint_every, resume
+        )
+    return _run_distributed(graph, alpha, tol, max_iter, source)
+
+
+def multi_ppr(
+    graph: Graph,
+    sources: list[int],
+    alpha: float = 0.8,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = True,
+) -> PageRankResult:
+    """All sources advance in lock-step through one SpMV per superstep;
+    early termination when the worst source's L1 error ≤ tol (the FPGA
+    kernel instead runs a fixed budget — pass ``tol=0`` +
+    ``max_iter=m`` to reproduce that exactly)."""
+    return _run_broadcast(
+        graph, alpha, tol, max_iter, list(sources), checkpoint_dir, checkpoint_every, resume
+    )

@@ -1,0 +1,104 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Training-data-pipeline primitives, all built-in-function expressions
+(whole-stage codegen; no UDFs):
+
+- :func:`token_count` — whitespace tokens + a BPE-ish subword estimate
+  (chars/4 heuristic blended with punctuation splits).
+- :func:`quality_score` — length / punctuation-ratio / stopword-ratio /
+  mean-word-length heuristics in [0, 1].
+- :func:`language_id` — character n-gram heuristic over tiny built-in
+  profiles (deterministic; a stand-in for fasttext-style LID, which is
+  not available in this environment).
+- :func:`fingerprint` — polynomial rolling hash of the normalized text
+  (document fingerprinting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_STOPWORDS = (
+    "the,a,an,and,or,of,to,in,is,it,that,for,on,with,as,was,at,by,be,this,"
+    "are,from,have,has,not,but,they,you,we,he,she,his,her,its"
+).split(",")
+
+# most-frequent trigrams per language (tiny deterministic profiles)
+_LANG_TRIGRAMS = {
+    "en": ["the", "and", "ing", "ion", "tio", "ent", "ati"],
+    "de": ["der", "die", "und", "ein", "ich", "sch", "che"],
+    "fr": ["les", "ent", "des", "que", "ion", "eur", "ait"],
+    "es": ["que", "ión", "los", "ado", "con", "ent", "ste"],
+}
+
+
+def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """``(doc_id, n_ws_tokens, n_subword_est)``."""
+    t = F.col(text_col)
+    ws = F.size(F.split(F.trim(t), r"\s+"))
+    # BPE-ish estimate: word pieces ≈ words + ceil(chars/8) overflow pieces
+    sub = ws + F.ceil(F.length(t) / 8)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        ws.cast("long").alias("n_ws_tokens"),
+        sub.cast("long").alias("n_subword_est"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """``(doc_id, len_score, punct_ratio, stopword_ratio, quality)``."""
+    t = F.col(text_col)
+    length = F.length(t)
+    n_punct = length - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    punct_ratio = n_punct / F.greatest(length, F.lit(1))
+    toks = F.split(F.lower(t), r"\s+")
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(_STOPWORDS)))
+    stopword_ratio = n_stop / F.greatest(n_tok, F.lit(1))
+    len_score = F.least(length / F.lit(500.0), F.lit(1.0))
+    quality = (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * F.least(stopword_ratio * 3, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0)))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        len_score.alias("len_score"),
+        punct_ratio.alias("punct_ratio"),
+        stopword_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """``(doc_id, lang_pred, lang_score)`` — argmax over per-language
+    trigram-hit counts (expression-only; ties → lexicographically first)."""
+    t = F.lower(F.col(text_col))
+    scores = [
+        (
+            lang,
+            sum(
+                (F.length(t) - F.length(F.replace(t, F.lit(tri), F.lit("")))) / len(tri)
+                for tri in tris
+            ),
+        )
+        for lang, tris in sorted(_LANG_TRIGRAMS.items())
+    ]
+    pairs = F.array(
+        *[F.struct(F.lit(lang).alias("lang"), s.cast("double").alias("s")) for lang, s in scores]
+    )
+    best = F.array_sort(
+        pairs, lambda a, b: F.when(a["s"] > b["s"], -1).when(a["s"] < b["s"], 1).otherwise(0)
+    )[0]
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        best["lang"].alias("lang_pred"),
+        best["s"].alias("lang_score"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """``(doc_id, fp)`` — 64-bit content fingerprint of normalized text."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return docs.select(F.col(id_col).alias("doc_id"), F.xxhash64(norm).alias("fp"))

@@ -1,0 +1,72 @@
+"""Scaling-efficiency evidence: same SpMV-superstep job at N and 4N
+local cores (the sandbox stand-in for N vs 4N executors, per the north
+rule). Runs bench.py's q_spmv_throughput twice via subprocess (fresh
+JVM each, so parallelism is honest) and reports throughput at both plus
+scaling efficiency = T(4N) / (4 · T(N)).
+
+Usage: python scripts/bench_scaling.py [N] (default 8 → compares 8 vs 32)
+Writes the result JSON to stdout and appends a row to BENCH_SCALING.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_at(cpus: int, env_extra: dict | None = None) -> dict:
+    env = dict(os.environ)
+    env.update(
+        {
+            "SPARK_GRAFT_CPUS": str(cpus),
+            "BENCH_ONLY": "q_spmv_throughput",
+        }
+    )
+    env.update(env_extra or {})
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        check=True,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    lo = run_at(n)
+    hi = run_at(4 * n)
+    tput_lo = lo["extra"]["spmv_edge_traversals_per_sec"]
+    tput_hi = hi["extra"]["spmv_edge_traversals_per_sec"]
+    eff = tput_hi / (4 * tput_lo)
+    result = {
+        "workload": "q_spmv_throughput",
+        "edges": lo["extra"]["spmv_edges"],
+        "sources": lo["extra"]["spmv_sources"],
+        "supersteps": lo["extra"]["spmv_supersteps"],
+        "cores_lo": n,
+        "cores_hi": 4 * n,
+        "sec_lo": lo["queries"]["q_spmv_throughput"],
+        "sec_hi": hi["queries"]["q_spmv_throughput"],
+        "edge_traversals_per_sec_lo": tput_lo,
+        "edge_traversals_per_sec_hi": tput_hi,
+        "scaling_efficiency": round(eff, 3),
+        "passes_0.8": eff >= 0.8,
+    }
+    print(json.dumps(result, indent=1))
+    path = os.path.join(REPO, "BENCH_SCALING.json")
+    hist = []
+    if os.path.exists(path):
+        hist = json.load(open(path))
+    hist.append(result)
+    json.dump(hist, open(path, "w"), indent=1)
+
+
+if __name__ == "__main__":
+    main()

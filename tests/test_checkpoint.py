@@ -1,0 +1,47 @@
+"""Checkpoint/resume: a killed run resumes mid-computation and converges
+to the same result as an uninterrupted run."""
+
+import json
+import os
+
+import numpy as np
+
+from approximate_pagerank_public_spark.operators.pagerank import pagerank, multi_ppr
+
+
+def test_resume_matches_uninterrupted(g_rand, tmp_path):
+    ckpt = str(tmp_path / "ck")
+    full = pagerank(g_rand, mode="broadcast")
+
+    # phase 1: "killed" after 5 iterations (checkpointing every superstep)
+    part = pagerank(g_rand, mode="broadcast", max_iter=5, tol=0.0, checkpoint_dir=ckpt)
+    assert part.iterations == 5
+    manifest = json.load(open(os.path.join(ckpt, "manifest.json")))
+    assert manifest["latest"] == 5
+    assert len(manifest["iterations"]) == 5
+    # per-partition lineage recorded
+    lineage = manifest["lineage"]["5"]
+    assert sum(p["rows"] for p in lineage) == g_rand.num_vertices
+
+    # phase 2: resume from the checkpoint and run to convergence
+    res = pagerank(g_rand, mode="broadcast", checkpoint_dir=ckpt, resume=True)
+    assert res.converged
+    assert res.metrics[0]["iter"] == 1 and res.metrics[-1]["iter"] == res.iterations
+    assert res.iterations == full.iterations
+    assert np.allclose(res.ranks_np, full.ranks_np, atol=1e-12)
+
+
+def test_resume_multi_ppr(g_rand, tmp_path):
+    ckpt = str(tmp_path / "ck8")
+    sources = [0, 17, 42, 99]
+    full = multi_ppr(g_rand, sources)
+    multi_ppr(g_rand, sources, max_iter=3, tol=0.0, checkpoint_dir=ckpt, checkpoint_every=1)
+    res = multi_ppr(g_rand, sources, checkpoint_dir=ckpt, resume=True)
+    assert np.allclose(res.ranks_np, full.ranks_np, atol=1e-12)
+
+
+def test_checkpoint_every_k(g_rand, tmp_path):
+    ckpt = str(tmp_path / "ck2")
+    pagerank(g_rand, mode="broadcast", max_iter=5, tol=0.0, checkpoint_dir=ckpt, checkpoint_every=2)
+    manifest = json.load(open(os.path.join(ckpt, "manifest.json")))
+    assert manifest["latest"] == 4  # iterations 2 and 4 saved

@@ -1,0 +1,97 @@
+"""Dedup + text-analysis operators over the documents table."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from approximate_pagerank_public_spark.operators import dedup, textstats
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    # append exact + near duplicates of known docs
+    base = docs.limit(3).collect()
+    extra = [
+        (9001, base[0]["text"], base[0]["lang"], "dup", len(base[0]["text"])),
+        (9002, base[1]["text"] + " extra tail words here", base[1]["lang"], "near", 0),
+    ]
+    extra_df = spark.createDataFrame(extra, docs.schema)
+    return docs.unionAll(extra_df).cache()
+
+
+def test_exact_duplicates(docs_with_dups):
+    groups = dedup.exact_duplicates(docs_with_dups).toPandas()
+    assert 9001 in set(groups["doc_id"])
+    grp = groups[groups["doc_id"] == 9001]["dup_group"].iloc[0]
+    assert (groups["dup_group"] == grp).sum() == 2  # original + copy
+    assert 9002 not in set(groups["doc_id"])  # near-dup is not exact
+
+
+def test_minhash_lsh_finds_near_dup(docs_with_dups):
+    pairs = dedup.minhash_lsh_candidates(
+        docs_with_dups, num_hashes=32, bands=8
+    ).toPandas()
+    pairset = set(map(tuple, pairs[["a", "b"]].values))
+    base0 = docs_with_dups.limit(2).collect()
+    assert (base0[0]["doc_id"], 9001) in pairset  # exact dup always collides
+    assert (base0[1]["doc_id"], 9002) in pairset  # near dup shares bands
+
+
+def test_ngram_jaccard_verification(spark, docs_with_dups):
+    base = docs_with_dups.limit(2).collect()
+    pairs = spark.createDataFrame(
+        [(base[0]["doc_id"], 9001), (base[1]["doc_id"], 9002)], ["a", "b"]
+    )
+    j = dedup.ngram_jaccard(docs_with_dups, pairs).toPandas().set_index("b")["jaccard"]
+    assert j[9001] == 1.0
+    assert 0.3 < j[9002] < 1.0
+
+
+def test_simhash_close_for_near_dups(docs_with_dups):
+    sh = dedup.simhash(docs_with_dups).toPandas().set_index("doc_id")["simhash"]
+    base = docs_with_dups.limit(2).collect()
+    assert sh[9001] == sh[base[0]["doc_id"]]  # identical text → identical simhash
+    hamming = bin((int(sh[9002]) ^ int(sh[base[1]["doc_id"]])) & (2**64 - 1)).count("1")
+    assert hamming <= 16  # near-dup → close simhash
+
+
+def test_token_count(spark):
+    d = spark.createDataFrame([(1, "hello world foo")], ["doc_id", "text"])
+    row = textstats.token_count(d).first()
+    assert row["n_ws_tokens"] == 3
+    assert row["n_subword_est"] >= 3
+
+
+def test_quality_score_ranges(docs):
+    q = textstats.quality_score(docs).toPandas()
+    assert ((q["quality"] >= 0) & (q["quality"] <= 1)).all()
+    assert ((q["punct_ratio"] >= 0) & (q["punct_ratio"] <= 1)).all()
+
+
+def test_language_id_english_bias(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the lazy dog went to the station"),
+            (2, "der hund und die katze gingen durch die schöne stadt"),
+        ],
+        ["doc_id", "text"],
+    )
+    res = textstats.language_id(d).toPandas().set_index("doc_id")["lang_pred"]
+    assert res[1] == "en"
+    assert res[2] == "de"
+
+
+def test_fingerprint_deterministic_and_normalizing(spark):
+    d = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different")],
+        ["doc_id", "text"],
+    )
+    fp = textstats.fingerprint(d).toPandas().set_index("doc_id")["fp"]
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]

@@ -1,0 +1,100 @@
+"""Exact-count parity: connected components, label propagation, triangles."""
+
+import numpy as np
+
+from approximate_pagerank_public_spark.functions import golden
+from approximate_pagerank_public_spark.operators.components import (
+    component_sizes,
+    connected_components,
+)
+from approximate_pagerank_public_spark.operators.labelprop import (
+    golden_label_propagation,
+    label_propagation,
+)
+from approximate_pagerank_public_spark.operators.triangles import (
+    per_vertex_triangles,
+    triangle_count,
+)
+from approximate_pagerank_public_spark.plans.graph import Graph
+
+
+def test_connected_components_g5(g5):
+    comp = connected_components(g5).toPandas().sort_values("id")
+    # g5 is weakly connected → single component labeled 0
+    assert (comp["component"] == 0).all()
+
+
+def test_connected_components_two_islands(spark):
+    # island A: 0-1-2 chain; island B: 3-4; isolated via edges only
+    g = Graph.from_edge_arrays(
+        spark, [0, 1, 3, 5], [1, 2, 4, 6], num_vertices=7, num_partitions=4
+    )
+    comp = connected_components(g).toPandas().sort_values("id")
+    src, dst, _ = g.edges_numpy()
+    gold = golden.golden_connected_components(src, dst, 7)
+    assert (comp["component"].to_numpy() == gold).all()
+    sizes = component_sizes(connected_components(g)).toPandas()
+    assert sorted(sizes["size"]) == [2, 2, 3]
+    g.unpersist()
+
+
+def test_connected_components_distributed_parity(spark):
+    g = Graph.from_edge_arrays(
+        spark, [0, 1, 3, 5], [1, 2, 4, 6], num_vertices=7, num_partitions=4
+    )
+    a = (
+        connected_components(g, mode="broadcast")
+        .toPandas()
+        .sort_values("id")["component"]
+        .to_numpy()
+    )
+    b = (
+        connected_components(g, mode="distributed")
+        .toPandas()
+        .sort_values("id")["component"]
+        .to_numpy()
+    )
+    assert (a == b).all()
+    g.unpersist()
+
+
+def test_connected_components_random(g_rand):
+    src, dst, _ = g_rand.edges_numpy()
+    gold = golden.golden_connected_components(src, dst, 300)
+    comp = connected_components(g_rand).toPandas().sort_values("id")
+    assert (comp["component"].to_numpy() == gold).all()
+
+
+def test_triangle_count_known(spark):
+    # triangle 0-1-2 plus a pendant edge
+    g = Graph.from_edge_arrays(
+        spark, [0, 1, 2, 2], [1, 2, 0, 3], num_vertices=4, num_partitions=2
+    )
+    assert triangle_count(g) == 1
+    pv = per_vertex_triangles(g).toPandas().set_index("id")["triangles"]
+    assert pv.to_dict() == {0: 1, 1: 1, 2: 1}
+    g.unpersist()
+
+
+def test_triangle_count_random(g_rand):
+    src, dst, _ = g_rand.edges_numpy()
+    gold = golden.golden_triangle_count(src, dst, 300)
+    assert triangle_count(g_rand) == gold
+
+
+def test_label_propagation_matches_golden(spark):
+    # two dense cliques joined by one edge → LPA should find 2 communities
+    rng = np.random.default_rng(1)
+    a = [(i, j) for i in range(8) for j in range(8) if i != j and rng.random() < 0.8]
+    b = [(i, j) for i in range(8, 16) for j in range(8, 16) if i != j and rng.random() < 0.8]
+    edges = a + b + [(0, 8)]
+    src = np.array([e[0] for e in edges])
+    dst = np.array([e[1] for e in edges])
+    g = Graph.from_edge_arrays(spark, src, dst, num_vertices=16, num_partitions=4)
+    und = g.undirected()
+    s2, d2, w2 = und.edges_numpy()
+    gold = golden_label_propagation(s2, d2, w2, 16, max_iter=10)
+    res = label_propagation(g, max_iter=10).toPandas().sort_values("id")
+    assert (res["label"].to_numpy() == gold).all()
+    g.unpersist()
+    und.unpersist()

@@ -1,0 +1,65 @@
+"""Multimodal plumbing + streaming edge ingest."""
+
+import numpy as np
+import pytest
+
+from approximate_pagerank_public_spark.operators import multimodal
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return multimodal.synthesize_media(spark, n=30).cache()
+
+
+def test_extract_features_shape(media):
+    feats = multimodal.extract_features(media, dim=16).toPandas()
+    assert len(feats) == 30
+    assert feats["feature"].map(len).eq(16).all()
+    # unit-norm stub features
+    norms = feats["feature"].map(lambda f: np.linalg.norm(f))
+    assert np.allclose(norms, 1.0)
+    assert (feats["n_bytes"] >= 128).all()
+
+
+def test_extract_features_deterministic(media):
+    a = multimodal.extract_features(media, dim=8).toPandas().sort_values("media_id")
+    b = multimodal.extract_features(media, dim=8).toPandas().sort_values("media_id")
+    assert all(np.array_equal(x, y) for x, y in zip(a["feature"], b["feature"]))
+
+
+def test_real_decode_is_stubbed(media):
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        multimodal.extract_features(media, decode_stub=False).count()
+
+
+def test_frame_sample_plan(media):
+    plan = multimodal.frame_sample_plan(media, every_ms=500).toPandas()
+    assert (plan["frame_ms"] % 500 == 0).all()
+    assert plan.groupby("media_id").size().min() >= 2
+
+
+def test_streaming_edge_counts(spark, transcripts_t1, tmp_path):
+    """File-source stream of transcripts → incremental edge-observation
+    counts; totals must match the batch derivation's raw counts."""
+    from approximate_pagerank_public_spark.streaming.edge_stream import (
+        edge_count_query,
+        stream_edge_updates,
+    )
+
+    src_dir = str(tmp_path / "in")
+    transcripts_t1.write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(transcripts_t1.schema).parquet(src_dir)
+    )
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = edge_count_query(stream_edge_updates(stream), ckpt, sink).start()
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    total_stream = got.groupBy().sum("count").first()[0]
+    # batch equivalent: conv→tool rows + role→conv rows (all, pre-dedup)
+    import pyspark.sql.functions as F
+
+    n_tool = transcripts_t1.where(F.col("role") == "tool").count()
+    n_all = transcripts_t1.count()
+    assert total_stream == n_tool + n_all

@@ -1,0 +1,93 @@
+"""Golden parity for PageRank / PPR / multi-PPR (allclose 1e-6, the
+reference's CPU-vs-FPGA validation bar)."""
+
+import numpy as np
+import pytest
+
+from approximate_pagerank_public_spark.functions import golden
+from approximate_pagerank_public_spark.functions.metrics import evaluate_ranking
+from approximate_pagerank_public_spark.operators.pagerank import (
+    multi_ppr,
+    pagerank,
+    personalized_pagerank,
+)
+
+
+def test_pagerank_g5_matches_golden(g5):
+    src, dst, w = g5.edges_numpy()
+    gold, gold_iters = golden.golden_pagerank(src, dst, w, 5)
+    res = pagerank(g5, mode="broadcast")
+    assert res.converged
+    assert np.allclose(res.ranks_np[0], gold, atol=1e-6)
+    assert abs(res.iterations - gold_iters) <= 1
+
+
+def test_pagerank_sums_to_one(g5):
+    res = pagerank(g5, mode="broadcast")
+    assert abs(res.ranks_np.sum() - 1.0) < 1e-9
+
+
+def test_pagerank_random_graph_golden_and_ranking(g_rand):
+    src, dst, w = g_rand.edges_numpy()
+    gold, _ = golden.golden_pagerank(src, dst, w, 300)
+    res = pagerank(g_rand, mode="broadcast")
+    assert res.converged
+    assert np.allclose(res.ranks_np[0], gold, atol=1e-6)
+    ev = evaluate_ranking(gold, res.ranks_np[0])
+    assert all(v == 0 for v in ev["position_errors"].values())
+    assert all(v == 1.0 for v in ev["ndcg"].values())
+    assert all(v == 0 for v in ev["edit_distance"].values())
+
+
+def test_pagerank_iteration_metrics_monotone(g_rand):
+    res = pagerank(g_rand, mode="broadcast", max_iter=20, tol=0.0)
+    l1 = [m["l1_err"] for m in res.metrics]
+    assert len(l1) == 20
+    assert l1[-1] < l1[0]
+
+
+def test_early_termination_budget(g_rand):
+    """The reference's approximation knob: a fixed small iteration
+    budget (FPGA default max_iter=6) still yields a usable ranking."""
+    src, dst, w = g_rand.edges_numpy()
+    gold, _ = golden.golden_pagerank(src, dst, w, 300)
+    res = pagerank(g_rand, mode="broadcast", max_iter=6, tol=0.0)
+    assert not res.converged and res.iterations == 6
+    ev = evaluate_ranking(gold, res.ranks_np[0])
+    assert ev["ndcg"][10] > 0.9
+
+
+def test_ppr_matches_golden(g_rand):
+    src, dst, w = g_rand.edges_numpy()
+    for s in [0, 17, 123]:
+        gold, _ = golden.golden_ppr(s, src, dst, w, 300)
+        res = personalized_pagerank(g_rand, s, mode="broadcast")
+        assert res.converged
+        assert np.allclose(res.ranks_np[0], gold, atol=1e-6), f"source {s}"
+
+
+def test_multi_ppr_matches_golden(g_rand):
+    sources = [0, 3, 17, 42, 99, 123, 200, 250]
+    src, dst, w = g_rand.edges_numpy()
+    gold = golden.golden_multi_ppr(sources, src, dst, w, 300)
+    res = multi_ppr(g_rand, sources)
+    assert res.converged
+    # lock-step early termination can differ from per-source golden by
+    # extra iterations past each source's own convergence → 1e-6 bar
+    assert np.allclose(res.ranks_np, gold, atol=1e-6)
+
+
+def test_distributed_mode_parity(g5):
+    src, dst, w = g5.edges_numpy()
+    gold, _ = golden.golden_pagerank(src, dst, w, 5, tol=0.0, max_iter=8)
+    res = pagerank(g5, mode="distributed", max_iter=8, tol=0.0)
+    pdf = res.ranks().toPandas().sort_values("id")
+    assert np.allclose(pdf["rank"].to_numpy(), gold, atol=1e-12)
+
+
+def test_distributed_ppr_parity(g5):
+    src, dst, w = g5.edges_numpy()
+    gold, _ = golden.golden_ppr(2, src, dst, w, 5, tol=0.0, max_iter=8)
+    res = personalized_pagerank(g5, 2, mode="distributed", max_iter=8, tol=0.0)
+    pdf = res.ranks().toPandas().sort_values("id")
+    assert np.allclose(pdf["rank_0"].to_numpy(), gold, atol=1e-12)
