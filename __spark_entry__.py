@@ -247,7 +247,39 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from approximate_pagerank_public_spark.operators.textstats import fingerprint
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return fingerprint(docs)
+    return fingerprint(docs, method="md5")
+
+
+def q_per_vertex_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximate_pagerank_public_spark.operators.triangles import (
+        per_vertex_triangles,
+    )
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    return per_vertex_triangles(g)
+
+
+def q_topk_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    return (
+        e.groupBy(F.col("dst").alias("id"))
+        .agg(F.count("*").alias("indeg"))
+        .orderBy(F.col("indeg").desc(), F.col("id").desc())
+        .limit(20)
+    )
+
+
+def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximate_pagerank_public_spark.operators.traversal import (
+        closeness_centrality,
+    )
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    return closeness_centrality(g, [0]).select(
+        "source", _stable6("closeness").alias("closeness")
+    )
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,6 +349,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "per_vertex_triangles": q_per_vertex_triangles,
+        "topk_indegree": q_topk_indegree,
+        "closeness": q_closeness,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
@@ -325,6 +360,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # -------------------------------------------------------------- oracle SQL
+def _lang_id_oracle() -> str:
+    """Generated so trigram op order matches the Spark expression exactly."""
+    from approximate_pagerank_public_spark.operators.textstats import _LANG_TRIGRAMS
+
+    langs = sorted(_LANG_TRIGRAMS.items())
+    score_exprs = []
+    for lang, tris in langs:
+        terms = [
+            f"(length(t) - length(replace(t, '{tri}', ''))) / {len(tri)}" for tri in tris
+        ]
+        score_exprs.append(f"({' + '.join(terms)}) AS s_{lang}")
+    names = [f"s_{lang}" for lang, _ in langs]
+    # argmax with ties → earliest in sorted-lang order (matches stable
+    # array_sort over the lang-sorted pairs array in Spark)
+    case = "CASE "
+    for i, (lang, _) in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{lang} >= {n}" for n in names[i + 1:])
+        case += f"WHEN {conds} THEN '{lang}' "
+    case += f"ELSE '{langs[-1][0]}' END AS lang_pred"
+    return (
+        "WITH s AS (SELECT doc_id, lower(text) AS t FROM documents), "
+        f"c AS (SELECT doc_id, {', '.join(score_exprs)} FROM s) "
+        f"SELECT doc_id, {case} FROM c"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     t_cte = _duck_transcripts_cte()
     e_sql = _duck_edges_sql()

@@ -35,11 +35,11 @@ _MIN_SCHEMA = StructType(
 )
 
 
-def _min_partials(edges: DataFrame, label_bc) -> DataFrame:
+def _min_partials(edges: DataFrame, load_labels) -> DataFrame:
     """Per-partition (dst, min incoming label) — vectorized, map-side combined."""
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        labels = label_bc.value
+        labels = load_labels()
         dsts: list[np.ndarray] = []
         lbls: list[np.ndarray] = []
         for b in batches:
@@ -67,23 +67,25 @@ def _min_partials(edges: DataFrame, label_bc) -> DataFrame:
 
 
 def _cc_broadcast(graph: Graph, max_iter: int) -> tuple[np.ndarray, int]:
+    from approximate_pagerank_public_spark.operators.spmv import _RankShip
+
     n = graph.num_vertices
     labels = np.arange(n, dtype=np.int64)
-    sc = graph.spark.sparkContext
+    blocks = graph.blocks
     for it in range(1, max_iter + 1):
-        bc = sc.broadcast(labels)
-        try:
-            pdf = (
-                _min_partials(graph.edges, bc)
-                .groupBy("dst")
-                .agg(F.min("lbl").alias("lbl"))
-                .toPandas()
-            )
-        finally:
-            bc.destroy()
-        new = labels.copy()
-        idx = pdf["dst"].to_numpy(np.int64)
-        np.minimum.at(new, idx, pdf["lbl"].to_numpy(np.int64))
+        if blocks is not None:
+            new = blocks.gather(labels, op="min")
+        else:
+            ship = _RankShip(graph.spark, labels)
+            try:
+                # partials are disjoint-ish across dst-partitioned edges;
+                # driver-side minimum.at merge makes a shuffle unnecessary
+                pdf = _min_partials(graph.edges, ship.load).toPandas()
+            finally:
+                ship.cleanup()
+            new = labels.copy()
+            idx = pdf["dst"].to_numpy(np.int64)
+            np.minimum.at(new, idx, pdf["lbl"].to_numpy(np.int64))
         if np.array_equal(new, labels):
             return labels, it
         labels = new

@@ -124,7 +124,11 @@ def build_edge_table(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
     weight = 1/outdeg(src) over the deduped edge set (reference
     out-degree normalization, ``utils.hpp:886-895``).
     """
-    entity_edges = derive_entity_edges(transcripts)
+    # cache: the deduped entity-edge set feeds three consumers (edge
+    # output + both sides of the vertex-dictionary union); without a
+    # persist Catalyst re-derives the whole window/union/distinct
+    # subtree per consumer (verified via .explain)
+    entity_edges = derive_entity_edges(transcripts).persist()
     vertices = densify_vertices(entity_edges)
     # dictionary join: vertices is tiny vs edges → broadcast both sides' lookups
     e = (

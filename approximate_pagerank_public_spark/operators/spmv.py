@@ -10,15 +10,24 @@ Two physical strategies, selected by vertex-state size:
    path. The rank vector (or an (S,N) block for S simultaneous sources,
    mirroring the FPGA's 8-query batching,
    ``src/fpga/src/ip_cores/multi_personalized_pagerank.cpp:157-166``) is
-   broadcast to executors; a ``mapInArrow`` kernel streams each edge
+   shipped to executors; a ``mapInArrow`` kernel streams each edge
    partition's dst-sorted Arrow batches through vectorized NumPy:
    fancy-index gather (the reference's ``scatter_vec``,
    ``spmv_coo.hpp:10-41``) + ``np.add.reduceat`` segmented reduction
    (the reference's streaming write-back FSM,
    ``spmv_coo_multi_stream.hpp:178-232``). Each partition emits exactly
-   one partial sum per distinct dst — map-side combine — so the final
-   ``groupBy(dst)`` shuffle moves O(P × distinct dst) rows, not O(E).
-   No per-row Python anywhere.
+   one partial sum per distinct dst. Because the edge layout is hash
+   partitioned **by dst**, partials are (nearly) disjoint across
+   partitions, so no shuffle is needed at all: the driver merges the
+   collected partials with ``np.add.at`` (exact even when skew salting
+   spreads one dst over several partitions). Shuffle count per
+   superstep: zero.
+
+   Rank shipping: on ``local[*]`` masters the (S,N) f64 block is written
+   once per superstep to ``/dev/shm`` and ``np.load(mmap_mode='r')``-ed
+   by every Python worker — zero-copy shared pages, no pickling. On a
+   real cluster the same code path falls back to a Spark broadcast
+   (torrent distribution, one fetch per executor).
 
 2. **Distributed DataFrame gather** (:func:`gather_contrib_df`) — for
    vertex states too large to broadcast (the 10^12-turn regime): an
@@ -29,6 +38,8 @@ Two physical strategies, selected by vertex-state size:
 
 from __future__ import annotations
 
+import os
+import uuid
 from collections.abc import Iterator
 
 import numpy as np
@@ -38,6 +49,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from approximate_pagerank_public_spark.plans.graph import Graph
+
+_SHM_DIR = os.environ.get("SPARK_GRAFT_SHM", "/dev/shm")
 
 
 def _contrib_schema(n_sources: int) -> StructType:
@@ -56,11 +69,51 @@ def _segmented_sum(
     return dst[starts], np.add.reduceat(contrib, starts, axis=1)
 
 
-def spmv_partials(edges: DataFrame, rank_bc, n_sources: int) -> DataFrame:
-    """Per-partition partial sums ``(dst, c0..c{S-1})`` via the Arrow kernel."""
+class _RankShip:
+    """Ship an (S, N) f64 block to Python workers.
+
+    local[*] → shared-memory mmap file (zero-copy for all workers on the
+    host); cluster → Spark broadcast.
+    """
+
+    def __init__(self, spark, rank2d: np.ndarray):
+        self._path = None
+        self._bc = None
+        sc = spark.sparkContext
+        if sc.master.startswith("local") and os.path.isdir(_SHM_DIR):
+            self._path = os.path.join(_SHM_DIR, f"apr_rank_{uuid.uuid4().hex}.npy")
+            np.save(self._path, rank2d)
+            path = self._path
+
+            def load() -> np.ndarray:
+                return np.load(path, mmap_mode="r")
+
+        else:
+            self._bc = sc.broadcast(rank2d)
+            bc = self._bc
+
+            def load() -> np.ndarray:
+                return bc.value
+
+        self.load = load
+
+    def cleanup(self) -> None:
+        if self._path is not None:
+            try:
+                os.unlink(self._path)
+            except OSError:
+                pass
+        if self._bc is not None:
+            self._bc.destroy()
+
+
+def spmv_partials(edges: DataFrame, load_rank, n_sources: int) -> DataFrame:
+    """Per-partition partial sums ``(dst, c0..c{S-1})`` via the Arrow
+    kernel. ``load_rank()`` must return the (S, N) block inside the
+    worker (mmap or broadcast)."""
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        rank = rank_bc.value  # (S, N) float64
+        rank = load_rank()
         dsts: list[np.ndarray] = []
         parts: list[np.ndarray] = []
         for b in batches:
@@ -80,7 +133,9 @@ def spmv_partials(edges: DataFrame, rank_bc, n_sources: int) -> DataFrame:
         part_all = np.concatenate(parts, axis=1)
         order = np.argsort(dst_all, kind="stable")
         u, p = _segmented_sum(dst_all[order], part_all[:, order])
-        arrays = [pa.array(u)] + [pa.array(np.ascontiguousarray(p[i])) for i in range(p.shape[0])]
+        arrays = [pa.array(u)] + [
+            pa.array(np.ascontiguousarray(p[i])) for i in range(p.shape[0])
+        ]
         yield pa.RecordBatch.from_arrays(
             arrays, names=["dst"] + [f"c{i}" for i in range(p.shape[0])]
         )
@@ -91,27 +146,26 @@ def spmv_partials(edges: DataFrame, rank_bc, n_sources: int) -> DataFrame:
 def gather_contrib(graph: Graph, rank: np.ndarray) -> np.ndarray:
     """One superstep gather: ``contrib = W^T · rank`` as an (S, N) array.
 
-    One Spark job: kernel → final merge ``groupBy(dst)`` → Arrow collect.
-    Missing dsts (no in-edges) are implicit zeros — the reason the
-    reference pads zero self-loops (``coo_fpga.hpp:32-44``) and we don't
-    need to.
+    One shuffle-free Spark job: kernel partials → Arrow collect →
+    driver ``np.add.at`` merge. Missing dsts (no in-edges) are implicit
+    zeros — the reason the reference pads zero self-loops
+    (``coo_fpga.hpp:32-44``) and we don't need to.
     """
     rank2d = np.ascontiguousarray(np.atleast_2d(np.asarray(rank, dtype=np.float64)))
     n_sources = rank2d.shape[0]
-    bc = graph.spark.sparkContext.broadcast(rank2d)
+    blocks = graph.blocks
+    if blocks is not None:
+        return blocks.gather(rank2d, op="sum")
+    ship = _RankShip(graph.spark, rank2d)
     try:
-        partials = spmv_partials(graph.edges, bc, n_sources)
-        agg = partials.groupBy("dst").agg(
-            *[F.sum(f"c{i}").alias(f"c{i}") for i in range(n_sources)]
-        )
-        pdf = agg.toPandas()
+        pdf = spmv_partials(graph.edges, ship.load, n_sources).toPandas()
     finally:
-        bc.destroy()
+        ship.cleanup()
     contrib = np.zeros((n_sources, graph.num_vertices), dtype=np.float64)
     if len(pdf):
         idx = pdf["dst"].to_numpy(np.int64)
         for i in range(n_sources):
-            contrib[i, idx] = pdf[f"c{i}"].to_numpy(np.float64)
+            np.add.at(contrib[i], idx, pdf[f"c{i}"].to_numpy(np.float64))
     return contrib
 
 

@@ -98,7 +98,13 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """``(doc_id, fp)`` — 64-bit content fingerprint of normalized text."""
+def fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", method: str = "xxhash64"
+) -> DataFrame:
+    """``(doc_id, fp)`` — content fingerprint of normalized text.
+
+    ``xxhash64`` (default, fastest, bigint) or ``md5`` (hex string,
+    portable across engines — used for cross-engine oracle checks)."""
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
-    return docs.select(F.col(id_col).alias("doc_id"), F.xxhash64(norm).alias("fp"))
+    fp = F.xxhash64(norm) if method == "xxhash64" else F.md5(F.encode(norm, "UTF-8"))
+    return docs.select(F.col(id_col).alias("doc_id"), fp.alias("fp"))

@@ -37,21 +37,51 @@ class Graph:
         num_vertices: int | None = None,
         num_partitions: int | None = None,
         vertices: DataFrame | None = None,
+        skew_split: bool = False,
+        hot_dst_threshold: int | None = None,
+        salt_buckets: int = 8,
     ):
         self.spark: SparkSession = edges.sparkSession
         self.num_partitions = num_partitions or int(
             self.spark.conf.get("spark.sql.shuffle.partitions")
         )
+        base = edges.select(
+            F.col("src").cast("long"),
+            F.col("dst").cast("long"),
+            F.col("weight").cast("double"),
+        )
         # pull-oriented physical layout, built once and reused every superstep
-        self.edges = (
-            edges.select(
-                F.col("src").cast("long"),
-                F.col("dst").cast("long"),
-                F.col("weight").cast("double"),
+        if skew_split:
+            # hub-vertex skew splitting: a hot dst whose in-edges exceed the
+            # threshold is salted into `salt_buckets` sub-keys so its edges
+            # spread across partitions; each sub-partition emits its own
+            # partial sum and the final groupBy(dst) merge is unchanged —
+            # the Spark analogue of the FPGA write-back FSM's block-local
+            # accumulation (spmv_coo_multi_stream.hpp:178-232).
+            if hot_dst_threshold is None:
+                cnt = base.count()
+                hot_dst_threshold = max(1024, 4 * cnt // self.num_partitions)
+            hot = (
+                base.groupBy("dst")
+                .count()
+                .where(F.col("count") > hot_dst_threshold)
+                .select("dst")
             )
-            .repartition(self.num_partitions, "dst")
-            .sortWithinPartitions("dst", "src")
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            salted = base.join(F.broadcast(hot.withColumn("_hot", F.lit(1))), "dst", "left")
+            salted = salted.withColumn(
+                "_salt",
+                F.when(
+                    F.col("_hot").isNotNull(),
+                    F.pmod(F.xxhash64("src"), F.lit(salt_buckets)),
+                ).otherwise(F.lit(0)),
+            )
+            layout = salted.repartition(self.num_partitions, "dst", "_salt").select(
+                "src", "dst", "weight"
+            )
+        else:
+            layout = base.repartition(self.num_partitions, "dst")
+        self.edges = layout.sortWithinPartitions("dst", "src").persist(
+            StorageLevel.MEMORY_AND_DISK
         )
         if num_vertices is None:
             row = self.edges.agg(
@@ -65,6 +95,17 @@ class Graph:
         self.num_vertices = int(num_vertices)
         self.vertex_names = vertices  # optional (id, entity) dictionary
         self._dangling_mask: np.ndarray | None = None
+        self._blocks = None
+
+    @property
+    def blocks(self):
+        """Shared-memory CSR BlockStore (local masters), else None —
+        callers fall back to the streaming mapInArrow kernel."""
+        from approximate_pagerank_public_spark.plans import blocks as blk
+
+        if self._blocks is None and blk.shm_available(self.spark):
+            self._blocks = blk.BlockStore(self.spark, self.edges)
+        return self._blocks
 
     # ---------------------------------------------------------------- sizes
     @property
@@ -121,6 +162,9 @@ class Graph:
 
     def unpersist(self) -> None:
         self.edges.unpersist()
+        if self._blocks is not None:
+            self._blocks.cleanup()
+            self._blocks = None
 
     # -------------------------------------------------------- constructors
     @classmethod

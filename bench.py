@@ -114,18 +114,26 @@ def main() -> None:
         from approximate_pagerank_public_spark.operators.spmv import gather_contrib
 
         edges = gnp_edges(spark, SPMV_V, SPMV_E, seed=42, skew=0.1)
-        sg = Graph(edges, num_vertices=SPMV_V, num_partitions=max(CPUS, 16))
+        # 2x tasks per core: bounds straggler impact on superstep latency
+        sg = Graph(edges, num_vertices=SPMV_V, num_partitions=2 * max(CPUS, 8))
         m = sg.num_edges
         rank = np.full((SPMV_SOURCES, SPMV_V), 1.0 / SPMV_V)
+        gather_contrib(sg, rank)  # warm-up: worker spawn + block build
+        steps = []
         t0 = time.perf_counter()
         for _ in range(SPMV_ITERS):
+            t1 = time.perf_counter()
             contrib = gather_contrib(sg, rank)
             rank = 0.8 * contrib + 0.2 / SPMV_V
+            steps.append(time.perf_counter() - t1)
         el = time.perf_counter() - t0
+        med = sorted(steps)[len(steps) // 2]
         extra["spmv_edges"] = m
         extra["spmv_sources"] = SPMV_SOURCES
         extra["spmv_supersteps"] = SPMV_ITERS
+        extra["spmv_median_superstep_sec"] = round(med, 3)
         extra["spmv_edge_traversals_per_sec"] = round(m * SPMV_ITERS * SPMV_SOURCES / el, 0)
+        extra["spmv_edge_traversals_per_sec_median"] = round(m * SPMV_SOURCES / med, 0)
         sg.unpersist()
         return el
 

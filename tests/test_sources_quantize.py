@@ -1,0 +1,91 @@
+"""MTX/SNAP scans, edgelist sink, fixed-point quantization study."""
+
+import numpy as np
+import pytest
+
+from approximate_pagerank_public_spark.functions import golden
+from approximate_pagerank_public_spark.functions.metrics import evaluate_ranking
+from approximate_pagerank_public_spark.functions.quantize import (
+    quantize_np,
+    quantized_pagerank,
+)
+from approximate_pagerank_public_spark.sources.mtx import (
+    read_mtx,
+    read_snap_edgelist,
+    write_edgelist,
+)
+
+MTX = """%%MatrixMarket matrix coordinate pattern general
+% comment line
+5 5 6
+2 1
+2 4
+3 1
+3 2
+4 3
+5 4
+"""
+
+
+def test_read_mtx_matches_g5(spark, g5, tmp_path):
+    p = tmp_path / "g5.mtx"
+    p.write_text(MTX)
+    edges = read_mtx(spark, str(p)).toPandas().sort_values(["src", "dst"])
+    s, d, w = g5.edges_numpy()
+    import pandas as pd
+
+    gold = (
+        pd.DataFrame({"src": s, "dst": d, "weight": w})
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(edges.reset_index(drop=True), gold, check_dtype=False)
+
+
+def test_read_mtx_drops_self_loops(spark, tmp_path):
+    p = tmp_path / "sl.mtx"
+    p.write_text("%%MatrixMarket\n3 3 3\n1 1\n1 2\n2 3\n")
+    edges = read_mtx(spark, str(p)).toPandas()
+    assert len(edges) == 2
+    assert (edges["src"] != edges["dst"]).all()
+
+
+def test_read_snap_densifies(spark, tmp_path):
+    p = tmp_path / "snap.txt"
+    p.write_text("# comment\n100\t7\n7\t500\n500\t100\n")
+    edges, id_map = read_snap_edgelist(spark, str(p))
+    ep = edges.toPandas()
+    assert set(ep["src"]) | set(ep["dst"]) == {0, 1, 2}
+    m = id_map.toPandas().set_index("orig")["id"]
+    assert m[7] == 0 and m[100] == 1 and m[500] == 2
+
+
+def test_write_edgelist_roundtrip(spark, g5, tmp_path):
+    out = str(tmp_path / "el")
+    write_edgelist(g5.edges, out)
+    back = spark.read.text(out).toPandas()
+    assert len(back) == 6
+    assert all(len(v.split(" ")) == 3 for v in back["value"])
+
+
+def test_quantize_np_truncates_toward_zero():
+    x = np.array([0.1, 0.999999999, 1.5, 2.5, -0.5])
+    q = quantize_np(x, total_bits=26, int_bits=1)
+    scale = 2**25
+    assert np.all(q <= np.clip(x, 0, 2))  # truncation never rounds up
+    assert np.allclose(q[:2], np.floor(x[:2] * scale) / scale)
+    assert q[3] <= 2.0 - 1.0 / scale  # clamp
+    assert q[4] == 0.0
+
+
+def test_quantized_pagerank_accuracy_degrades_gracefully(g_rand):
+    """Reference precision study: 26-bit fixed vs f64 golden keeps the
+    top-10 ranking essentially intact; very low bits degrade."""
+    src, dst, w = g_rand.edges_numpy()
+    gold, _ = golden.golden_pagerank(src, dst, w, 300)
+    q26 = quantized_pagerank(g_rand, total_bits=26, max_iter=30)
+    ev26 = evaluate_ranking(gold, q26.ranks_np[0])
+    assert ev26["ndcg"][10] > 0.99
+    q8 = quantized_pagerank(g_rand, total_bits=8, max_iter=30)
+    ev8 = evaluate_ranking(gold, q8.ranks_np[0])
+    assert ev8["ndcg"][10] <= ev26["ndcg"][10]
