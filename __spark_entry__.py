@@ -462,6 +462,40 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE r.dist < 100) "
             "SELECT id, min(dist) AS dist FROM r GROUP BY id"
         ),
+        "lang_id": _lang_id_oracle(),
+        "fingerprint": (
+            "SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp "
+            "FROM documents"
+        ),
+        "per_vertex_triangles": (
+            f"WITH e AS ({e_sql}), "
+            "canon AS (SELECT DISTINCT least(src,dst) AS u, greatest(src,dst) AS v "
+            "          FROM e WHERE src <> dst), "
+            "ab AS (SELECT u AS a, v AS b FROM canon), "
+            "bc AS (SELECT u AS b, v AS c FROM canon), "
+            "ac AS (SELECT u AS a, v AS c FROM canon), "
+            "tri AS (SELECT a, b, c FROM ab JOIN bc USING (b) "
+            "        WHERE EXISTS (SELECT 1 FROM ac WHERE ac.a = ab.a AND ac.c = bc.c)), "
+            "verts AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri "
+            "          UNION ALL SELECT c FROM tri) "
+            "SELECT id, count(*) AS triangles FROM verts GROUP BY id"
+        ),
+        "topk_indegree": (
+            f"SELECT dst AS id, count(*) AS indeg FROM ({e_sql}) "
+            "GROUP BY dst ORDER BY indeg DESC, id DESC LIMIT 20"
+        ),
+        "closeness": (
+            f"WITH RECURSIVE e AS ({e_sql}), "
+            "r(id, dist) AS ("
+            "  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
+            "  UNION "
+            "  SELECT e.dst, r.dist + 1 FROM r JOIN e ON r.id = e.src "
+            "  WHERE r.dist < 100), "
+            "d AS (SELECT id, min(dist) AS dist FROM r GROUP BY id) "
+            "SELECT CAST(0 AS BIGINT) AS source, "
+            "CASE WHEN sum(dist) > 0 THEN floor((1.0 / sum(dist)) * 1000000.0) / 1000000.0 "
+            "     ELSE 0.0 END AS closeness FROM d"
+        ),
         "exact_dedup": (
             "WITH h AS (SELECT doc_id, "
             "  lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm FROM documents), "
