@@ -1,0 +1,116 @@
+"""spark-submit entry point: PageRank / PPR / CC / LPA / triangles over a
+transcript table, with durable checkpointing and resume.
+
+Ship as:
+
+    scripts/package.sh
+    spark-submit --py-files dist/approximate_pagerank_public_spark.zip \\
+        scripts/run_pagerank_job.py \\
+        --transcripts <parquet-or-iceberg-path> \\
+        --algorithm pagerank --alpha 0.8 --tol 1e-6 --max-iter 100 \\
+        --checkpoint-dir /path/ckpt --output /path/out \\
+        [--sources 0,5,9] [--mode auto|broadcast|distributed]
+
+On a cluster the SparkSession comes from spark-submit's conf (master,
+executor counts); locally it falls back to local[*]. A killed job rerun
+with the same --checkpoint-dir resumes from the last completed
+superstep (per-partition lineage + iteration metrics in manifest.json).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--transcripts", required=True, help="parquet path or Iceberg table")
+    p.add_argument(
+        "--algorithm",
+        default="pagerank",
+        choices=["pagerank", "ppr", "multi_ppr", "cc", "lpa", "triangles"],
+    )
+    p.add_argument("--alpha", type=float, default=0.8)
+    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--max-iter", type=int, default=100)
+    p.add_argument("--sources", default="", help="comma-separated vertex ids (ppr/multi_ppr)")
+    p.add_argument("--mode", default="auto")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--output", required=True, help="parquet output path")
+    p.add_argument("--partitions", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName(f"apr-{args.algorithm}").getOrCreate()
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    if args.partitions is None:
+        # 2 tasks/core bounds straggler latency; spark-submit's default
+        # shuffle.partitions=200 would otherwise drive 200-task supersteps
+        args.partitions = 2 * spark.sparkContext.defaultParallelism
+
+    if args.transcripts.endswith(".parquet") or "/" in args.transcripts:
+        transcripts = spark.read.parquet(args.transcripts)
+    else:
+        transcripts = spark.read.table(args.transcripts)  # Iceberg catalog table
+    graph = Graph.from_transcripts(transcripts, num_partitions=args.partitions)
+
+    sources = [int(s) for s in args.sources.split(",") if s != ""]
+    summary: dict = {"algorithm": args.algorithm, "num_vertices": graph.num_vertices}
+
+    if args.algorithm in ("pagerank", "ppr", "multi_ppr"):
+        from approximate_pagerank_public_spark.operators.pagerank import (
+            multi_ppr,
+            pagerank,
+            personalized_pagerank,
+        )
+
+        kw = dict(
+            alpha=args.alpha,
+            tol=args.tol,
+            max_iter=args.max_iter,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+        if args.algorithm == "pagerank":
+            res = pagerank(graph, mode=args.mode, **kw)
+        elif args.algorithm == "ppr":
+            res = personalized_pagerank(graph, sources[0], mode=args.mode, **kw)
+        else:
+            res = multi_ppr(graph, sources, **kw)
+        out = res.ranks()
+        if graph.vertex_names is not None:
+            out = out.join(graph.vertex_names, "id")
+        out.write.mode("overwrite").parquet(args.output)
+        summary.update(
+            iterations=res.iterations,
+            converged=res.converged,
+            final_l1_err=res.metrics[-1]["l1_err"] if res.metrics else None,
+        )
+    elif args.algorithm == "cc":
+        from approximate_pagerank_public_spark.operators.components import (
+            connected_components,
+        )
+
+        connected_components(graph).write.mode("overwrite").parquet(args.output)
+    elif args.algorithm == "lpa":
+        from approximate_pagerank_public_spark.operators.labelprop import (
+            label_propagation,
+        )
+
+        label_propagation(graph, max_iter=args.max_iter).write.mode("overwrite").parquet(
+            args.output
+        )
+    else:
+        from approximate_pagerank_public_spark.operators.triangles import triangle_df
+
+        triangle_df(graph).write.mode("overwrite").parquet(args.output)
+
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,64 @@
+"""Property-based tests (hypothesis): engine vs NumPy golden on random
+digraphs — strengthens the reference's fixed-fixture differential
+testing (SURVEY §5) with generated structure."""
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from approximate_pagerank_public_spark.functions import golden
+from approximate_pagerank_public_spark.operators.pagerank import pagerank
+from approximate_pagerank_public_spark.operators.triangles import triangle_count
+from approximate_pagerank_public_spark.plans.graph import Graph
+
+
+@st.composite
+def digraphs(draw):
+    n = draw(st.integers(min_value=3, max_value=40))
+    m = draw(st.integers(min_value=1, max_value=120))
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    if not keep.any():
+        src, dst = np.array([0]), np.array([1])
+        n = max(n, 2)
+    else:
+        src, dst = src[keep], dst[keep]
+    return n, src, dst
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(g=digraphs())
+def test_pagerank_matches_golden_on_random_digraphs(spark, g):
+    n, src, dst = g
+    graph = Graph.from_edge_arrays(spark, src, dst, num_vertices=n, num_partitions=4)
+    try:
+        s, d, w = graph.edges_numpy()
+        gold, _ = golden.golden_pagerank(s, d, w, n, max_iter=50)
+        res = pagerank(graph, mode="broadcast", max_iter=50)
+        assert np.allclose(res.ranks_np[0], gold, atol=1e-6)
+        assert abs(res.ranks_np.sum() - 1.0) < 1e-6
+    finally:
+        graph.unpersist()
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(g=digraphs())
+def test_triangles_match_golden_on_random_digraphs(spark, g):
+    n, src, dst = g
+    graph = Graph.from_edge_arrays(spark, src, dst, num_vertices=n, num_partitions=4)
+    try:
+        s, d, _ = graph.edges_numpy()
+        assert triangle_count(graph) == golden.golden_triangle_count(s, d, n)
+    finally:
+        graph.unpersist()
