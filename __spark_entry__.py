@@ -209,6 +209,24 @@ def q_bfs_from_min_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs(g, 0).select("id", F.col("dist").cast("long").alias("dist"))
 
 
+def q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximate_pagerank_public_spark.operators.traversal import eccentricity
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    return eccentricity(g, [0]).select("source", F.col("ecc").cast("long").alias("ecc"))
+
+
+def q_exact_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup exercised on a column with real collisions (events.props)."""
+    from approximate_pagerank_public_spark.operators.dedup import exact_duplicates
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return exact_duplicates(ev, id_col="event_id", text_col="props").withColumnRenamed(
+        "doc_id", "event_id"
+    )
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from approximate_pagerank_public_spark.operators.dedup import exact_duplicates
 
@@ -345,6 +363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "bfs_dist": q_bfs_from_min_conv,
         "exact_dedup": q_exact_dedup,
+        "exact_dedup_events": q_exact_dedup_events,
+        "eccentricity": q_eccentricity,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -463,6 +483,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id, min(dist) AS dist FROM r GROUP BY id"
         ),
         "lang_id": _lang_id_oracle(),
+        "eccentricity": (
+            f"WITH RECURSIVE e AS ({e_sql}), "
+            "r(id, dist) AS ("
+            "  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
+            "  UNION "
+            "  SELECT e.dst, r.dist + 1 FROM r JOIN e ON r.id = e.src "
+            "  WHERE r.dist < 100), "
+            "d AS (SELECT id, min(dist) AS dist FROM r GROUP BY id) "
+            "SELECT CAST(0 AS BIGINT) AS source, max(dist) AS ecc FROM d"
+        ),
+        "exact_dedup_events": (
+            "WITH h AS (SELECT event_id, "
+            "  lower(regexp_replace(props, '\\s+', ' ', 'g')) AS norm FROM events), "
+            "g AS (SELECT norm, min(event_id) AS dup_group, count(*) AS n "
+            "      FROM h GROUP BY norm) "
+            "SELECT g.dup_group, h.event_id FROM h JOIN g USING (norm) WHERE g.n >= 2"
+        ),
         "fingerprint": (
             "SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp "
             "FROM documents"

@@ -257,6 +257,104 @@ def _run_distributed(
     )
 
 
+def _run_distributed_multi(
+    graph: Graph,
+    alpha: float,
+    tol: float,
+    max_iter: int,
+    sources: list[int],
+) -> PageRankResult:
+    """Distributed 8-source PPR: the (S, N) rank block is S rank columns
+    on a co-partitioned vertex DataFrame; every superstep is ONE edge
+    join + ONE groupBy(dst) aggregating all S weighted sums — the edge
+    relation is read once per superstep regardless of S, exactly the
+    FPGA's multi-query amortization, but with vertex state that never
+    leaves the cluster."""
+    spark = graph.spark
+    n = graph.num_vertices
+    p = graph.num_partitions
+    s = len(sources)
+    cols = [f"r{i}" for i in range(s)]
+    verts = graph.vertices
+    init = [
+        F.when(F.col("id") == src, 1.0).otherwise(0.0).alias(c)
+        for c, src in zip(cols, sources)
+    ]
+    ranks = verts.select("id", *init).repartition(p, "id").localCheckpoint()
+    dangling = graph.dangling_vertices().repartition(p, "id").persist()
+    dangling.count()
+
+    metrics: list[dict] = []
+    converged = False
+    it = 0
+    for it in range(1, max_iter + 1):
+        t0 = time.perf_counter()
+        drow = (
+            ranks.join(dangling, "id", "left_semi")
+            .agg(*[F.sum(c).alias(c) for c in cols])
+            .first()
+        )
+        d = [float(drow[c] or 0.0) for c in cols]
+        r = ranks.withColumnRenamed("id", "src")
+        contribs = (
+            graph.edges.join(r, "src")
+            .groupBy("dst")
+            .agg(*[F.sum(F.col("weight") * F.col(c)).alias(c) for c in cols])
+        )
+        new_cols = []
+        for i, (c, src) in enumerate(zip(cols, sources)):
+            expr = (
+                F.lit(alpha) * F.coalesce(contribs[c], F.lit(0.0))
+                + F.lit(alpha / n * d[i])
+                + F.when(F.col("id") == src, 1.0 - alpha).otherwise(0.0)
+            )
+            new_cols.append(expr.alias(c))
+        new = (
+            verts.join(contribs, verts.id == contribs.dst, "left")
+            .select("id", *new_cols)
+            .repartition(p, "id")
+            .localCheckpoint()
+        )
+        old = ranks.select("id", *[F.col(c).alias(f"_o{i}") for i, c in enumerate(cols)])
+        err_row = (
+            new.join(old, "id")
+            .agg(
+                *[
+                    F.sum(F.abs(F.col(c) - F.col(f"_o{i}"))).alias(c)
+                    for i, c in enumerate(cols)
+                ]
+            )
+            .first()
+        )
+        l1 = max(float(err_row[c]) for c in cols)
+        ranks.unpersist()
+        ranks = new
+        metrics.append(
+            {
+                "iter": it,
+                "l1_err": l1,
+                "sq_l2_err": None,
+                "dangling_sum": max(d),
+                "wall_ms": (time.perf_counter() - t0) * 1e3,
+            }
+        )
+        if l1 <= tol:
+            converged = True
+            break
+    dangling.unpersist()
+    out = ranks.select(
+        "id", *[F.col(c).alias(f"rank_{i}") for i, c in enumerate(cols)]
+    )
+    return PageRankResult(
+        iterations=it,
+        converged=converged,
+        metrics=metrics,
+        sources=sources,
+        ranks_df=out,
+        _graph=graph,
+    )
+
+
 def _pick_mode(graph: Graph, mode: str) -> str:
     if mode != "auto":
         return mode
@@ -306,6 +404,7 @@ def multi_ppr(
     alpha: float = 0.8,
     tol: float = 1e-6,
     max_iter: int = 100,
+    mode: str = "auto",
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
     resume: bool = True,
@@ -314,6 +413,9 @@ def multi_ppr(
     early termination when the worst source's L1 error ≤ tol (the FPGA
     kernel instead runs a fixed budget — pass ``tol=0`` +
     ``max_iter=m`` to reproduce that exactly)."""
-    return _run_broadcast(
-        graph, alpha, tol, max_iter, list(sources), checkpoint_dir, checkpoint_every, resume
-    )
+    mode = _pick_mode(graph, mode)
+    if mode == "broadcast":
+        return _run_broadcast(
+            graph, alpha, tol, max_iter, list(sources), checkpoint_dir, checkpoint_every, resume
+        )
+    return _run_distributed_multi(graph, alpha, tol, max_iter, list(sources))

@@ -91,3 +91,15 @@ def test_distributed_ppr_parity(g5):
     res = personalized_pagerank(g5, 2, mode="distributed", max_iter=8, tol=0.0)
     pdf = res.ranks().toPandas().sort_values("id")
     assert np.allclose(pdf["rank_0"].to_numpy(), gold, atol=1e-12)
+
+
+def test_distributed_multi_ppr_parity(g5):
+    from approximate_pagerank_public_spark.functions import golden as G
+
+    src, dst, w = g5.edges_numpy()
+    sources = [0, 2, 4]
+    gold = G.golden_multi_ppr(sources, src, dst, w, 5, tol=0.0, max_iter=8)
+    res = multi_ppr(g5, sources, mode="distributed", max_iter=8, tol=0.0)
+    pdf = res.ranks().toPandas().sort_values("id")
+    for i in range(3):
+        assert np.allclose(pdf[f"rank_{i}"].to_numpy(), gold[i], atol=1e-12), f"src {sources[i]}"
