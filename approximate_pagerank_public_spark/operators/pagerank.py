@@ -77,6 +77,15 @@ class PageRankResult:
                 pdf[f"rank_{i}"] = r[i]
         return self._graph.spark.createDataFrame(pdf)
 
+    def metrics_df(self) -> DataFrame:
+        """Iteration-metrics table ``(iter, l1_err, sq_l2_err,
+        dangling_sum, wall_ms)`` — the reference's per-iteration
+        convergence-error series (V9, ``multi_personalized_pagerank.cpp:
+        96-108``) as a queryable DataFrame."""
+        import pandas as pd
+
+        return self._graph.spark.createDataFrame(pd.DataFrame(self.metrics))
+
     def rank_vector(self, source_pos: int = 0) -> np.ndarray:
         if self.ranks_np is not None:
             return self.ranks_np[source_pos]
@@ -183,6 +192,9 @@ def _run_distributed(
     tol: float,
     max_iter: int,
     source: int | None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = True,
 ) -> PageRankResult:
     """Pure-DataFrame supersteps; vertex state stays on the cluster.
 
@@ -205,9 +217,17 @@ def _run_distributed(
     dangling.count()
 
     metrics: list[dict] = []
+    start_it = 0
+    ckpt = CheckpointManager(checkpoint_dir, every=checkpoint_every) if checkpoint_dir else None
+    if ckpt and resume:
+        loaded = ckpt.load_latest_df(graph.spark)
+        if loaded is not None:
+            start_it, ranks_df, metrics = loaded
+            ranks.unpersist()
+            ranks = ranks_df.repartition(p, "id").localCheckpoint()
     converged = False
-    it = 0
-    for it in range(1, max_iter + 1):
+    it = start_it
+    for it in range(start_it + 1, max_iter + 1):
         t0 = time.perf_counter()
         d = (
             ranks.join(dangling, "id", "left_semi").agg(F.sum("rank")).first()[0]
@@ -243,6 +263,13 @@ def _run_distributed(
                 "wall_ms": (time.perf_counter() - t0) * 1e3,
             }
         )
+        if ckpt:
+            ckpt.save_df(
+                ranks,
+                it,
+                metrics,
+                config={"alpha": alpha, "tol": tol, "max_iter": max_iter, "source": source},
+            )
         if err_row["l1"] <= tol:
             converged = True
             break
@@ -376,7 +403,9 @@ def pagerank(
         return _run_broadcast(
             graph, alpha, tol, max_iter, None, checkpoint_dir, checkpoint_every, resume
         )
-    return _run_distributed(graph, alpha, tol, max_iter, None)
+    return _run_distributed(
+        graph, alpha, tol, max_iter, None, checkpoint_dir, checkpoint_every, resume
+    )
 
 
 def personalized_pagerank(
@@ -395,7 +424,9 @@ def personalized_pagerank(
         return _run_broadcast(
             graph, alpha, tol, max_iter, [source], checkpoint_dir, checkpoint_every, resume
         )
-    return _run_distributed(graph, alpha, tol, max_iter, source)
+    return _run_distributed(
+        graph, alpha, tol, max_iter, source, checkpoint_dir, checkpoint_every, resume
+    )
 
 
 def multi_ppr(

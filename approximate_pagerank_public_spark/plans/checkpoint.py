@@ -101,6 +101,50 @@ class CheckpointManager:
         ]
         self._write_manifest(manifest)
 
+    # ------------------------------------------------------- DataFrame API
+    def save_df(
+        self,
+        ranks,  # DataFrame (id, <state cols...>), already partitioned
+        iteration: int,
+        metrics: list[dict],
+        config: dict | None = None,
+    ) -> None:
+        """Durable superstep checkpoint for cluster-resident vertex state:
+        the DataFrame is written as-is (no driver collect)."""
+        if iteration % self.every != 0:
+            return
+        it_dir = os.path.join(self.path, f"iter_{iteration:05d}")
+        ranks.write.mode("overwrite").parquet(os.path.join(it_dir, "ranks.parquet"))
+        lineage_rows = (
+            ranks.groupBy(F.spark_partition_id().alias("partition"))
+            .agg(F.count("*").alias("rows"))
+            .collect()
+        )
+        manifest = self.read_manifest() or {"iterations": [], "lineage": {}}
+        manifest.update(
+            {
+                "latest": iteration,
+                "mode": "dataframe",
+                "columns": ranks.columns,
+                "config": config or manifest.get("config", {}),
+                "updated_unix": time.time(),
+            }
+        )
+        manifest["iterations"] = metrics
+        manifest["lineage"][str(iteration)] = [
+            {"partition": int(r["partition"]), "rows": int(r["rows"])} for r in lineage_rows
+        ]
+        self._write_manifest(manifest)
+
+    def load_latest_df(self, spark: SparkSession):
+        """→ (iteration, ranks DataFrame, metric history) or None."""
+        manifest = self.read_manifest()
+        if not manifest or "latest" not in manifest:
+            return None
+        it = manifest["latest"]
+        path = os.path.join(self.path, f"iter_{it:05d}", "ranks.parquet")
+        return it, spark.read.parquet(path), list(manifest.get("iterations", []))
+
     # ---------------------------------------------------------------- load
     def load_latest(self, spark: SparkSession) -> tuple[int, np.ndarray, list[dict]] | None:
         """Resume point: (iteration, (S,N) rank block, metric history)."""

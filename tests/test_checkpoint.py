@@ -45,3 +45,16 @@ def test_checkpoint_every_k(g_rand, tmp_path):
     pagerank(g_rand, mode="broadcast", max_iter=5, tol=0.0, checkpoint_dir=ckpt, checkpoint_every=2)
     manifest = json.load(open(os.path.join(ckpt, "manifest.json")))
     assert manifest["latest"] == 4  # iterations 2 and 4 saved
+
+
+def test_distributed_resume_matches_uninterrupted(g_rand, tmp_path):
+    import numpy as np
+
+    ckpt = str(tmp_path / "ckd")
+    full = pagerank(g_rand, mode="distributed", max_iter=8, tol=0.0)
+    pagerank(g_rand, mode="distributed", max_iter=4, tol=0.0, checkpoint_dir=ckpt)
+    res = pagerank(g_rand, mode="distributed", max_iter=8, tol=0.0, checkpoint_dir=ckpt)
+    assert res.metrics[-1]["iter"] == 8 and res.metrics[0]["iter"] == 1
+    a = full.ranks().toPandas().sort_values("id")["rank"].to_numpy()
+    b = res.ranks().toPandas().sort_values("id")["rank"].to_numpy()
+    assert np.allclose(a, b, atol=1e-12)
