@@ -108,6 +108,29 @@ def main() -> None:
         run("q_lpa5", lambda: label_propagation(g, max_iter=5).count())
         run("q_triangles", lambda: triangle_count(g))
 
+    # ---- training-data ops on the driver tables --------------------------
+    def dedup_minhash():
+        from approximate_pagerank_public_spark.operators.dedup import (
+            minhash_lsh_candidates,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return minhash_lsh_candidates(docs, num_hashes=16, bands=4).count()
+
+    def ann_lsh():
+        from pyspark.sql import functions as F
+        from approximate_pagerank_public_spark.operators.similarity import lsh_ann_topk
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        dim = len(emb.first()["embedding"])
+        q = emb.limit(16).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return lsh_ann_topk(emb, q, dim=dim, k=10, bits=4, tables=8).count()
+
+    run("q_dedup_minhash", dedup_minhash)
+    run("q_ann_lsh", ann_lsh)
+
     # ---- synthetic SpMV throughput (scaling workload) --------------------
     def spmv_throughput():
         import numpy as np
