@@ -316,34 +316,82 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs)
 
 
+def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with vectors cast to array<double> so the sequential
+    fold dot product is bit-identical to DuckDB's list_dot_product (both
+    left-to-right f64 accumulation)."""
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from approximate_pagerank_public_spark.operators.similarity import (
         cosine_topk_bruteforce,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb_double(spark, sf_dir)
     queries = (
         emb.orderBy("vec_id")
         .limit(5)
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
     )
     res = cosine_topk_bruteforce(emb, queries, k=5)
-    return res.select("query_id", "vec_id", "rank")
+    return res.select(
+        "query_id", "vec_id", "rank", _stable6("cosine").alias("cosine")
+    )
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from approximate_pagerank_public_spark.operators.similarity import lsh_ann_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dim = len(emb.first()["embedding"])
+    emb = _emb_double(spark, sf_dir)
     queries = (
         emb.orderBy("vec_id")
         .limit(5)
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
     )
-    return lsh_ann_topk(emb, queries, dim=dim, k=5, bits=4, tables=8).select(
-        "query_id", "vec_id", "rank"
+    return lsh_ann_topk(emb, queries, dim=64, k=5, bits=4, tables=8).select(
+        "query_id", "vec_id", "rank", _stable6("cosine").alias("cosine")
     )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximate_pagerank_public_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    emb = _emb_double(spark, sf_dir)
+    res = embedding_near_duplicates(emb, threshold=0.45)
+    return res.select("a_id", "b_id", _stable6("cosine").alias("cosine"))
+
+
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximate_pagerank_public_spark.operators.similarity import ivf_ann_topk
+
+    emb = _emb_double(spark, sf_dir)
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    return ivf_ann_topk(emb, queries, dim=64, k=5, n_cells=8, n_probe=4).select(
+        "query_id", "vec_id", "rank", _stable6("cosine").alias("cosine")
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over deterministic candidate pairs
+    (consecutive doc ids) — the LSH verification stage, oracle-checked."""
+    from approximate_pagerank_public_spark.operators.dedup import ngram_jaccard
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = docs.select(F.col("doc_id").alias("a")).join(
+        docs.select((F.col("doc_id") - 1).alias("a"), F.col("doc_id").alias("b")),
+        "a",
+    )
+    res = ngram_jaccard(docs, pairs)
+    return res.select("a", "b", _stable6("jaccard").alias("jaccard"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -376,10 +424,113 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ivf_ann_topk": q_ivf_ann_topk,
+        "ngram_jaccard": q_ngram_jaccard,
     }
 
 
 # -------------------------------------------------------------- oracle SQL
+def _duck_cos(a: str, b: str) -> str:
+    """DuckDB cosine written with the exact same formula/association as
+    the Spark side (`similarity.with_cosine`): dot/(sqrt(aa)*sqrt(bb)),
+    each dot a sequential f64 left fold — bit-identical across engines
+    (list_dot_product verified bit-equal to a left-to-right fold)."""
+    return (
+        f"(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+    )
+
+
+_DUCK_EMB = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+_DUCK_EMB_Q = "SELECT vec_id AS query_id, v AS qv FROM emb ORDER BY query_id LIMIT 5"
+
+
+def _cosine_topk_oracle() -> str:
+    return (
+        f"WITH emb AS ({_DUCK_EMB}), q AS ({_DUCK_EMB_Q}), "
+        "scored AS (SELECT q.query_id, e.vec_id, "
+        f"{_duck_cos('e.v', 'q.qv')} AS cosine FROM emb e CROSS JOIN q), "
+        "ranked AS (SELECT query_id, vec_id, cosine, row_number() OVER ("
+        'PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS "rank" '
+        "FROM scored) "
+        'SELECT query_id, vec_id, "rank", '
+        "floor(cosine * 1000000.0) / 1000000.0 AS cosine "
+        'FROM ranked WHERE "rank" <= 5'
+    )
+
+
+def _ann_lsh_oracle() -> str:
+    """LSH-ANN pipeline replayed in SQL with the engine's literal
+    hyperplanes — buckets, candidate generation, and exact re-rank are
+    all oracle-checked, not just row counts."""
+    from approximate_pagerank_public_spark.operators.similarity import _hyperplanes
+
+    rows = []
+    for t in range(8):
+        for i, p in enumerate(_hyperplanes(64, 4, t, 42)):
+            lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+            rows.append(f"({t}, {i}, CAST({lit} AS DOUBLE[]))")
+    return (
+        f"WITH emb AS ({_DUCK_EMB}), q AS ({_DUCK_EMB_Q}), "
+        f"planes(tbl, idx, p) AS (VALUES {', '.join(rows)}), "
+        "cb AS (SELECT e.vec_id, p.tbl, "
+        "  SUM(CASE WHEN list_dot_product(e.v, p.p) >= 0 "
+        "      THEN 1 << p.idx ELSE 0 END) AS bucket "
+        "  FROM emb e CROSS JOIN planes p GROUP BY e.vec_id, p.tbl), "
+        "qb AS (SELECT qq.query_id, p.tbl, "
+        "  SUM(CASE WHEN list_dot_product(qq.qv, p.p) >= 0 "
+        "      THEN 1 << p.idx ELSE 0 END) AS bucket "
+        "  FROM q qq CROSS JOIN planes p GROUP BY qq.query_id, p.tbl), "
+        "cand AS (SELECT DISTINCT qb.query_id, cb.vec_id "
+        "  FROM cb JOIN qb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket), "
+        "scored AS (SELECT c.query_id, c.vec_id, "
+        f"  {_duck_cos('e.v', 'q.qv')} AS cosine "
+        "  FROM cand c JOIN emb e ON e.vec_id = c.vec_id "
+        "  JOIN q ON q.query_id = c.query_id), "
+        "ranked AS (SELECT query_id, vec_id, cosine, row_number() OVER ("
+        'PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS "rank" '
+        "FROM scored) "
+        'SELECT query_id, vec_id, "rank", '
+        "floor(cosine * 1000000.0) / 1000000.0 AS cosine "
+        'FROM ranked WHERE "rank" <= 5'
+    )
+
+
+def _embedding_near_dup_oracle() -> str:
+    cos = _duck_cos("a.v", "b.v")
+    return (
+        f"WITH emb AS ({_DUCK_EMB}) "
+        "SELECT a.vec_id AS a_id, b.vec_id AS b_id, "
+        f"floor({cos} * 1000000.0) / 1000000.0 AS cosine "
+        "FROM emb a JOIN emb b ON a.vec_id < b.vec_id "
+        f"WHERE {cos} >= 0.45"
+    )
+
+
+def _ngram_jaccard_oracle() -> str:
+    return (
+        "WITH toksrc AS (SELECT doc_id, "
+        "  string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks "
+        "  FROM documents), "
+        "sh AS (SELECT doc_id, unnest(list_distinct("
+        "  [array_to_string(toks[i+1:i+3], ' ') "
+        "   for i in range(0, greatest(len(toks) - 3, 0) + 1)])) AS shingle "
+        "  FROM toksrc), "
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+        "pairs AS (SELECT d1.doc_id AS a, d2.doc_id AS b FROM documents d1 "
+        "  JOIN documents d2 ON d2.doc_id = d1.doc_id + 1), "
+        "inter AS (SELECT p.a, p.b, count(*) AS i FROM pairs p "
+        "  JOIN sh sa ON sa.doc_id = p.a "
+        "  JOIN sh sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle "
+        "  GROUP BY p.a, p.b) "
+        "SELECT p.a, p.b, floor(coalesce(i.i, 0) "
+        "  / (za.sz + zb.sz - coalesce(i.i, 0)) * 1000000.0) / 1000000.0 AS jaccard "
+        "FROM pairs p LEFT JOIN inter i ON i.a = p.a AND i.b = p.b "
+        "JOIN sizes za ON za.doc_id = p.a JOIN sizes zb ON zb.doc_id = p.b"
+    )
+
+
 def _lang_id_oracle() -> str:
     """Generated so trigram op order matches the Spark expression exactly."""
     from approximate_pagerank_public_spark.operators.textstats import _LANG_TRIGRAMS
@@ -562,6 +713,10 @@ def oracle_sql() -> dict[str, str]:
             "      + 0.3 * (1.0 - least(punct_ratio * 4, 1.0))) * 1000000.0) / 1000000.0 "
             "AS quality FROM s"
         ),
+        "cosine_topk": _cosine_topk_oracle(),
+        "ann_lsh_topk": _ann_lsh_oracle(),
+        "embedding_near_dup": _embedding_near_dup_oracle(),
+        "ngram_jaccard": _ngram_jaccard_oracle(),
     }
 
 

@@ -139,3 +139,183 @@ def lsh_ann_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    method: str = "exact",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    bits: int = 4,
+    tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs ``(a_id, b_id, cosine)`` with
+    ``a_id < b_id`` and ``cosine >= threshold``.
+
+    ``method='exact'`` is the O(N^2/2) brute-force baseline (canonical
+    ``a < b`` self-join; the correctness oracle). ``method='lsh'`` is the
+    scale path: random-hyperplane buckets (same family as
+    :func:`lsh_ann_topk`) generate candidate pairs that collide in any of
+    ``tables`` hash tables — shuffle is O(N x tables) bucket rows instead
+    of O(N^2) pairs — then exact cosine verification filters them.
+
+    Vectors are cast to ``array<double>`` so the sequential fold matches a
+    float64 left-to-right dot product bit-for-bit (golden-parity style,
+    mirroring the reference's float-vs-fixed validation discipline —
+    `/root/reference/src/common/utils/utils.hpp:201-213`).
+    """
+    a = embeddings.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    )
+    if method == "exact":
+        pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+    elif method == "lsh":
+        if dim is None:
+            raise ValueError("dim is required for method='lsh'")
+        emb_d = embeddings.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        buckets = emb_d.select(
+            "vid",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            lsh_bucket(emb_d, "v", dim, bits, t, seed).alias("bucket"),
+                        )
+                        for t in range(tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select("vid", "tb.tbl", "tb.bucket")
+        left = buckets.select(
+            F.col("vid").alias("a_id"), "tbl", "bucket"
+        )
+        right = buckets.select(
+            F.col("vid").alias("b_id"), "tbl", "bucket"
+        )
+        cand = (
+            left.join(right, ["tbl", "bucket"])
+            .where(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+            .dropDuplicates(["a_id", "b_id"])
+        )
+        pairs = cand.join(a, "a_id").join(b, "b_id")
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    scored = with_cosine(pairs, "va", "vb")
+    return (
+        scored.where(F.col("cosine") >= F.lit(float(threshold)))
+        .select("a_id", "b_id", "cosine")
+    )
+
+
+def _kmeans_centroids(
+    vectors: np.ndarray, n_cells: int, iters: int
+) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side sample.
+
+    Init = the first ``n_cells`` sample vectors (sample is taken in
+    ``id`` order, so this is reproducible). Assignment by max cosine;
+    centroids re-normalized each round; empty cells keep their previous
+    centroid. Training a coarse quantizer on a bounded sample is the
+    standard IVF recipe — the *index build* (assignment) and *search*
+    stay fully distributed.
+    """
+    normed = vectors / np.maximum(np.linalg.norm(vectors, axis=1, keepdims=True), 1e-12)
+    cents = normed[:n_cells].copy()
+    for _ in range(iters):
+        sims = normed @ cents.T  # (S, C)
+        assign = np.argmax(sims, axis=1)
+        for c in range(n_cells):
+            members = normed[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-12:
+                    cents[c] = m / n
+    return cents
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 5,
+    train_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF approximate top-k: coarse quantizer (k-means centroids trained
+    on a bounded driver-side sample), distributed cell assignment, probe
+    the ``n_probe`` nearest cells per query, exact cosine re-rank within
+    the probed cells.
+
+    With ``n_probe == n_cells`` this degrades gracefully to exact
+    brute-force search (every cell probed) — the invariant the test
+    suite asserts. Scale: corpus-side work is one codegen'd projection
+    (argmax over ``n_cells`` dot products, no UDF, no shuffle) plus an
+    equi-join on ``cell`` against ~``n_probe x Q`` broadcast query rows.
+    """
+    sample_rows = (
+        embeddings.orderBy(id_col).limit(train_sample).select(vec_col).collect()
+    )
+    sample = np.asarray([r[0] for r in sample_rows], dtype=np.float64)
+    cents = _kmeans_centroids(sample, n_cells, kmeans_iters)
+
+    def _cell_sorted(df: DataFrame, col: str) -> F.Column:
+        # struct sort: (dot desc, cell asc) -> deterministic argmax
+        entries = [
+            F.struct(
+                (-_dot(col, F.array(*[F.lit(float(x)) for x in c]))).alias("negd"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(cents)
+        ]
+        return F.array_sort(F.array(*entries))
+
+    corpus = embeddings.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    corpus = corpus.withColumn("cell", _cell_sorted(corpus, "cv")[0]["cell"])
+
+    q = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.col(query_vec_col).cast("array<double>").alias("qv"),
+    )
+    q = q.withColumn(
+        "cells",
+        F.slice(_cell_sorted(q, "qv"), 1, n_probe).cast(
+            "array<struct<negd:double,cell:int>>"
+        ),
+    ).select("qid", "qv", F.explode("cells.cell").alias("cell"))
+
+    cands = corpus.join(F.broadcast(q), "cell").select("qid", "qv", "cid", "cv")
+    scored = with_cosine(cands, "cv", "qv")
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("cid").alias(id_col),
+            "cosine",
+            "rank",
+        )
+    )

@@ -65,3 +65,72 @@ def test_lsh_ann_recall(spark, embeddings, queries):
     # the query itself always lands in its own bucket
     top1 = approx[approx["rank"] == 1]
     assert (top1["query_id"] == top1["vec_id"]).all()
+
+
+def _golden_near_dups(emb_pdf, threshold):
+    corpus = np.stack(emb_pdf["embedding"].map(np.asarray)).astype(np.float64)
+    ids = emb_pdf["vec_id"].to_numpy()
+    normed = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    out = set()
+    n = len(ids)
+    for i in range(n):
+        for j in range(n):
+            if ids[i] < ids[j] and sims[i, j] >= threshold - 1e-9:
+                out.add((ids[i], ids[j]))
+    return out
+
+
+def test_embedding_near_dups_exact_matches_numpy(spark, embeddings):
+    thr = 0.4  # synthetic embeddings have no true dups; low thr yields pairs
+    res = similarity.embedding_near_duplicates(embeddings, threshold=thr).toPandas()
+    got = set(zip(res["a_id"], res["b_id"]))
+    gold = _golden_near_dups(embeddings.toPandas(), thr)
+    assert len(gold) > 0  # the test must actually exercise pairs
+    assert got == gold
+    assert (res["cosine"] >= thr).all()
+
+
+def test_embedding_near_dups_lsh_subset_of_exact(spark, embeddings):
+    thr = 0.4
+    dim = len(embeddings.first()["embedding"])
+    exact = similarity.embedding_near_duplicates(embeddings, threshold=thr).toPandas()
+    lsh = similarity.embedding_near_duplicates(
+        embeddings, threshold=thr, method="lsh", dim=dim, bits=2, tables=16
+    ).toPandas()
+    e = set(zip(exact["a_id"], exact["b_id"]))
+    l = set(zip(lsh["a_id"], lsh["b_id"]))
+    # every LSH pair is verified with exact cosine -> no false positives
+    assert l <= e
+    # with 16 tables at 2 bits recall is high on this data
+    assert len(e) == 0 or len(l) / len(e) >= 0.7
+
+
+def test_ivf_exhaustive_probe_equals_bruteforce(spark, embeddings, queries):
+    dim = len(embeddings.first()["embedding"])
+    k = 10
+    exact = similarity.cosine_topk_bruteforce(embeddings, queries, k=k).toPandas()
+    ivf = similarity.ivf_ann_topk(
+        embeddings, queries, dim=dim, k=k, n_cells=8, n_probe=8
+    ).toPandas()
+    for qid in exact["query_id"].unique():
+        e = exact[exact["query_id"] == qid].sort_values("rank")["vec_id"].tolist()
+        a = ivf[ivf["query_id"] == qid].sort_values("rank")["vec_id"].tolist()
+        assert e == a  # probing every cell == exact search
+
+
+def test_ivf_ann_recall(spark, embeddings, queries):
+    dim = len(embeddings.first()["embedding"])
+    k = 10
+    exact = similarity.cosine_topk_bruteforce(embeddings, queries, k=k).toPandas()
+    ivf = similarity.ivf_ann_topk(
+        embeddings, queries, dim=dim, k=k, n_cells=8, n_probe=4
+    ).toPandas()
+    recalls = []
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(ivf[ivf["query_id"] == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6
+    top1 = ivf[ivf["rank"] == 1]
+    assert (top1["query_id"] == top1["vec_id"]).all()
