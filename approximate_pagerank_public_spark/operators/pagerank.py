@@ -146,6 +146,31 @@ def _run_broadcast(
         if loaded is not None:
             start_it, pr, metrics = loaded
 
+    # Fast path: whole loop as ONE gang-scheduled barrier job (see
+    # plans/barrier.py) — durable checkpointing / resume keeps the
+    # driver in the loop, so it stays on the per-superstep path.
+    if ckpt is None:
+        from approximate_pagerank_public_spark.plans.barrier import (
+            barrier_available,
+            run_barrier_pagerank,
+        )
+
+        if barrier_available(graph):
+            try:
+                state, metrics, its, conv = run_barrier_pagerank(
+                    graph, alpha, tol, max_iter, sources
+                )
+                return PageRankResult(
+                    iterations=its,
+                    converged=conv,
+                    metrics=metrics,
+                    sources=sources,
+                    ranks_np=state,
+                    _graph=graph,
+                )
+            except Exception:  # barrier unschedulable → per-superstep path
+                pass
+
     converged = False
     it = start_it
     for it in range(start_it + 1, max_iter + 1):

@@ -1,0 +1,330 @@
+"""Barrier-mode PageRank/PPR: ALL supersteps inside ONE Spark job.
+
+Per-superstep Spark jobs pay a fixed ~0.4-0.7 s scheduling + Python
+worker round-trip on local[32] — at 20M edges that overhead, not the
+SpMV, dominates the north metric (edges-traversed/sec). Spark's
+**barrier execution mode** (``RDD.barrier().mapPartitions``,
+SPIP: SPARK-24374) exists precisely for iterative synchronous
+computation: one gang-scheduled job in which tasks iterate locally.
+This is the engine's closest analogue to the reference FPGA kernel
+looping ``max_iter`` times entirely on-chip with a single host
+dispatch (``src/fpga/src/ip_cores/multi_personalized_pagerank.cpp:
+205-221``: one ``enqueueTask`` → the dataflow region iterates
+internally).
+
+Work layout per superstep ``t`` (state files N-major ``(N, S)`` f64 in
+/dev/shm; every phase is parallel across tasks except a tiny leader
+reduction):
+
+1. **rowwork** — each task owns a contiguous vertex-row range:
+   personalization add (K4) for source rows it owns, then partial
+   L1/L2 error vs ``state_{t-1}`` and partial dangling dot (K2) over
+   its rows, written to per-task partial arrays.
+2. **leader reduce** — task 0 sums the ``(ntasks, S)`` partials,
+   decides stop (L1 ≤ tol — the reference's early termination,
+   ``pagerank_cpu.cpp:45-53``), appends the iteration-metrics row
+   (V9), creates the ``state_{t+1}`` file (header only), publishes
+   the axpb shift ``(α/n)·d``.
+3. **fill** — each task fills its row range of ``state_{t+1}`` with
+   the no-in-edge base ``(α·0 + shift1) + shift2`` (replaces the
+   reference's zero-self-loop padding, ``coo_fpga.hpp:32-44``).
+4. **compute** — each task, for each of its CSR blocks:
+   ``p = rank[src]·w`` gather + ``np.add.reduceat`` segmented sum
+   (K1/K13), then writes ``(α·p + shift1) + shift2`` straight into
+   the shared ``state_{t+1}`` memmap at the block's ``u_dst`` rows.
+   Blocks are hash-partitioned by dst → row sets are **disjoint** →
+   lock-free concurrent writes.
+
+The sync is NOT ``ctx.barrier()``: PySpark's barrier RPC costs ~1 s
+per call (driver-coordinated, coarse polling), which would dwarf the
+~0.2 s superstep. Barrier mode is used only for its **gang
+scheduling** guarantee (all tasks run concurrently — a plain stage
+with more tasks than slots would deadlock); phases sync through
+shared-memory int64 flag arrays with sub-millisecond spin-waits.
+Single-host MAP_SHARED pages make the flag stores coherent; 8-byte
+aligned stores are atomic on x86-64/ARM64, and release order (data
+first, flag last) is preserved by CPython's sequential execution +
+TSO.
+
+Arithmetic is ordered to match ``operators.pagerank._superstep_np``
+exactly (``(α·c + s1) + s2``, personalization as a final ``+=``), so
+broadcast-mode and barrier-mode runs agree bit-for-bit per vertex
+(the L1 stop scalar differs only by partial-sum association).
+
+Engages only when: local master with /dev/shm (state is shared
+pages), CSR blocks built, dst-disjoint partitioning, and no durable
+checkpointing requested (checkpoint/resume keeps the driver in the
+loop → per-superstep path). Every other case falls back. On a
+multi-node cluster the same protocol would exchange state via
+executor-local disk + torrent broadcast; that variant is
+intentionally not emulated here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+import numpy as np
+
+from approximate_pagerank_public_spark.plans.blocks import (
+    BlockStore,
+    load_block,
+    tiled_spmv,
+)
+
+
+def barrier_available(graph) -> bool:
+    from approximate_pagerank_public_spark.plans.blocks import shm_available
+
+    if os.environ.get("SPARK_GRAFT_BARRIER", "1") != "1":
+        return False
+    blocks = graph.blocks
+    return (
+        shm_available(graph.spark)
+        and blocks is not None
+        and blocks.num_partitions > 0
+        and getattr(blocks, "dst_disjoint", False)
+    )
+
+
+def _task_slots(sc) -> int:
+    """Concurrent task slots — NOT ``defaultParallelism`` (which the
+    session pins to the shuffle-partition count and may exceed cores).
+    A barrier gang larger than the slot count cannot ever schedule: the
+    DAGScheduler retries 40x15 s then aborts. Only local masters reach
+    this path (see :func:`barrier_available`)."""
+    master = sc.master
+    if master.startswith("local["):
+        inner = master[len("local["):-1].split(",")[0]
+        return os.cpu_count() or 1 if inner == "*" else max(1, int(inner))
+    if master == "local":
+        return 1
+    return max(1, sc.defaultParallelism)
+
+
+def _shared(path: str, shape, dtype, fill=None):
+    mm = np.lib.format.open_memmap(path, mode="w+", dtype=dtype, shape=shape)
+    if fill is not None:
+        mm[:] = fill
+    mm.flush()
+    return mm
+
+
+def run_barrier_pagerank(
+    graph,
+    alpha: float,
+    tol: float,
+    max_iter: int,
+    sources: list[int] | None,
+) -> tuple[np.ndarray, list[dict], int, bool]:
+    """Returns ``(state (S,N), metrics, iterations, converged)``.
+
+    Raises on barrier-scheduling failure — callers fall back to the
+    per-superstep path.
+    """
+    blocks: BlockStore = graph.blocks
+    spark = graph.spark
+    n = graph.num_vertices
+    s = 1 if sources is None else len(sources)
+    sc = spark.sparkContext
+    ntasks = max(1, min(blocks.num_partitions, _task_slots(sc)))
+
+    run_dir = os.path.join(blocks.dir, f"barrier_{uuid.uuid4().hex}")
+    os.makedirs(run_dir)
+    try:
+        for b in range(3):
+            _shared(f"{run_dir}/state_buf{b}.npy", (n, s), np.float64)
+        st0 = np.load(f"{run_dir}/state_buf0.npy", mmap_mode="r+")
+        if sources is None:
+            st0[:] = 1.0 / n
+        else:
+            st0[:] = 0.0
+            for i, src in enumerate(sources):
+                st0[src, i] = 1.0
+        st0.flush()
+        del st0
+        np.save(f"{run_dir}/dangling.npy", graph.dangling_mask())
+        _shared(f"{run_dir}/shift.npy", (s,), np.float64, 0.0)
+        # sync flags + per-task partial reductions
+        _shared(f"{run_dir}/compute_done.npy", (ntasks,), np.int64, 0)
+        _shared(f"{run_dir}/row_done.npy", (ntasks,), np.int64, -1)
+        _shared(f"{run_dir}/fill_done.npy", (ntasks,), np.int64, -1)
+        _shared(f"{run_dir}/ctl.npy", (4,), np.int64, -1)
+        _shared(f"{run_dir}/err_p.npy", (ntasks, s), np.float64, 0.0)
+        _shared(f"{run_dir}/sq_p.npy", (ntasks, s), np.float64, 0.0)
+        _shared(f"{run_dir}/dang_p.npy", (ntasks, s), np.float64, 0.0)
+
+        block_dir = blocks.dir
+        src_list = sources
+        deadline_s = 3600.0
+        # greedy LPT assignment: heaviest block to the least-loaded task
+        # (dynamic O_EXCL claim-stealing was tried and measured WORSE —
+        # tmpfs directory-lock contention plus loss of per-task block
+        # cache affinity outweighed the balance win)
+        sizes = dict(
+            zip(blocks.manifest["pid"].tolist(), blocks.manifest["n_edges"].tolist())
+        )
+        assign: list[list[int]] = [[] for _ in range(ntasks)]
+        loads = [0] * ntasks
+        for pid in sorted(blocks.pids, key=lambda p: -sizes[p]):
+            j = loads.index(min(loads))
+            assign[j].append(pid)
+            loads[j] += sizes[pid]
+
+        def loop(_it):
+            from pyspark import BarrierTaskContext
+
+            ctx = BarrierTaskContext.get()
+            if ctx.attemptNumber() > 0:
+                # a retried gang would replay supersteps over mutated
+                # state buffers — fail the job; the caller falls back to
+                # the per-superstep path, which is safe to retry
+                raise RuntimeError("barrier task retry: shared state unsafe")
+            me = ctx.partitionId()
+            leader = me == 0
+            my_pids = assign[me]
+            pre = {pid: load_block(block_dir, pid) for pid in my_pids}
+
+            def sp(i: int) -> str:
+                return f"{run_dir}/state_buf{i % 3}.npy"
+            lo, hi = me * n // ntasks, (me + 1) * n // ntasks
+            dang_rows = np.flatnonzero(np.load(f"{run_dir}/dangling.npy")[lo:hi]) + lo
+            my_srcs = (
+                [(i, sv) for i, sv in enumerate(src_list) if lo <= sv < hi]
+                if src_list is not None
+                else []
+            )
+            compute_done = np.load(f"{run_dir}/compute_done.npy", mmap_mode="r+")
+            row_done = np.load(f"{run_dir}/row_done.npy", mmap_mode="r+")
+            fill_done = np.load(f"{run_dir}/fill_done.npy", mmap_mode="r+")
+            ctl = np.load(f"{run_dir}/ctl.npy", mmap_mode="r+")
+            err_p = np.load(f"{run_dir}/err_p.npy", mmap_mode="r+")
+            sq_p = np.load(f"{run_dir}/sq_p.npy", mmap_mode="r+")
+            dang_p = np.load(f"{run_dir}/dang_p.npy", mmap_mode="r+")
+            shift2 = (1.0 - alpha) / n if src_list is None else 0.0
+            shift_arr = np.load(f"{run_dir}/shift.npy", mmap_mode="r+")
+
+            def wait(arr, t):
+                # exponential backoff: early waiters otherwise generate
+                # ~5k wakeups/s each, preempting the still-computing
+                # stragglers when every core is occupied by the gang
+                t0 = time.perf_counter()
+                pause = 0.0002
+                while int(arr.min()) < t:
+                    if time.perf_counter() - t0 > deadline_s:
+                        raise TimeoutError("barrier superstep sync timed out")
+                    time.sleep(pause)
+                    pause = min(pause * 1.5, 0.004)
+
+            t = 0
+            t_wall = time.perf_counter()
+            ph = {"wait": 0.0, "rowwork": 0.0, "ctl": 0.0, "fill": 0.0, "compute": 0.0}
+
+            def _tick():
+                nonlocal _last
+                now = time.perf_counter()
+                d, _last = now - _last, now
+                return d
+
+            _last = time.perf_counter()
+            while True:
+                wait(compute_done, t)  # state_t body complete
+                ph["wait"] += _tick()
+                # ---- rowwork: finalize + partial reductions over my rows
+                st = np.load(sp(t), mmap_mode="r+")
+                if t > 0:
+                    for i, sv in my_srcs:
+                        st[sv, i] += 1.0 - alpha  # K4 final add
+                    prev = np.load(sp(t - 1), mmap_mode="r")
+                    diff = np.asarray(st[lo:hi]) - prev[lo:hi]
+                    err_p[me] = np.abs(diff).sum(axis=0)
+                    sq_p[me] = (diff * diff).sum(axis=0)
+                dang_p[me] = np.asarray(st[dang_rows]).sum(axis=0)
+                ph["rowwork"] += _tick()
+                row_done[me] = t
+                # ---- leader reduce: stop decision, metrics, next-state prep
+                if leader:
+                    wait(row_done, t)
+                    stop = t >= max_iter
+                    conv = False
+                    if t > 0:
+                        l1 = np.asarray(err_p).sum(axis=0)
+                        sq = np.asarray(sq_p).sum(axis=0)
+                        conv = bool(l1.max() <= tol)
+                        stop = stop or conv
+                        now = time.perf_counter()
+                        with open(f"{run_dir}/metrics.jsonl", "a") as f:
+                            f.write(
+                                json.dumps(
+                                    {
+                                        "iter": t,
+                                        "l1_err": float(l1.max()),
+                                        "sq_l2_err": float(sq.max()),
+                                        "dangling_sum": float(
+                                            np.asarray(dang_p).sum(axis=0).max()
+                                        ),
+                                        "wall_ms": (now - t_wall) * 1e3,
+                                    }
+                                )
+                                + "\n"
+                            )
+                        t_wall = now
+                    if not stop:
+                        d = np.asarray(dang_p).sum(axis=0)  # (S,) dangling dot
+                        shift_arr[:] = (alpha / n) * d
+                    ctl[1] = 1 if stop else 0
+                    ctl[2] = 1 if conv else 0
+                    ctl[3] = t
+                    ctl[0] = t  # release LAST
+                else:
+                    wait(ctl[:1], t)
+                ph["ctl"] += _tick()
+                if ctl[1]:
+                    break
+                # ---- fill: no-in-edge base over my row range
+                shift1 = shift_arr.copy()
+                nxt = np.load(sp(t + 1), mmap_mode="r+")
+                nxt[lo:hi] = shift1 + shift2  # == (α·0 + shift1) + shift2
+                ph["fill"] += _tick()
+                fill_done[me] = t
+                wait(fill_done, t)  # all rows based before scattered writes
+                ph["wait"] += _tick()
+                # ---- compute: L2-tiled SpMV per block → α·p + shift
+                # at the block's (disjoint) u_dst rows
+                state = np.load(sp(t), mmap_mode="r")
+                for pid in my_pids:
+                    blk = pre[pid]
+                    p = tiled_spmv(state, blk)
+                    nxt[np.asarray(blk[2])] = (alpha * p + shift1) + shift2
+                del nxt
+                ph["compute"] += _tick()
+                t += 1
+                compute_done[me] = t
+            return iter([(me, t, ph)])
+
+        rows = (
+            sc.parallelize(range(ntasks), ntasks)
+            .barrier()
+            .mapPartitions(loop)
+            .collect()
+        )
+        t_final = max(r[1] for r in rows)
+        phases = {k: (min(r[2][k] for r in rows), max(r[2][k] for r in rows)) for k in rows[0][2]}
+        ctl = np.load(f"{run_dir}/ctl.npy")
+        state = np.ascontiguousarray(np.load(f"{run_dir}/state_buf{t_final % 3}.npy").T)
+        metrics: list[dict] = []
+        mpath = f"{run_dir}/metrics.jsonl"
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                metrics = [json.loads(line) for line in f if line.strip()]
+        if metrics:
+            metrics[-1]["phase_min_max_s"] = {
+                k: (round(v[0], 3), round(v[1], 3)) for k, v in phases.items()
+            }
+        return state, metrics, int(ctl[3]), bool(ctl[2])
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)

@@ -39,6 +39,83 @@ _SHM_DIR = os.environ.get("SPARK_GRAFT_SHM", "/dev/shm")
 
 _MANIFEST_SCHEMA = "pid long, n_edges long, n_dst long"
 
+# src rows per tile: at S=8 a tile's rank-state slice is 12288*64B
+# ~0.77 MB — resident in the 2 MB per-core L2. Without tiling the gather
+# hits the SHARED L3/DRAM for every edge, which caps multi-core scaling
+# (the L3 ring saturates long before the cores do). Tiling is the same
+# trade the reference makes by staging rank lanes in on-chip BRAM
+# (``spmv_coo.hpp:43-68`` scatter_vec_local_buffer).
+TILE_ROWS = 12_288
+
+_BLOCK_ARRAYS = ("src", "w", "udst", "starts", "segmap", "tb", "sb")
+
+
+def build_tiled_block(src, dst, w):
+    """Tile a partition's edges by src range; segment (= run of one dst)
+    within each tile; map segments into the partition's sorted-unique
+    dst column. Returns dict of arrays (see ``tiled_spmv``)."""
+    tile_id = src // TILE_ROWS
+    order = np.lexsort((src, dst, tile_id))
+    src, dst, w, tile_id = src[order], dst[order], w[order], tile_id[order]
+    brk = np.r_[True, (dst[1:] != dst[:-1]) | (tile_id[1:] != tile_id[:-1])]
+    starts = np.flatnonzero(brk)
+    u_dst = np.unique(dst)
+    seg_map = np.searchsorted(u_dst, dst[starts])
+    tb = np.r_[np.flatnonzero(np.r_[True, tile_id[1:] != tile_id[:-1]]), len(src)]
+    sb = np.searchsorted(starts, tb)
+    return {
+        "src": src.astype(np.int64),
+        "w": w.astype(np.float64),
+        "udst": u_dst.astype(np.int64),
+        "starts": starts.astype(np.int64),
+        "segmap": seg_map.astype(np.int64),
+        "tb": tb.astype(np.int64),
+        "sb": sb.astype(np.int64),
+    }
+
+
+def load_block(block_dir: str, pid: int) -> tuple:
+    return tuple(
+        np.load(f"{block_dir}/part_{pid}_{name}.npy", mmap_mode="r")
+        for name in _BLOCK_ARRAYS
+    )
+
+
+def tiled_spmv(state: np.ndarray, blk: tuple) -> np.ndarray:
+    """``p[k] = Σ_{(u,v)∈seg k} w·state[u]`` per distinct dst of this
+    block — K1/K13 semantics, one L2-resident tile at a time. Summation
+    order: ascending (src-tile, src) per dst, tile partials accumulated
+    in tile order — identical in every caller, so all execution paths
+    agree bit-for-bit."""
+    src, w, u_dst, starts, seg_map, tb, sb = blk
+    p = np.zeros((len(u_dst), state.shape[1]), dtype=np.float64)
+    for ti in range(len(tb) - 1):
+        e0, e1 = int(tb[ti]), int(tb[ti + 1])
+        s0, s1 = int(sb[ti]), int(sb[ti + 1])
+        contrib = state[src[e0:e1], :] * np.asarray(w[e0:e1])[:, None]
+        tp = np.add.reduceat(contrib, np.asarray(starts[s0:s1]) - e0, axis=0)
+        p[np.asarray(seg_map[s0:s1])] += tp
+    return p
+
+
+def tiled_min(state: np.ndarray, blk: tuple) -> np.ndarray:
+    """min-aggregation variant (connected components / label prop)."""
+    src, _w, u_dst, starts, seg_map, tb, sb = blk
+    if np.issubdtype(state.dtype, np.integer):
+        init = np.iinfo(state.dtype).max
+    else:
+        init = np.inf
+    shape = (len(u_dst),) + state.shape[1:]
+    p = np.full(shape, init, dtype=state.dtype)
+    for ti in range(len(tb) - 1):
+        e0, e1 = int(tb[ti]), int(tb[ti + 1])
+        s0, s1 = int(sb[ti]), int(sb[ti + 1])
+        incoming = state[np.asarray(src[e0:e1])]
+        tp = np.minimum.reduceat(incoming, np.asarray(starts[s0:s1]) - e0, axis=0)
+        idx = np.asarray(seg_map[s0:s1])
+        p[idx] = np.minimum(p[idx], tp)
+    return p
+
 
 def shm_available(spark: SparkSession) -> bool:
     return spark.sparkContext.master.startswith("local") and os.path.isdir(_SHM_DIR)
@@ -68,22 +145,17 @@ class BlockStore:
             src = np.concatenate(srcs)
             dst = np.concatenate(dsts)
             w = np.concatenate(ws)
-            order = np.argsort(dst, kind="stable")  # partitions are dst-sorted
-            src, dst, w = src[order], dst[order], w[order]  # already; cheap safety
-            starts = np.flatnonzero(np.r_[True, dst[1:] != dst[:-1]])
-            u_dst = dst[starts]
+            arrays = build_tiled_block(src, dst, w)
             # separate .npy per array → np.load(mmap_mode='r') in the
             # superstep kernel is a zero-copy shm mapping (npz archives
             # cannot be mmapped and would be re-read every superstep)
-            np.save(os.path.join(block_dir, f"part_{pid}_src.npy"), src.astype(np.int64))
-            np.save(os.path.join(block_dir, f"part_{pid}_w.npy"), w.astype(np.float64))
-            np.save(os.path.join(block_dir, f"part_{pid}_udst.npy"), u_dst.astype(np.int64))
-            np.save(os.path.join(block_dir, f"part_{pid}_starts.npy"), starts.astype(np.int64))
+            for name, arr in arrays.items():
+                np.save(os.path.join(block_dir, f"part_{pid}_{name}.npy"), arr)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array([pid], type=pa.int64()),
                     pa.array([len(src)], type=pa.int64()),
-                    pa.array([len(u_dst)], type=pa.int64()),
+                    pa.array([len(arrays["udst"])], type=pa.int64()),
                 ],
                 names=["pid", "n_edges", "n_dst"],
             )
@@ -96,6 +168,18 @@ class BlockStore:
             pid: np.load(os.path.join(self.dir, f"part_{pid}_udst.npy"), mmap_mode="r")
             for pid in self.pids
         }
+        # Hash partitioning by dst makes the blocks' dst sets disjoint, so
+        # the driver merge is a vectorized scatter-assign instead of the
+        # (unbuffered, ~5x slower) np.add.at. Skew-salted layouts overlap
+        # and keep the additive merge — detected once here, not assumed.
+        n_dst_total = int(self.manifest["n_dst"].sum())
+        if n_dst_total:
+            uni = len(
+                np.unique(np.concatenate([np.asarray(self._u_dst[p]) for p in self.pids]))
+            )
+            self.dst_disjoint = uni == n_dst_total
+        else:
+            self.dst_disjoint = True
 
     # ----------------------------------------------------------- supersteps
     def gather(self, rank2d: np.ndarray, op: str = "sum") -> np.ndarray:
@@ -118,19 +202,11 @@ class BlockStore:
         def step(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             done = []
             for b in batches:
-                for pid in b.column("id").to_pylist():
-                    pid = pids[pid]
-                    pre = os.path.join(block_dir, f"part_{pid}")
-                    src = np.load(f"{pre}_src.npy", mmap_mode="r")
-                    starts = np.load(f"{pre}_starts.npy", mmap_mode="r")
+                for task_i in b.column("id").to_pylist():
+                    pid = pids[task_i]
+                    blk = load_block(block_dir, pid)
                     state = np.load(rank_path, mmap_mode="r")
-                    if is_min:
-                        incoming = state[src]
-                        p = np.minimum.reduceat(incoming, starts)
-                    else:
-                        w = np.load(f"{pre}_w.npy", mmap_mode="r")
-                        contrib = state[src, :] * np.asarray(w)[:, None]  # (Eb, S)
-                        p = np.add.reduceat(contrib, starts, axis=0)  # (K, S)
+                    p = tiled_min(state, blk) if is_min else tiled_spmv(state, blk)
                     np.save(os.path.join(out_dir, f"p_{pid}.npy"), p)
                     done.append(pid)
             yield pa.RecordBatch.from_arrays(
@@ -138,21 +214,36 @@ class BlockStore:
             )
 
         k = self.num_partitions
+        # one task wave: per-task launch costs ~10 ms through the Python
+        # worker round-trip, so extra waves dominate the superstep at
+        # this scale — each task walks a contiguous range of block ids
+        n_tasks = max(1, min(k, self.spark.sparkContext.defaultParallelism))
         rows = (
-            self.spark.range(0, k, 1, k).mapInArrow(step, "pid long").collect()
+            self.spark.range(0, k, 1, n_tasks).mapInArrow(step, "pid long").collect()
         )
         done_pids = {r["pid"] for r in rows}
         try:
             if is_min:
                 out = rank2d.copy()
-                for pid in done_pids:
-                    p = np.load(os.path.join(out_dir, f"p_{pid}.npy"))
-                    np.minimum.at(out, self._u_dst[pid], p)
+                if self.dst_disjoint:
+                    for pid in done_pids:
+                        p = np.load(os.path.join(out_dir, f"p_{pid}.npy"))
+                        idx = np.asarray(self._u_dst[pid])
+                        out[idx] = np.minimum(out[idx], p)
+                else:
+                    for pid in done_pids:
+                        p = np.load(os.path.join(out_dir, f"p_{pid}.npy"))
+                        np.minimum.at(out, self._u_dst[pid], p)
             else:
                 out_ns = np.zeros((n, rank2d.shape[0]), dtype=np.float64)
-                for pid in done_pids:
-                    p = np.load(os.path.join(out_dir, f"p_{pid}.npy"))  # (K, S)
-                    np.add.at(out_ns, self._u_dst[pid], p)
+                if self.dst_disjoint:
+                    for pid in done_pids:
+                        p = np.load(os.path.join(out_dir, f"p_{pid}.npy"))  # (K, S)
+                        out_ns[np.asarray(self._u_dst[pid])] = p
+                else:
+                    for pid in done_pids:
+                        p = np.load(os.path.join(out_dir, f"p_{pid}.npy"))
+                        np.add.at(out_ns, self._u_dst[pid], p)
                 out = np.ascontiguousarray(out_ns.T)
             return out
         finally:

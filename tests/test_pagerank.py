@@ -103,3 +103,23 @@ def test_distributed_multi_ppr_parity(g5):
     pdf = res.ranks().toPandas().sort_values("id")
     for i in range(3):
         assert np.allclose(pdf[f"rank_{i}"].to_numpy(), gold[i], atol=1e-12), f"src {sources[i]}"
+
+
+def test_barrier_mode_bit_parity_with_per_superstep(g_rand, monkeypatch):
+    """The gang-scheduled barrier loop (plans/barrier.py) must produce
+    bit-identical per-vertex state to the one-job-per-superstep path —
+    the arithmetic is ordered identically by construction."""
+    from approximate_pagerank_public_spark.plans.barrier import barrier_available
+
+    assert barrier_available(g_rand)  # local + shm + disjoint blocks
+    res_b = multi_ppr(g_rand, [0, 7, 42], max_iter=12, tol=0.0)
+    res_pb = pagerank(g_rand)
+    monkeypatch.setenv("SPARK_GRAFT_BARRIER", "0")
+    assert not barrier_available(g_rand)
+    res_c = multi_ppr(g_rand, [0, 7, 42], max_iter=12, tol=0.0)
+    res_pc = pagerank(g_rand)
+    assert res_b.iterations == res_c.iterations == 12
+    assert np.array_equal(res_b.ranks_np, res_c.ranks_np)
+    # the convergent full-PR run agrees too (same early-exit iteration)
+    assert res_pb.iterations == res_pc.iterations
+    assert np.array_equal(res_pb.ranks_np, res_pc.ranks_np)
