@@ -157,6 +157,33 @@ def q_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank_fixed8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 8-iteration PageRank (the reference's iteration-budget
+    approximation knob, FPGA default max_iter=6 — options.hpp:20) over
+    the transcript graph — oracle-checked against an 8x-unrolled CTE
+    chain in DuckDB with matching fp association."""
+    from approximate_pagerank_public_spark.operators.pagerank import pagerank
+
+    g = _graph(spark, sf_dir)
+    res = pagerank(g, alpha=0.8, tol=0.0, max_iter=8)
+    return res.ranks().select("id", _stable6("rank").alias("rank"))
+
+
+def q_ppr_fixed8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 8-iteration personalized PageRank from vertex 0
+    (reference K10, ``gold_algorithms.hpp:105-140``: teleport mass goes
+    only to the source) — oracle-checked like pagerank_fixed8."""
+    from approximate_pagerank_public_spark.operators.pagerank import (
+        personalized_pagerank,
+    )
+
+    g = _graph(spark, sf_dir)
+    res = personalized_pagerank(g, 0, alpha=0.8, tol=0.0, max_iter=8)
+    ranks = res.ranks()
+    col = "rank_0" if "rank_0" in ranks.columns else "rank"
+    return ranks.select("id", _stable6(col).alias("rank"))
+
+
 def q_multi_ppr_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     from approximate_pagerank_public_spark.operators.pagerank import multi_ppr
 
@@ -405,6 +432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tools": q_top_tools,
         "conversation_stats": q_conversation_stats,
         "pagerank_top20": q_pagerank_top20,
+        "pagerank_fixed8": q_pagerank_fixed8,
+        "ppr_fixed8": q_ppr_fixed8,
         "multi_ppr_top10": q_multi_ppr_top10,
         "connected_components": q_connected_components,
         "component_sizes": q_component_sizes,
@@ -529,6 +558,92 @@ def _ngram_jaccard_oracle() -> str:
         "FROM pairs p LEFT JOIN inter i ON i.a = p.a AND i.b = p.b "
         "JOIN sizes za ON za.doc_id = p.a JOIN sizes zb ON zb.doc_id = p.b"
     )
+
+
+def _pagerank_fixed_oracle(
+    iters: int = 8, alpha: float = 0.8, source: int | None = None
+) -> str:
+    """PageRank unrolled as a chained-CTE power iteration (no recursive
+    aggregation needed). Arithmetic is parenthesized to match the
+    engine's superstep exactly — ``(α·c + (α/n)·dm) + (1-α)/n`` — so
+    after 1e-6 truncation both engines agree despite different
+    summation orders inside the per-dst aggregates."""
+    e_sql = _duck_edges_sql()
+    a = repr(float(alpha))
+    parts = [
+        f"WITH e AS MATERIALIZED ({e_sql}), ",
+        "verts AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM e UNION ALL SELECT dst FROM e)), ",
+        "nv AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS c FROM verts), ",
+        "dang AS MATERIALIZED "
+        "(SELECT id FROM verts WHERE id NOT IN (SELECT src FROM e)), ",
+        (
+            "r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT c FROM nv) AS r FROM verts), "
+            if source is None
+            else f"r0 AS MATERIALIZED (SELECT id, CASE WHEN id = {source} "
+            "THEN 1.0 ELSE 0.0 END AS r FROM verts), "
+        ),
+    ]
+    for k in range(iters):
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT coalesce(sum(r), 0.0) AS dm FROM r{k} "
+            f"WHERE id IN (SELECT id FROM dang)), "
+        )
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT e.dst, sum(e.weight * r{k}.r) AS s "
+            f"FROM e JOIN r{k} ON r{k}.id = e.src GROUP BY e.dst), "
+        )
+        parts.append(
+            f"r{k+1} AS MATERIALIZED (SELECT v.id, "
+            f"({a} * coalesce(c{k}.s, 0.0) + ({a} / (SELECT c FROM nv)) "
+            f"* (SELECT dm FROM d{k}))"
+            + (
+                f" + ((1.0 - {a}) / (SELECT c FROM nv)) AS r "
+                if source is None
+                else f" + (CASE WHEN v.id = {source} THEN (1.0 - {a}) "
+                "ELSE 0.0 END) AS r "
+            )
+            + f"FROM verts v LEFT JOIN c{k} ON c{k}.dst = v.id), "
+        )
+    sql = "".join(parts).rstrip(", ")
+    return (
+        sql + f" SELECT id, floor(r * 1000000.0) / 1000000.0 AS rank FROM r{iters}"
+    )
+
+
+def _lpa_oracle(rounds: int = 5) -> str:
+    """Deterministic synchronous label propagation unrolled as chained
+    CTEs: per round, each vertex adopts the incoming label with the
+    greatest summed (symmetrized, 1/outdeg) weight, ties broken by the
+    smallest label — exactly `operators/labelprop.py`. The 1/k weights
+    are exact rationals so per-(dst,label) sums agree across engines."""
+    e_sql = _duck_edges_sql()
+    parts = [
+        f"WITH e AS MATERIALIZED ({e_sql}), ",
+        "symd AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e) "
+        "WHERE src <> dst), ",
+        "und AS MATERIALIZED (SELECT src, dst, "
+        "1.0 / count(*) OVER (PARTITION BY src) AS weight FROM symd), ",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM symd), ",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"v{k} AS MATERIALIZED (SELECT u.dst, l.label, sum(u.weight) AS w "
+            f"FROM und u JOIN l{k} l ON l.id = u.src GROUP BY u.dst, l.label), "
+        )
+        parts.append(
+            f"b{k} AS MATERIALIZED (SELECT dst, label FROM "
+            f"(SELECT dst, label, row_number() OVER "
+            f"(PARTITION BY dst ORDER BY w DESC, label ASC) AS rn FROM v{k}) "
+            "WHERE rn = 1), "
+        )
+        parts.append(
+            f"l{k+1} AS MATERIALIZED (SELECT l.id, "
+            f"coalesce(b.label, l.label) AS label "
+            f"FROM l{k} l LEFT JOIN b{k} b ON b.dst = l.id), "
+        )
+    return "".join(parts).rstrip(", ") + f" SELECT id, label FROM l{rounds}"
 
 
 def _lang_id_oracle() -> str:
@@ -713,6 +828,9 @@ def oracle_sql() -> dict[str, str]:
             "      + 0.3 * (1.0 - least(punct_ratio * 4, 1.0))) * 1000000.0) / 1000000.0 "
             "AS quality FROM s"
         ),
+        "pagerank_fixed8": _pagerank_fixed_oracle(8, 0.8),
+        "ppr_fixed8": _pagerank_fixed_oracle(8, 0.8, source=0),
+        "label_propagation": _lpa_oracle(5),
         "cosine_topk": _cosine_topk_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
         "embedding_near_dup": _embedding_near_dup_oracle(),

@@ -38,15 +38,14 @@ def run_at(cpus: int, env_extra: dict | None = None) -> dict:
     return json.loads(line)
 
 
-def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    lo = run_at(n)
-    hi = run_at(4 * n)
+def measure(n: int, env_extra: dict, label: str, note: str) -> dict:
+    lo = run_at(n, env_extra)
+    hi = run_at(4 * n, env_extra)
     tput_lo = lo["extra"]["spmv_edge_traversals_per_sec_median"]
     tput_hi = hi["extra"]["spmv_edge_traversals_per_sec_median"]
     eff = tput_hi / (4 * tput_lo)
-    result = {
-        "workload": "q_spmv_throughput",
+    return {
+        "workload": f"q_spmv_throughput[{label}]",
         "edges": lo["extra"]["spmv_edges"],
         "sources": lo["extra"]["spmv_sources"],
         "supersteps": lo["extra"]["spmv_supersteps"],
@@ -58,13 +57,39 @@ def main() -> None:
         "edge_traversals_per_sec_hi": tput_hi,
         "scaling_efficiency": round(eff, 3),
         "passes_0.8": eff >= 0.8,
+        "note": note,
     }
-    print(json.dumps(result, indent=1))
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    results = [
+        measure(
+            n,
+            {},
+            "barrier-fast-path",
+            "engine default on local masters: ONE gang-scheduled barrier job "
+            "for all supersteps, shm-shared state, L2-tiled SpMV kernel, "
+            "row-range-parallel axpb/error phases - the north-rule evidence "
+            "(same input, N vs 4N cores, median-superstep throughput)",
+        ),
+        measure(
+            n,
+            {"SPARK_GRAFT_BARRIER": "0"},
+            "per-superstep",
+            "fallback path (one Spark job per superstep, driver merge): "
+            "dominated by fixed per-job scheduling at this graph size, so "
+            "added cores do not help - why the barrier path is the default "
+            "on a single node; on a real cluster the per-job overhead "
+            "amortizes over much larger per-superstep work",
+        ),
+    ]
+    print(json.dumps(results, indent=1))
     path = os.path.join(REPO, "BENCH_SCALING.json")
     hist = []
     if os.path.exists(path):
         hist = json.load(open(path))
-    hist.append(result)
+    hist.extend(results)
     json.dump(hist, open(path, "w"), indent=1)
 
 
