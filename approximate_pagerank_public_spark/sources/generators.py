@@ -51,3 +51,79 @@ def gnp_edges(
     return df.select(
         "src", "dst", (F.lit(1.0) / F.count("*").over(w)).alias("weight")
     )
+
+
+def _u01(seed: int, *salts: int) -> F.Column:
+    """Deterministic uniform [0,1) from row id + salts (hash arithmetic,
+    fully distributed — no RNG state)."""
+    h = F.pmod(F.xxhash64("id", F.lit(seed), *[F.lit(s) for s in salts]), F.lit(1 << 32))
+    return h / F.lit(float(1 << 32))
+
+
+def watts_strogatz_edges(
+    spark: SparkSession,
+    num_vertices: int,
+    k: int = 200,
+    p_rewire: float = 0.2,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Watts–Strogatz small-world graph, the reference's ``smw`` family
+    (``generate_graph.py:79-84``: nx.watts_strogatz_graph(k=200, p=.2)).
+
+    Ring lattice: vertex ``i`` connects to ``i+1 .. i+k/2`` (mod n);
+    each lattice edge is rewired to a uniform target with probability
+    ``p_rewire``. Symmetrized (both directions emitted), 1/outdeg
+    weights — deterministic in ``seed``, generated distributed from
+    ``spark.range`` hash arithmetic.
+    """
+    half = max(1, k // 2)
+    p = partitions or spark.sparkContext.defaultParallelism
+    e = spark.range(0, num_vertices * half, 1, p)
+    i = (F.col("id") / half).cast("long")
+    j = F.pmod(F.col("id"), F.lit(half)) + 1
+    lattice = F.pmod(i + j, F.lit(num_vertices))
+    rnd = F.pmod(
+        F.xxhash64("id", F.lit(seed), F.lit(11)), F.lit(num_vertices)
+    )
+    rewired = F.when(_u01(seed, 10) < F.lit(float(p_rewire)), rnd).otherwise(lattice)
+    fwd = e.select(i.alias("src"), rewired.alias("dst")).where(
+        F.col("src") != F.col("dst")
+    )
+    sym = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    w = Window.partitionBy("src")
+    return sym.select(
+        "src", "dst", (F.lit(1.0) / F.count("*").over(w)).alias("weight")
+    )
+
+
+def powerlaw_edges(
+    spark: SparkSession,
+    num_vertices: int,
+    num_edges: int,
+    bias: float = 2.0,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Power-law in-degree graph — the protocol role of the reference's
+    ``pc``/``scf`` families (nx.powerlaw_cluster_graph(m=1000, p=.1),
+    nx.scale_free_graph; ``generate_graph.py:85-106``). Preferential
+    attachment is inherently sequential, so this uses the standard
+    distributed stand-in: dst = ``floor(n · u^bias)`` — inverse-CDF
+    sampling with density ∝ x^(1/bias - 1), i.e. the BA-like heavy
+    tail at ``bias=2`` (hub mass on low vertex ids). Deterministic in
+    ``seed``; self-loops dropped; 1/outdeg weights.
+    """
+    p = partitions or spark.sparkContext.defaultParallelism
+    e = spark.range(0, num_edges, 1, p)
+    src = F.pmod(F.xxhash64("id", F.lit(seed), F.lit(21)), F.lit(num_vertices))
+    dst = F.floor(F.lit(float(num_vertices)) * F.pow(_u01(seed, 22), F.lit(float(bias)))).cast(
+        "long"
+    )
+    df = e.select(src.alias("src"), dst.alias("dst")).where(F.col("src") != F.col("dst"))
+    w = Window.partitionBy("src")
+    return df.select(
+        "src", "dst", (F.lit(1.0) / F.count("*").over(w)).alias("weight")
+    )

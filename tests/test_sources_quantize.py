@@ -89,3 +89,36 @@ def test_quantized_pagerank_accuracy_degrades_gracefully(g_rand):
     q8 = quantized_pagerank(g_rand, total_bits=8, max_iter=30)
     ev8 = evaluate_ranking(gold, q8.ranks_np[0])
     assert ev8["ndcg"][10] <= ev26["ndcg"][10]
+
+
+def test_watts_strogatz_lattice_structure(spark):
+    from approximate_pagerank_public_spark.sources.generators import (
+        watts_strogatz_edges,
+    )
+
+    # p=0 -> pure ring lattice: every vertex has out-degree exactly k
+    g = watts_strogatz_edges(spark, 100, k=6, p_rewire=0.0, seed=7)
+    deg = g.groupBy("src").count().toPandas()
+    assert len(deg) == 100
+    assert (deg["count"] == 6).all()
+    # determinism
+    g2 = watts_strogatz_edges(spark, 100, k=6, p_rewire=0.2, seed=7)
+    g3 = watts_strogatz_edges(spark, 100, k=6, p_rewire=0.2, seed=7)
+    a = sorted(map(tuple, g2.select("src", "dst").collect()))
+    b = sorted(map(tuple, g3.select("src", "dst").collect()))
+    assert a == b
+    # rewiring actually changes the graph
+    lattice = sorted(map(tuple, g.select("src", "dst").collect()))
+    assert a != lattice
+
+
+def test_powerlaw_heavy_tail(spark):
+    from approximate_pagerank_public_spark.sources.generators import powerlaw_edges
+
+    g = powerlaw_edges(spark, 10_000, 100_000, bias=2.0, seed=7)
+    indeg = g.groupBy("dst").count().toPandas()["count"]
+    # hub mass: max in-degree far above the mean (heavy tail), and the
+    # top-1% of vertices absorb a disproportionate share of edges
+    assert indeg.max() > 20 * indeg.mean()
+    top = indeg.sort_values(ascending=False)
+    assert top.head(max(1, len(top) // 100)).sum() > 0.05 * indeg.sum()
