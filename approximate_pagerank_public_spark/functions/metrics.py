@@ -98,3 +98,22 @@ def evaluate_ranking(
         "edit_distance": bounded_edit_distance(g, t, bounds),
         "mae": {b: top_k_mae(golden_rank, test_rank, b) for b in bounds},
     }
+
+
+def compare_results(golden_ids: list[int], test_ids: list[int]) -> int:
+    """Reference V7 ``compare_results`` (`/root/reference/src/common/
+    utils/evaluation_utils.hpp:61-107`): count rank-position mismatches
+    between a golden ranked-id list and the test ranking, tolerating
+    adjacent swaps — when positions i and i+1 are exchanged (a tie
+    resolved differently), only the first mismatch counts, the mirror
+    position is forgiven.
+    """
+    errors = 0
+    prev_left = 0
+    prev_right = 0
+    for g, t in zip(golden_ids, test_ids):
+        if g != t:
+            if prev_left != t or prev_right != g:
+                errors += 1
+            prev_left, prev_right = g, t
+    return errors

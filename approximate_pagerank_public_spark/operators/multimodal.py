@@ -121,3 +121,61 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
         ).alias("frame_ms"),
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    target_w: int,
+    target_h: int,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Resize pass over image rows via ``mapInPandas``.
+
+    Real decode→resize→encode needs codec libraries absent here, so the
+    pixel work is STUBBED deterministically: the output payload is the
+    input bytes resampled (nearest-index) to a length proportional to
+    the target pixel count — shape-faithful for testing the Spark-side
+    plumbing (schema, filter pushdown to the image rows, Arrow batch
+    shape, payload-size scaling). ``decode_stub=False`` raises where a
+    real codec would run.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real image resize requires codec libraries not present "
+                    "in this environment; run with decode_stub=True"
+                )
+            out_payloads = []
+            for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                arr = np.frombuffer(p, dtype=np.uint8)
+                in_px = max(1, int(w or 1) * int(h or 1))
+                out_len = max(1, int(len(arr) * (target_w * target_h) / in_px))
+                idx = (np.arange(out_len) * len(arr) // out_len).clip(0, len(arr) - 1)
+                out_payloads.append(arr[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": out_payloads,
+                    "width": np.full(len(pdf), target_w, dtype=np.int32),
+                    "height": np.full(len(pdf), target_h, dtype=np.int32),
+                }
+            )
+
+    imgs = media.where(F.col("kind") == "image").select(
+        "media_id", "kind", "payload", "width", "height"
+    )
+    return imgs.mapInPandas(fn, RESIZED_SCHEMA)

@@ -59,3 +59,16 @@ def test_top_k_mae():
     assert top_k_mae(g, t, 4) == 0.0
     t2 = t + 0.01
     assert abs(top_k_mae(g, t2, 4) - 0.01) < 1e-12
+
+
+def test_compare_results_swap_tolerance():
+    from approximate_pagerank_public_spark.functions.metrics import compare_results
+
+    # identical rankings -> 0 errors
+    assert compare_results([5, 3, 9, 1], [5, 3, 9, 1]) == 0
+    # one adjacent swap counts once (the mirror position is forgiven)
+    assert compare_results([5, 3, 9, 1], [3, 5, 9, 1]) == 1
+    # two independent swaps -> 2
+    assert compare_results([5, 3, 9, 1], [3, 5, 1, 9]) == 2
+    # non-swap mismatch chain counts each new divergence
+    assert compare_results([1, 2, 3], [4, 5, 6]) == 3

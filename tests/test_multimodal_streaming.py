@@ -73,3 +73,32 @@ def test_streaming_edge_counts(spark, transcripts_t1, tmp_path):
     # and the stream must not fabricate rows beyond the full batch total
     n_tool_all = transcripts_t1.where(F.col("role") == "tool").count()
     assert total_stream <= n_tool_all + transcripts_t1.count()
+
+
+def test_resize_images_plumbing(spark):
+    from approximate_pagerank_public_spark.operators.multimodal import (
+        resize_images,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=30)
+    out = resize_images(media, target_w=32, target_h=32).toPandas()
+    # only image rows; dims rewritten; payload scaled with pixel ratio
+    assert (out["kind"] == "image").all()
+    assert (out["width"] == 32).all() and (out["height"] == 32).all()
+    src = media.where("kind = 'image'").toPandas().set_index("media_id")
+    for _, r in out.iterrows():
+        orig = src.loc[r["media_id"]]
+        ratio = (32 * 32) / (orig["width"] * orig["height"])
+        assert abs(len(r["payload"]) - len(orig["payload"]) * ratio) <= 1
+    # determinism
+    out2 = resize_images(media, target_w=32, target_h=32).toPandas()
+    assert (
+        out.sort_values("media_id")["payload"].map(bytes).tolist()
+        == out2.sort_values("media_id")["payload"].map(bytes).tolist()
+    )
+    # the non-stub path refuses loudly instead of silently faking
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        resize_images(media, 8, 8, decode_stub=False).collect()
