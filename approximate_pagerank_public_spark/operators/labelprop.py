@@ -15,18 +15,132 @@ all JVM-side, no Python in the loop.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 from pyspark.sql.window import Window
 
 from approximate_pagerank_public_spark.plans.graph import Graph
 
+_VOTE_SCHEMA = StructType(
+    [
+        StructField("dst", LongType()),
+        StructField("label", LongType()),
+        StructField("w", DoubleType()),
+    ]
+)
 
-def label_propagation(graph: Graph, max_iter: int = 10) -> DataFrame:
+
+def _vote_partials(edges: DataFrame, load_labels) -> DataFrame:
+    """Per-partition partial ``(dst, label, Σweight)`` votes — the
+    map-side combine of the LPA superstep, vectorized (lexsort +
+    reduceat), labels shipped via shm/broadcast like the rank state."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        labels = load_labels()
+        ds, ls, ws = [], [], []
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            src = b.column("src").to_numpy(zero_copy_only=False)
+            dst = b.column("dst").to_numpy(zero_copy_only=False)
+            w = b.column("weight").to_numpy(zero_copy_only=False)
+            lab = np.asarray(labels)[src]
+            order = np.lexsort((lab, dst))
+            d, l, wt = dst[order], lab[order], w[order]
+            brk = np.r_[True, (d[1:] != d[:-1]) | (l[1:] != l[:-1])]
+            starts = np.flatnonzero(brk)
+            ds.append(d[starts])
+            ls.append(l[starts])
+            ws.append(np.add.reduceat(wt, starts))
+        if not ds:
+            return
+        d = np.concatenate(ds)
+        l = np.concatenate(ls)
+        w = np.concatenate(ws)
+        order = np.lexsort((l, d))
+        d, l, w = d[order], l[order], w[order]
+        brk = np.r_[True, (d[1:] != d[:-1]) | (l[1:] != l[:-1])]
+        starts = np.flatnonzero(brk)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(d[starts]),
+                pa.array(l[starts]),
+                pa.array(np.add.reduceat(w, starts)),
+            ],
+            names=["dst", "label", "w"],
+        )
+
+    return edges.mapInArrow(kernel, _VOTE_SCHEMA)
+
+
+def _lpa_broadcast(graph: Graph, und: Graph, max_iter: int) -> np.ndarray:
+    """Driver-state LPA: one shuffle-free Spark job per round (partial
+    votes), argmax merge on the driver — same shape as the PageRank/CC
+    broadcast supersteps."""
+    from approximate_pagerank_public_spark.operators.spmv import _RankShip
+
+    n = graph.num_vertices
+    labels = np.arange(n, dtype=np.int64)
+    for _ in range(max_iter):
+        ship = _RankShip(graph.spark, labels)
+        try:
+            pdf = _vote_partials(und.edges, ship.load).toPandas()
+        finally:
+            ship.cleanup()
+        if not len(pdf):
+            break
+        d = pdf["dst"].to_numpy(np.int64)
+        l = pdf["label"].to_numpy(np.int64)
+        w = pdf["w"].to_numpy(np.float64)
+        order = np.lexsort((l, d))
+        d, l, w = d[order], l[order], w[order]
+        brk = np.r_[True, (d[1:] != d[:-1]) | (l[1:] != l[:-1])]
+        starts = np.flatnonzero(brk)
+        dd, ll = d[starts], l[starts]
+        ww = np.add.reduceat(w, starts)
+        # argmax with the deterministic tie-break: (w desc, label asc)
+        o2 = np.lexsort((ll, -ww, dd))
+        dd2, ll2 = dd[o2], ll[o2]
+        first = np.flatnonzero(np.r_[True, dd2[1:] != dd2[:-1]])
+        new = labels.copy()
+        new[dd2[first]] = ll2[first]
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    return labels
+
+
+def label_propagation(graph: Graph, max_iter: int = 10, mode: str = "auto") -> DataFrame:
     """``(id, label)`` after ``max_iter`` synchronous rounds (early-stops
-    on a fixpoint)."""
+    on a fixpoint). ``mode``: 'broadcast' (driver-held labels, one
+    shuffle-free job/round), 'dataframe' (state stays on the cluster),
+    'auto' picks by vertex count like ``pagerank``."""
+    from approximate_pagerank_public_spark.operators.pagerank import (
+        BROADCAST_MAX_VERTICES,
+    )
+
     und = graph.undirected()
+    if mode == "auto":
+        mode = (
+            "broadcast" if graph.num_vertices <= BROADCAST_MAX_VERTICES else "dataframe"
+        )
+    if mode == "broadcast":
+        try:
+            import pandas as pd
+
+            labels = _lpa_broadcast(graph, und, max_iter)
+            return graph.spark.createDataFrame(
+                pd.DataFrame(
+                    {"id": np.arange(len(labels), dtype=np.int64), "label": labels}
+                )
+            )
+        finally:
+            und.unpersist()
     spark = graph.spark
     p = graph.num_partitions
     labels = und.vertices.withColumn("label", F.col("id"))
