@@ -100,22 +100,50 @@ def derive_entity_edges(transcripts: DataFrame) -> DataFrame:
 
 
 def densify_vertices(entity_edges: DataFrame) -> DataFrame:
-    """Dense int64 ids for entities: ``vertices(id, entity)``.
+    """Dense int64 ids for entities: ``vertices(id, entity)`` — the id
+    remap the reference does via ``id_to_id_map`` in
+    ``convert_snap_to_mtx.py``. ``id`` = rank of ``entity`` in global
+    sorted order (same result as ``dense_rank() OVER (ORDER BY
+    entity)``, which is what the DuckDB oracle runs).
 
-    ``dense_rank`` over a global sort of the (small relative to edges)
-    entity dictionary — the id remap the reference does via
-    ``id_to_id_map`` in ``convert_snap_to_mtx.py``. At 100 TB the
-    dictionary is still ~|V| rows (≪ |E|), and this is a one-time ETL
-    job; if |V| itself is extreme, swap for ``zipWithIndex``-style
-    per-partition offsets.
+    Computed scalably: a global-sort window would funnel the whole
+    dictionary through ONE partition, and at 10^12-turn scale the
+    dictionary is ~|conversations| rows — far beyond a single task.
+    Instead: range-repartition by entity (partition p's entities all
+    sort before partition p+1's), per-partition ``row_number`` (window
+    partitioned by ``spark_partition_id`` — fully parallel), plus
+    driver-computed partition offsets (one tiny count job). The final
+    ids are independent of where the (sampled, not perfectly
+    deterministic) range boundaries land.
     """
     ents = (
         entity_edges.select(F.col("src_entity").alias("entity"))
         .union(entity_edges.select(F.col("dst_entity").alias("entity")))
         .distinct()
     )
-    w = Window.orderBy("entity")
-    return ents.select((F.dense_rank().over(w) - 1).cast("long").alias("id"), "entity")
+    spark = ents.sparkSession
+    p = max(1, spark.sparkContext.defaultParallelism)
+    ranged = ents.repartitionByRange(p, "entity").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    ranged = ranged.persist()
+    counts = {r["_pid"]: r["count"] for r in ranged.groupBy("_pid").count().collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+    )
+    w = Window.partitionBy("_pid").orderBy("entity")
+    out = (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .select(
+            (F.row_number().over(w) - 1 + F.col("_off")).cast("long").alias("id"),
+            "entity",
+        )
+    )
+    return out
 
 
 def build_edge_table(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
