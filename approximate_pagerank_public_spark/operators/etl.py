@@ -126,7 +126,10 @@ def densify_vertices(entity_edges: DataFrame) -> DataFrame:
     ranged = ents.repartitionByRange(p, "entity").withColumn(
         "_pid", F.spark_partition_id()
     )
-    ranged = ranged.persist()
+    # localCheckpoint, not persist: a cache-evicted recompute could
+    # re-SAMPLE different range boundaries and silently shift ids;
+    # checkpointed blocks either exist or fail loudly
+    ranged = ranged.localCheckpoint()
     counts = {r["_pid"]: r["count"] for r in ranged.groupBy("_pid").count().collect()}
     offsets, acc = {}, 0
     for pid in sorted(counts):

@@ -71,3 +71,63 @@ def consecutive_turn_edges_microbatch(batch_df: DataFrame) -> DataFrame:
         F.lag("entity").over(w).alias("src_entity"),
         F.col("entity").alias("dst_entity"),
     ).where(F.col("src_entity").isNotNull())
+
+
+def stateful_consecutive_edges(transcripts_stream: DataFrame) -> DataFrame:
+    """Cross-micro-batch consecutive-turn linking via
+    ``applyInPandasWithState`` — the custom stateful operator the
+    plain window version cannot express: per ``conv_id`` the state
+    carries ``(last_turn, last_entity)``, so a conversation's first
+    turn in batch N links back to its last turn from batch N-1 (and a
+    restart from the checkpoint restores the state). Rows are
+    processed as pandas batches (vectorized shift/where — no per-row
+    Python); replayed or stale turns (``turn_idx`` ≤ seen) are
+    dropped, making the operator idempotent under at-least-once
+    delivery.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "conv_id string, src_entity string, dst_entity string"
+    state_schema = "last_turn long, last_entity string"
+
+    def link(key, pdf_iter, state: GroupState):
+        conv_id = key[0]
+        if state.exists:
+            last_turn, last_entity = state.get
+        else:
+            last_turn, last_entity = -1, None
+        outs = []
+        for pdf in pdf_iter:
+            pdf = pdf[pdf["turn_idx"] > last_turn].sort_values("turn_idx")
+            if not len(pdf):
+                continue
+            ents = ("tool:" + pdf["tool"].astype(str)).where(
+                pdf["role"].eq("tool"), "role:" + pdf["role"].astype(str)
+            )
+            src = ents.shift(1)
+            if last_entity is not None:
+                src.iloc[0] = last_entity
+            mask = src.notna()
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "conv_id": conv_id,
+                        "src_entity": src[mask],
+                        "dst_entity": ents[mask],
+                    }
+                )
+            )
+            last_turn = int(pdf["turn_idx"].iloc[-1])
+            last_entity = str(ents.iloc[-1])
+        state.update((last_turn, last_entity))
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    return transcripts_stream.groupBy("conv_id").applyInPandasWithState(
+        link,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -102,3 +102,70 @@ def test_resize_images_plumbing(spark):
 
     with _pytest.raises(Exception):
         resize_images(media, 8, 8, decode_stub=False).collect()
+
+
+def test_stateful_consecutive_edges_across_batches(spark, tmp_path):
+    """applyInPandasWithState: a conversation's first turn in batch 2
+    must link back to its last turn from batch 1 (state restored from
+    the checkpoint between availableNow runs), and the union of both
+    runs must equal the batch ETL's consecutive-turn edges."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+    from approximate_pagerank_public_spark.operators.etl import turn_entity
+    from approximate_pagerank_public_spark.streaming.edge_stream import (
+        stateful_consecutive_edges,
+    )
+    from pyspark.sql.window import Window
+
+    rows = []
+    for conv in ("a", "b"):
+        for t in range(6):
+            role = ["user", "assistant", "tool"][t % 3]
+            rows.append((conv, t, role, f"text {conv}{t}", f"tool_{t % 2}", None))
+    full = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        ).astype({"ts": "datetime64[ns]"})
+    )
+    src_dir, sink, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    b1 = full.where("turn_idx < 3")
+    b2 = full.where("turn_idx >= 3")
+
+    def run_once(batch):
+        batch.write.mode("append").parquet(src_dir)
+        stream = spark.readStream.schema(full.schema).parquet(src_dir)
+        q = (
+            stateful_consecutive_edges(stream)
+            .writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .format("parquet")
+            .option("path", sink)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once(b1)
+    run_once(b2)
+    got = (
+        spark.read.parquet(sink)
+        .select("conv_id", "src_entity", "dst_entity")
+        .toPandas()
+    )
+    # batch ETL equivalent (same lag-over-turn_idx semantics)
+    turns = full.select("conv_id", "turn_idx", turn_entity().alias("entity"))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    want = (
+        turns.select(
+            "conv_id",
+            F.lag("entity").over(w).alias("src_entity"),
+            F.col("entity").alias("dst_entity"),
+        )
+        .where(F.col("src_entity").isNotNull())
+        .toPandas()
+    )
+    key = ["conv_id", "src_entity", "dst_entity"]
+    assert sorted(map(tuple, got[key].values)) == sorted(map(tuple, want[key].values))
+    # the cross-batch link (turn 2 -> turn 3) exists per conversation
+    cross = got[(got["conv_id"] == "a")]
+    assert len(got) == len(want) == 10  # 5 links x 2 convs
