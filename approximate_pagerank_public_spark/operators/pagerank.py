@@ -146,30 +146,69 @@ def _run_broadcast(
         if loaded is not None:
             start_it, pr, metrics = loaded
 
-    # Fast path: whole loop as ONE gang-scheduled barrier job (see
-    # plans/barrier.py) — durable checkpointing / resume keeps the
-    # driver in the loop, so it stays on the per-superstep path.
-    if ckpt is None:
-        from approximate_pagerank_public_spark.plans.barrier import (
-            barrier_available,
-            run_barrier_pagerank,
-        )
+    # Fast path: the loop runs as gang-scheduled barrier jobs (see
+    # plans/barrier.py). Without checkpointing it is ONE job; with a
+    # checkpoint dir it runs in chunks of `checkpoint_every`
+    # supersteps with a durable save between chunks — same save points
+    # and resume semantics as the per-superstep path, job overhead
+    # amortized over the chunk.
+    from approximate_pagerank_public_spark.plans.barrier import (
+        barrier_available,
+        run_barrier_pagerank,
+    )
 
-        if barrier_available(graph):
-            try:
-                state, metrics, its, conv = run_barrier_pagerank(
-                    graph, alpha, tol, max_iter, sources
+    if barrier_available(graph):
+        try:
+            it_b = start_it
+            pr_b = pr
+            metrics_b = list(metrics)
+            conv_b = False
+            config = {
+                "alpha": alpha,
+                "tol": tol,
+                "max_iter": max_iter,
+                "sources": sources,
+            }
+            while it_b < max_iter:
+                chunk = (
+                    min(checkpoint_every, max_iter - it_b)
+                    if ckpt
+                    else max_iter - it_b
                 )
-                return PageRankResult(
-                    iterations=its,
-                    converged=conv,
-                    metrics=metrics,
-                    sources=sources,
-                    ranks_np=state,
-                    _graph=graph,
+                state, m, its, conv_b = run_barrier_pagerank(
+                    graph,
+                    alpha,
+                    tol,
+                    chunk,
+                    sources,
+                    init_state=pr_b if (ckpt or it_b > 0) else None,
+                    iter_offset=it_b,
                 )
-            except Exception:  # barrier unschedulable → per-superstep path
-                pass
+                if its > 0:
+                    pr_b = state
+                metrics_b.extend(m)
+                it_b += its
+                if ckpt:
+                    ckpt.save(
+                        graph.spark,
+                        it_b,
+                        pr_b,
+                        metrics_b,
+                        config=config,
+                        num_partitions=graph.num_partitions,
+                    )
+                if conv_b or its < chunk:
+                    break
+            return PageRankResult(
+                iterations=it_b,
+                converged=conv_b,
+                metrics=metrics_b,
+                sources=sources,
+                ranks_np=pr_b,
+                _graph=graph,
+            )
+        except Exception:  # barrier unschedulable → per-superstep path
+            pass
 
     converged = False
     it = start_it

@@ -120,8 +120,16 @@ def run_barrier_pagerank(
     tol: float,
     max_iter: int,
     sources: list[int] | None,
+    init_state: np.ndarray | None = None,
+    iter_offset: int = 0,
 ) -> tuple[np.ndarray, list[dict], int, bool]:
-    """Returns ``(state (S,N), metrics, iterations, converged)``.
+    """Returns ``(state (S,N), metrics, iterations, converged)`` where
+    ``iterations`` counts supersteps run in THIS call.
+
+    ``init_state``/``iter_offset`` let a checkpointing caller run the
+    loop in chunks: one barrier job per ``checkpoint_every`` supersteps,
+    durable save between chunks, resume mid-computation — the job-level
+    overhead amortizes over the chunk instead of every superstep.
 
     Raises on barrier-scheduling failure — callers fall back to the
     per-superstep path.
@@ -139,7 +147,9 @@ def run_barrier_pagerank(
         for b in range(3):
             _shared(f"{run_dir}/state_buf{b}.npy", (n, s), np.float64)
         st0 = np.load(f"{run_dir}/state_buf0.npy", mmap_mode="r+")
-        if sources is None:
+        if init_state is not None:
+            st0[:] = np.ascontiguousarray(np.atleast_2d(init_state).T)
+        elif sources is None:
             st0[:] = 1.0 / n
         else:
             st0[:] = 0.0
@@ -261,7 +271,7 @@ def run_barrier_pagerank(
                             f.write(
                                 json.dumps(
                                     {
-                                        "iter": t,
+                                        "iter": t + iter_offset,
                                         "l1_err": float(l1.max()),
                                         "sq_l2_err": float(sq.max()),
                                         "dangling_sum": float(
