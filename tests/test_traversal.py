@@ -63,3 +63,16 @@ def test_closeness_and_eccentricity(g_rand):
         level_sum = sum(gold.values())
         assert abs(cc[s] - (1.0 / level_sum if level_sum else 0.0)) < 1e-12
         assert ec[s] == max(gold.values())
+
+
+def test_block_bfs_matches_frontier_bfs(g_rand):
+    from approximate_pagerank_public_spark.operators.traversal import (
+        multi_source_bfs,
+        multi_source_bfs_block,
+    )
+
+    sources = [0, 5, 250]
+    a = multi_source_bfs(g_rand, sources).toPandas()
+    b = multi_source_bfs_block(g_rand, sources).toPandas()
+    key = ["source", "id", "dist"]
+    assert sorted(map(tuple, a[key].values)) == sorted(map(tuple, b[key].values))
