@@ -47,14 +47,18 @@ first, flag last) is preserved by CPython's sequential execution +
 TSO.
 
 Arithmetic is ordered to match ``operators.pagerank._superstep_np``
-exactly (``(α·c + s1) + s2``, personalization as a final ``+=``), so
-broadcast-mode and barrier-mode runs agree bit-for-bit per vertex
-(the L1 stop scalar differs only by partial-sum association).
+exactly (``(α·c + s1) + s2``, personalization as a final ``+=``).
+The L1 stop scalar and the dangling dot are per-task partial-sum
+reductions, so their association differs from the single-pass
+per-superstep path: runs agree bit-for-bit when the dangling mass is
+association-insensitive (asserted on a fixed graph in the test suite)
+and to within ~1 ulp per superstep otherwise (property-tested).
 
 Engages only when: local master with /dev/shm (state is shared
-pages), CSR blocks built, dst-disjoint partitioning, and no durable
-checkpointing requested (checkpoint/resume keeps the driver in the
-loop → per-superstep path). Every other case falls back. On a
+pages), CSR blocks built, dst-disjoint partitioning. Durable
+checkpointing runs the loop in chunks of ``checkpoint_every``
+supersteps via ``init_state``/``iter_offset`` with a save between
+chunks. Every other case falls back. On a
 multi-node cluster the same protocol would exchange state via
 executor-local disk + torrent broadcast; that variant is
 intentionally not emulated here.

@@ -62,3 +62,32 @@ def test_triangles_match_golden_on_random_digraphs(spark, g):
         assert triangle_count(graph) == golden.golden_triangle_count(s, d, n)
     finally:
         graph.unpersist()
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(g=digraphs())
+def test_barrier_parity_on_random_digraphs(spark, g, monkeypatch):
+    """Property: for any digraph, the gang-scheduled barrier loop and
+    the per-superstep path agree to within accumulated ulps. (Exact
+    bit-equality holds for the per-vertex axpb arithmetic — asserted on
+    a fixed graph in test_pagerank — but the dangling-mass scalar is a
+    partial-sum reduction whose association differs between the paths,
+    so graphs with many dangling vertices can differ in the last ulp
+    per superstep.)"""
+    from approximate_pagerank_public_spark.operators.pagerank import multi_ppr
+
+    n, src, dst = g
+    graph = Graph.from_edge_arrays(spark, src, dst, num_vertices=n, num_partitions=4)
+    try:
+        sources = [0, n // 2]
+        res_b = multi_ppr(graph, sources, max_iter=7, tol=0.0)
+        monkeypatch.setenv("SPARK_GRAFT_BARRIER", "0")
+        res_c = multi_ppr(graph, sources, max_iter=7, tol=0.0)
+        monkeypatch.delenv("SPARK_GRAFT_BARRIER")
+        assert np.allclose(res_b.ranks_np, res_c.ranks_np, rtol=0, atol=1e-13)
+    finally:
+        graph.unpersist()
