@@ -343,6 +343,30 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs)
 
 
+def _emb_dim(sf_dir: str | None = None) -> int:
+    """Embedding dimensionality, read from the parquet footer (row 0) —
+    both the Spark queries and the oracle-SQL generator derive it from
+    the same data, so the literal hyperplanes always match the vectors."""
+    import glob
+    import os
+
+    cands = ([sf_dir] if sf_dir else []) + [
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.001",
+    ]
+    for d in cands:
+        p = f"{d}/embeddings.parquet"
+        try:
+            import pyarrow.parquet as pq
+
+            files = sorted(glob.glob(p + "/*.parquet")) if os.path.isdir(p) else [p]
+            t = pq.ParquetFile(files[0]).read_row_group(0, columns=["embedding"])
+            return len(t.column("embedding")[0])
+        except Exception:
+            continue
+    return 64
+
+
 def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings with vectors cast to array<double> so the sequential
     fold dot product is bit-identical to DuckDB's list_dot_product (both
@@ -378,7 +402,9 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
     )
-    return lsh_ann_topk(emb, queries, dim=64, k=5, bits=4, tables=8).select(
+    return lsh_ann_topk(
+        emb, queries, dim=_emb_dim(sf_dir), k=5, bits=4, tables=8
+    ).select(
         "query_id", "vec_id", "rank", _stable6("cosine").alias("cosine")
     )
 
@@ -402,7 +428,9 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
     )
-    return ivf_ann_topk(emb, queries, dim=64, k=5, n_cells=8, n_probe=4).select(
+    return ivf_ann_topk(
+        emb, queries, dim=_emb_dim(sf_dir), k=5, n_cells=8, n_probe=4
+    ).select(
         "query_id", "vec_id", "rank", _stable6("cosine").alias("cosine")
     )
 
@@ -495,9 +523,10 @@ def _ann_lsh_oracle() -> str:
     all oracle-checked, not just row counts."""
     from approximate_pagerank_public_spark.operators.similarity import _hyperplanes
 
+    dim = _emb_dim()
     rows = []
     for t in range(8):
-        for i, p in enumerate(_hyperplanes(64, 4, t, 42)):
+        for i, p in enumerate(_hyperplanes(dim, 4, t, 42)):
             lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
             rows.append(f"({t}, {i}, CAST({lit} AS DOUBLE[]))")
     return (
@@ -713,9 +742,13 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY n_calls DESC, tool LIMIT 10"
         ),
         "conversation_stats": (
+            # CAST: DuckDB sum() yields HUGEINT, which pandas widens to
+            # float64 and the driver's value-hash then sees 123.0 vs 123
             f"SELECT conv_id, count(*) AS n_turns, "
-            "sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS n_tool_turns, "
-            f"sum(length(text)) AS sum_text_len FROM ({t_cte}) GROUP BY conv_id"
+            "CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_tool_turns, "
+            f"CAST(sum(length(text)) AS BIGINT) AS sum_text_len "
+            f"FROM ({t_cte}) GROUP BY conv_id"
         ),
         "connected_components": (
             f"WITH RECURSIVE e AS ({e_sql}), "

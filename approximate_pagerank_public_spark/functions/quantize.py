@@ -42,29 +42,28 @@ def quantized_pagerank(graph, total_bits: int = 26, **kwargs):
     the usual PageRankResult; compare with the f64 run via
     ``functions.metrics.evaluate_ranking`` for the accuracy-vs-bits
     study (reference protocol, ``build/hw/run.py`` + ``plot_errors.py``).
+
+    Implemented as the ``post_superstep`` hook of ``_run_broadcast`` —
+    applied inside BOTH the gang-scheduled barrier loop (each task
+    quantizes its own row range after the K4 add, before the error
+    partials) and the per-superstep fallback, so quantization is active
+    on every execution path and bit-identical between them.
     """
+    import functools
+
     from approximate_pagerank_public_spark.operators.pagerank import (
         _run_broadcast,
     )
-    import approximate_pagerank_public_spark.operators.pagerank as pr_mod
 
-    # run the standard broadcast loop but post-quantize each superstep
-    orig = pr_mod._superstep_np
-
-    def quantized_step(g, pr, alpha, sources, dangling):
-        return quantize_np(orig(g, pr, alpha, sources, dangling), total_bits)
-
-    pr_mod._superstep_np = quantized_step
-    try:
-        return _run_broadcast(
-            graph,
-            kwargs.get("alpha", 0.8),
-            kwargs.get("tol", 0.0),
-            kwargs.get("max_iter", 100),
-            kwargs.get("sources"),
-            None,
-            1,
-            False,
-        )
-    finally:
-        pr_mod._superstep_np = orig
+    hook = functools.partial(quantize_np, total_bits=total_bits)
+    return _run_broadcast(
+        graph,
+        kwargs.get("alpha", 0.8),
+        kwargs.get("tol", 0.0),
+        kwargs.get("max_iter", 100),
+        kwargs.get("sources"),
+        None,
+        1,
+        False,
+        post_superstep=hook,
+    )

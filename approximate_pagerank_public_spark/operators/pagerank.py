@@ -50,6 +50,13 @@ from approximate_pagerank_public_spark.plans.graph import Graph
 
 BROADCAST_MAX_VERTICES = 100_000_000  # ~0.8 GB/source of f64 driver state
 
+try:  # job/scheduling failures surface as Py4J errors in classic PySpark
+    from py4j.protocol import Py4JError
+
+    _BARRIER_FALLBACK_ERRORS: tuple = (TimeoutError, Py4JError)
+except ImportError:  # pragma: no cover — Connect-only; barrier never engages
+    _BARRIER_FALLBACK_ERRORS = (TimeoutError,)
+
 
 @dataclass
 class PageRankResult:
@@ -60,6 +67,10 @@ class PageRankResult:
     ranks_np: np.ndarray | None = field(default=None, repr=False)  # (S, N)
     ranks_df: DataFrame | None = field(default=None, repr=False)
     _graph: Graph | None = field(default=None, repr=False)
+    # barrier-path evidence: {phase: (min_s, max_s)} per-task seconds,
+    # None when the run never took the gang-scheduled path. Kept
+    # out-of-band so the metrics rows stay scalar (V9 table friendly).
+    phase_timings: dict | None = field(default=None, repr=False)
 
     def ranks(self) -> DataFrame:
         """Vertex-state DataFrame: ``(id, rank)`` or ``(id, rank_0..{S-1})``."""
@@ -81,10 +92,15 @@ class PageRankResult:
         """Iteration-metrics table ``(iter, l1_err, sq_l2_err,
         dangling_sum, wall_ms)`` — the reference's per-iteration
         convergence-error series (V9, ``multi_personalized_pagerank.cpp:
-        96-108``) as a queryable DataFrame."""
+        96-108``) as a queryable DataFrame. Non-scalar keys (defensive —
+        none are produced today) are stripped before conversion."""
         import pandas as pd
 
-        return self._graph.spark.createDataFrame(pd.DataFrame(self.metrics))
+        scalar = [
+            {k: v for k, v in m.items() if np.isscalar(v) or v is None}
+            for m in self.metrics
+        ]
+        return self._graph.spark.createDataFrame(pd.DataFrame(scalar))
 
     def rank_vector(self, source_pos: int = 0) -> np.ndarray:
         if self.ranks_np is not None:
@@ -106,12 +122,13 @@ def _superstep_np(
     pr: np.ndarray,
     alpha: float,
     sources: list[int] | None,
-    dangling: np.ndarray,
+    d: np.ndarray,
 ) -> np.ndarray:
-    """One broadcast-mode superstep on an (S, N) block."""
+    """One broadcast-mode superstep on an (S, N) block. ``d`` is the
+    precomputed (S,) dangling dot (K2) — zeros when ``dangling_norm``
+    is off (``ppr.gm:14-16``)."""
     n = graph.num_vertices
     contrib = gather_contrib(graph, pr)  # (S, N), one Spark job
-    d = pr[:, dangling].sum(axis=1)  # dangling dot (K2)
     new = alpha * contrib + (alpha / n) * d[:, None]  # axpb (K3)
     if sources is None:
         new += (1.0 - alpha) / n
@@ -129,14 +146,23 @@ def _run_broadcast(
     checkpoint_dir: str | None,
     checkpoint_every: int,
     resume: bool,
+    dangling_norm: bool = True,
+    post_superstep=None,
 ) -> PageRankResult:
+    from approximate_pagerank_public_spark.plans.reduction import (
+        dang_partials,
+        err_partials,
+        n_chunks,
+    )
+
     n = graph.num_vertices
-    dangling = graph.dangling_mask()
+    dang_idx = np.flatnonzero(graph.dangling_mask())
     if sources is None:
         pr = np.full((1, n), 1.0 / n, dtype=np.float64)
     else:
         pr = np.zeros((len(sources), n), dtype=np.float64)
         pr[np.arange(len(sources)), sources] = 1.0
+    s = pr.shape[0]
 
     metrics: list[dict] = []
     start_it = 0
@@ -163,11 +189,13 @@ def _run_broadcast(
             pr_b = pr
             metrics_b = list(metrics)
             conv_b = False
+            phases: dict = {}
             config = {
                 "alpha": alpha,
                 "tol": tol,
                 "max_iter": max_iter,
                 "sources": sources,
+                "dangling_norm": dangling_norm,
             }
             while it_b < max_iter:
                 chunk = (
@@ -175,7 +203,7 @@ def _run_broadcast(
                     if ckpt
                     else max_iter - it_b
                 )
-                state, m, its, conv_b = run_barrier_pagerank(
+                state, m, its, conv_b, phases = run_barrier_pagerank(
                     graph,
                     alpha,
                     tol,
@@ -183,6 +211,8 @@ def _run_broadcast(
                     sources,
                     init_state=pr_b if (ckpt or it_b > 0) else None,
                     iter_offset=it_b,
+                    dangling_norm=dangling_norm,
+                    post_superstep=post_superstep,
                 )
                 if its > 0:
                     pr_b = state
@@ -206,25 +236,49 @@ def _run_broadcast(
                 sources=sources,
                 ranks_np=pr_b,
                 _graph=graph,
+                phase_timings=phases,
             )
-        except Exception:  # barrier unschedulable → per-superstep path
-            pass
+        except _BARRIER_FALLBACK_ERRORS as ex:
+            # barrier unschedulable / gang failed mid-run → the
+            # per-superstep path below recomputes from start_it. A
+            # kernel bug would land here too, so make it LOUD.
+            import warnings
 
+            warnings.warn(
+                f"barrier fast path failed, falling back to per-superstep "
+                f"jobs: {type(ex).__name__}: {str(ex)[:400]}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+
+    nc = n_chunks(n)
+    err_buf = np.zeros((nc, s), dtype=np.float64)
+    sq_buf = np.zeros((nc, s), dtype=np.float64)
+    dang_buf = np.zeros((nc, s), dtype=np.float64)
+    # dangling dot of the current state — same chunked association as
+    # the barrier gang's rowwork partials (plans/reduction.py)
+    dang_partials(pr, dang_idx, n, 0, nc, dang_buf)
+    d = dang_buf.sum(axis=0)
     converged = False
     it = start_it
+    zeros = np.zeros(s, dtype=np.float64)
     for it in range(start_it + 1, max_iter + 1):
         t0 = time.perf_counter()
-        new = _superstep_np(graph, pr, alpha, sources, dangling)
-        diff = new - pr
-        l1 = np.abs(diff).sum(axis=1)
-        sq = (diff * diff).sum(axis=1)
+        new = _superstep_np(graph, pr, alpha, sources, d if dangling_norm else zeros)
+        if post_superstep is not None:
+            new = post_superstep(new)
+        err_partials(new, pr, n, 0, nc, err_buf, sq_buf)
+        l1 = err_buf.sum(axis=0)
+        sq = sq_buf.sum(axis=0)
         pr = new
+        dang_partials(pr, dang_idx, n, 0, nc, dang_buf)
+        d = dang_buf.sum(axis=0)
         metrics.append(
             {
                 "iter": it,
                 "l1_err": float(l1.max()),
                 "sq_l2_err": float(sq.max()),
-                "dangling_sum": float(pr[:, dangling].sum(axis=1).max()),
+                "dangling_sum": float(d.max()),
                 "wall_ms": (time.perf_counter() - t0) * 1e3,
             }
         )
@@ -234,7 +288,13 @@ def _run_broadcast(
                 it,
                 pr,
                 metrics,
-                config={"alpha": alpha, "tol": tol, "max_iter": max_iter, "sources": sources},
+                config={
+                    "alpha": alpha,
+                    "tol": tol,
+                    "max_iter": max_iter,
+                    "sources": sources,
+                    "dangling_norm": dangling_norm,
+                },
                 num_partitions=graph.num_partitions,
             )
         if l1.max() <= tol:
@@ -259,6 +319,7 @@ def _run_distributed(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
     resume: bool = True,
+    dangling_norm: bool = True,
 ) -> PageRankResult:
     """Pure-DataFrame supersteps; vertex state stays on the cluster.
 
@@ -296,6 +357,8 @@ def _run_distributed(
         d = (
             ranks.join(dangling, "id", "left_semi").agg(F.sum("rank")).first()[0]
             or 0.0
+            if dangling_norm
+            else 0.0
         )
         contribs = gather_contrib_df(graph, ranks)
         shift = (alpha / n) * d + ((1.0 - alpha) / n if source is None else 0.0)
@@ -354,13 +417,19 @@ def _run_distributed_multi(
     tol: float,
     max_iter: int,
     sources: list[int],
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = True,
+    dangling_norm: bool = True,
 ) -> PageRankResult:
     """Distributed 8-source PPR: the (S, N) rank block is S rank columns
     on a co-partitioned vertex DataFrame; every superstep is ONE edge
     join + ONE groupBy(dst) aggregating all S weighted sums — the edge
     relation is read once per superstep regardless of S, exactly the
     FPGA's multi-query amortization, but with vertex state that never
-    leaves the cluster."""
+    leaves the cluster. Durable checkpoints use the same
+    ``save_df``/``load_latest_df`` protocol as ``_run_distributed``, so
+    a killed 10^12-scale multi-query run resumes mid-computation."""
     spark = graph.spark
     n = graph.num_vertices
     p = graph.num_partitions
@@ -376,16 +445,27 @@ def _run_distributed_multi(
     dangling.count()
 
     metrics: list[dict] = []
+    start_it = 0
+    ckpt = CheckpointManager(checkpoint_dir, every=checkpoint_every) if checkpoint_dir else None
+    if ckpt and resume:
+        loaded = ckpt.load_latest_df(graph.spark)
+        if loaded is not None:
+            start_it, ranks_df, metrics = loaded
+            ranks.unpersist()
+            ranks = ranks_df.select("id", *cols).repartition(p, "id").localCheckpoint()
     converged = False
-    it = 0
-    for it in range(1, max_iter + 1):
+    it = start_it
+    for it in range(start_it + 1, max_iter + 1):
         t0 = time.perf_counter()
-        drow = (
-            ranks.join(dangling, "id", "left_semi")
-            .agg(*[F.sum(c).alias(c) for c in cols])
-            .first()
-        )
-        d = [float(drow[c] or 0.0) for c in cols]
+        if dangling_norm:
+            drow = (
+                ranks.join(dangling, "id", "left_semi")
+                .agg(*[F.sum(c).alias(c) for c in cols])
+                .first()
+            )
+            d = [float(drow[c] or 0.0) for c in cols]
+        else:
+            d = [0.0] * s
         r = ranks.withColumnRenamed("id", "src")
         contribs = (
             graph.edges.join(r, "src")
@@ -429,6 +509,19 @@ def _run_distributed_multi(
                 "wall_ms": (time.perf_counter() - t0) * 1e3,
             }
         )
+        if ckpt:
+            ckpt.save_df(
+                ranks,
+                it,
+                metrics,
+                config={
+                    "alpha": alpha,
+                    "tol": tol,
+                    "max_iter": max_iter,
+                    "sources": sources,
+                    "dangling_norm": dangling_norm,
+                },
+            )
         if l1 <= tol:
             converged = True
             break
@@ -482,14 +575,20 @@ def personalized_pagerank(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
     resume: bool = True,
+    dangling_norm: bool = True,
 ) -> PageRankResult:
+    """``dangling_norm=False`` reproduces the reference's ``norm=false``
+    PGX runs (``ppr.gm:14-16``): the dangling-mass redistribution term
+    is skipped entirely, in all three execution paths."""
     mode = _pick_mode(graph, mode)
     if mode == "broadcast":
         return _run_broadcast(
-            graph, alpha, tol, max_iter, [source], checkpoint_dir, checkpoint_every, resume
+            graph, alpha, tol, max_iter, [source], checkpoint_dir, checkpoint_every,
+            resume, dangling_norm=dangling_norm,
         )
     return _run_distributed(
-        graph, alpha, tol, max_iter, source, checkpoint_dir, checkpoint_every, resume
+        graph, alpha, tol, max_iter, source, checkpoint_dir, checkpoint_every,
+        resume, dangling_norm=dangling_norm,
     )
 
 
@@ -503,14 +602,20 @@ def multi_ppr(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
     resume: bool = True,
+    dangling_norm: bool = True,
 ) -> PageRankResult:
     """All sources advance in lock-step through one SpMV per superstep;
     early termination when the worst source's L1 error ≤ tol (the FPGA
     kernel instead runs a fixed budget — pass ``tol=0`` +
-    ``max_iter=m`` to reproduce that exactly)."""
+    ``max_iter=m`` to reproduce that exactly). ``dangling_norm=False``
+    drops the dangling term (``ppr.gm:14-16``)."""
     mode = _pick_mode(graph, mode)
     if mode == "broadcast":
         return _run_broadcast(
-            graph, alpha, tol, max_iter, list(sources), checkpoint_dir, checkpoint_every, resume
+            graph, alpha, tol, max_iter, list(sources), checkpoint_dir,
+            checkpoint_every, resume, dangling_norm=dangling_norm,
         )
-    return _run_distributed_multi(graph, alpha, tol, max_iter, list(sources))
+    return _run_distributed_multi(
+        graph, alpha, tol, max_iter, list(sources), checkpoint_dir,
+        checkpoint_every, resume, dangling_norm=dangling_norm,
+    )

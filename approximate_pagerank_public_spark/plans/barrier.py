@@ -48,11 +48,10 @@ TSO.
 
 Arithmetic is ordered to match ``operators.pagerank._superstep_np``
 exactly (``(α·c + s1) + s2``, personalization as a final ``+=``).
-The L1 stop scalar and the dangling dot are per-task partial-sum
-reductions, so their association differs from the single-pass
-per-superstep path: runs agree bit-for-bit when the dangling mass is
-association-insensitive (asserted on a fixed graph in the test suite)
-and to within ~1 ulp per superstep otherwise (property-tested).
+The L1 stop scalar and the dangling dot reduce through the fixed-chunk
+partials in ``plans/reduction.py`` — the per-superstep path uses the
+same chunking, so the stop scalars (and hence the convergence
+iteration) are bit-identical across both paths and any task count.
 
 Engages only when: local master with /dev/shm (state is shared
 pages), CSR blocks built, dst-disjoint partitioning. Durable
@@ -78,6 +77,12 @@ from approximate_pagerank_public_spark.plans.blocks import (
     BlockStore,
     load_block,
     tiled_spmv,
+)
+from approximate_pagerank_public_spark.plans.reduction import (
+    dang_partials,
+    err_partials,
+    n_chunks,
+    CHUNK_ROWS,
 )
 
 
@@ -126,14 +131,25 @@ def run_barrier_pagerank(
     sources: list[int] | None,
     init_state: np.ndarray | None = None,
     iter_offset: int = 0,
-) -> tuple[np.ndarray, list[dict], int, bool]:
-    """Returns ``(state (S,N), metrics, iterations, converged)`` where
-    ``iterations`` counts supersteps run in THIS call.
+    dangling_norm: bool = True,
+    post_superstep=None,
+) -> tuple[np.ndarray, list[dict], int, bool, dict]:
+    """Returns ``(state (S,N), metrics, iterations, converged, phases)``
+    where ``iterations`` counts supersteps run in THIS call and
+    ``phases`` is the min/max per-task seconds spent in each loop phase
+    (out-of-band — never mixed into the scalar metrics rows).
 
     ``init_state``/``iter_offset`` let a checkpointing caller run the
     loop in chunks: one barrier job per ``checkpoint_every`` supersteps,
     durable save between chunks, resume mid-computation — the job-level
     overhead amortizes over the chunk instead of every superstep.
+
+    ``dangling_norm=False`` drops the dangling-mass term entirely — the
+    reference PPR's optional ``norm`` flag (``ppr.gm:14-16``).
+    ``post_superstep`` is an elementwise f64→f64 transform applied to
+    the full state after every superstep (personalization included),
+    before the convergence error — the fixed-point quantization hook
+    (E8). Must be picklable (it ships inside the task closure).
 
     Raises on barrier-scheduling failure — callers fall back to the
     per-superstep path.
@@ -161,16 +177,19 @@ def run_barrier_pagerank(
                 st0[src, i] = 1.0
         st0.flush()
         del st0
-        np.save(f"{run_dir}/dangling.npy", graph.dangling_mask())
+        np.save(f"{run_dir}/dang_idx.npy", np.flatnonzero(graph.dangling_mask()))
         _shared(f"{run_dir}/shift.npy", (s,), np.float64, 0.0)
-        # sync flags + per-task partial reductions
+        # sync flags + per-CHUNK partial reductions (chunking is a
+        # function of n only — see plans/reduction.py — so the final
+        # sums are bit-identical to the per-superstep path)
+        nc = n_chunks(n)
         _shared(f"{run_dir}/compute_done.npy", (ntasks,), np.int64, 0)
         _shared(f"{run_dir}/row_done.npy", (ntasks,), np.int64, -1)
         _shared(f"{run_dir}/fill_done.npy", (ntasks,), np.int64, -1)
         _shared(f"{run_dir}/ctl.npy", (4,), np.int64, -1)
-        _shared(f"{run_dir}/err_p.npy", (ntasks, s), np.float64, 0.0)
-        _shared(f"{run_dir}/sq_p.npy", (ntasks, s), np.float64, 0.0)
-        _shared(f"{run_dir}/dang_p.npy", (ntasks, s), np.float64, 0.0)
+        _shared(f"{run_dir}/err_p.npy", (nc, s), np.float64, 0.0)
+        _shared(f"{run_dir}/sq_p.npy", (nc, s), np.float64, 0.0)
+        _shared(f"{run_dir}/dang_p.npy", (nc, s), np.float64, 0.0)
 
         block_dir = blocks.dir
         src_list = sources
@@ -205,8 +224,10 @@ def run_barrier_pagerank(
 
             def sp(i: int) -> str:
                 return f"{run_dir}/state_buf{i % 3}.npy"
-            lo, hi = me * n // ntasks, (me + 1) * n // ntasks
-            dang_rows = np.flatnonzero(np.load(f"{run_dir}/dangling.npy")[lo:hi]) + lo
+            # chunk-aligned row range: task me owns chunks [c_lo, c_hi)
+            c_lo, c_hi = me * nc // ntasks, (me + 1) * nc // ntasks
+            lo, hi = c_lo * CHUNK_ROWS, min(n, c_hi * CHUNK_ROWS)
+            dang_idx = np.load(f"{run_dir}/dang_idx.npy")
             my_srcs = (
                 [(i, sv) for i, sv in enumerate(src_list) if lo <= sv < hi]
                 if src_list is not None
@@ -248,16 +269,16 @@ def run_barrier_pagerank(
             while True:
                 wait(compute_done, t)  # state_t body complete
                 ph["wait"] += _tick()
-                # ---- rowwork: finalize + partial reductions over my rows
+                # ---- rowwork: finalize + chunked partials over my rows
                 st = np.load(sp(t), mmap_mode="r+")
                 if t > 0:
                     for i, sv in my_srcs:
                         st[sv, i] += 1.0 - alpha  # K4 final add
+                    if post_superstep is not None:
+                        st[lo:hi] = post_superstep(np.asarray(st[lo:hi]))
                     prev = np.load(sp(t - 1), mmap_mode="r")
-                    diff = np.asarray(st[lo:hi]) - prev[lo:hi]
-                    err_p[me] = np.abs(diff).sum(axis=0)
-                    sq_p[me] = (diff * diff).sum(axis=0)
-                dang_p[me] = np.asarray(st[dang_rows]).sum(axis=0)
+                    err_partials(st.T, prev.T, n, c_lo, c_hi, err_p, sq_p)
+                dang_partials(st.T, dang_idx, n, c_lo, c_hi, dang_p)
                 ph["rowwork"] += _tick()
                 row_done[me] = t
                 # ---- leader reduce: stop decision, metrics, next-state prep
@@ -287,7 +308,7 @@ def run_barrier_pagerank(
                                 + "\n"
                             )
                         t_wall = now
-                    if not stop:
+                    if not stop and dangling_norm:
                         d = np.asarray(dang_p).sum(axis=0)  # (S,) dangling dot
                         shift_arr[:] = (alpha / n) * d
                     ctl[1] = 1 if stop else 0
@@ -335,10 +356,7 @@ def run_barrier_pagerank(
         if os.path.exists(mpath):
             with open(mpath) as f:
                 metrics = [json.loads(line) for line in f if line.strip()]
-        if metrics:
-            metrics[-1]["phase_min_max_s"] = {
-                k: (round(v[0], 3), round(v[1], 3)) for k, v in phases.items()
-            }
-        return state, metrics, int(ctl[3]), bool(ctl[2])
+        phases = {k: (round(v[0], 3), round(v[1], 3)) for k, v in phases.items()}
+        return state, metrics, int(ctl[3]), bool(ctl[2]), phases
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)

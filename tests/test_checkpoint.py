@@ -40,6 +40,31 @@ def test_resume_multi_ppr(g_rand, tmp_path):
     assert np.allclose(res.ranks_np, full.ranks_np, atol=1e-12)
 
 
+def test_distributed_multi_resume(g5, tmp_path):
+    """_run_distributed_multi checkpoints via save_df/load_latest_df —
+    a killed multi-source distributed run resumes mid-computation and
+    matches the uninterrupted run (VERDICT r1 item 6)."""
+    ckpt = str(tmp_path / "ckdm")
+    sources = [0, 2, 4]
+    full = multi_ppr(g5, sources, mode="distributed", max_iter=8, tol=0.0)
+    multi_ppr(
+        g5, sources, mode="distributed", max_iter=3, tol=0.0, checkpoint_dir=ckpt
+    )
+    manifest = json.load(open(os.path.join(ckpt, "manifest.json")))
+    assert manifest["latest"] == 3 and manifest["mode"] == "dataframe"
+    res = multi_ppr(
+        g5, sources, mode="distributed", max_iter=8, tol=0.0,
+        checkpoint_dir=ckpt, resume=True,
+    )
+    assert res.metrics[0]["iter"] == 1 and res.metrics[-1]["iter"] == 8
+    a = full.ranks().toPandas().sort_values("id")
+    b = res.ranks().toPandas().sort_values("id")
+    for i in range(len(sources)):
+        assert np.allclose(
+            a[f"rank_{i}"].to_numpy(), b[f"rank_{i}"].to_numpy(), atol=1e-12
+        )
+
+
 def test_checkpoint_every_k(g_rand, tmp_path):
     ckpt = str(tmp_path / "ck2")
     pagerank(g_rand, mode="broadcast", max_iter=5, tol=0.0, checkpoint_dir=ckpt, checkpoint_every=2)

@@ -114,12 +114,61 @@ def test_barrier_mode_bit_parity_with_per_superstep(g_rand, monkeypatch):
     assert barrier_available(g_rand)  # local + shm + disjoint blocks
     res_b = multi_ppr(g_rand, [0, 7, 42], max_iter=12, tol=0.0)
     res_pb = pagerank(g_rand)
+    # proof the gang actually ran (a silent fallback would make this
+    # test vacuous — ADVICE r1); phase_timings is barrier-only evidence
+    assert res_b.phase_timings is not None and "compute" in res_b.phase_timings
+    assert res_pb.phase_timings is not None
     monkeypatch.setenv("SPARK_GRAFT_BARRIER", "0")
     assert not barrier_available(g_rand)
     res_c = multi_ppr(g_rand, [0, 7, 42], max_iter=12, tol=0.0)
     res_pc = pagerank(g_rand)
+    assert res_c.phase_timings is None and res_pc.phase_timings is None
     assert res_b.iterations == res_c.iterations == 12
     assert np.array_equal(res_b.ranks_np, res_c.ranks_np)
     # the convergent full-PR run agrees too (same early-exit iteration)
     assert res_pb.iterations == res_pc.iterations
     assert np.array_equal(res_pb.ranks_np, res_pc.ranks_np)
+    # chunked stop-scalar reductions (plans/reduction.py) make the
+    # CONVERGENCE METRICS bit-identical across paths, not just close
+    for mb, mc in zip(res_pb.metrics, res_pc.metrics):
+        assert mb["l1_err"] == mc["l1_err"]
+        assert mb["sq_l2_err"] == mc["sq_l2_err"]
+        assert mb["dangling_sum"] == mc["dangling_sum"]
+
+
+def test_ppr_dangling_norm_off_matches_numpy_twin(g_rand):
+    """ppr.gm:14-16 — `norm=false` drops the dangling term. Golden twin
+    computed inline (the module golden always norms)."""
+    src, dst, w = g_rand.edges_numpy()
+    n = g_rand.num_vertices
+    for s in [0, 17]:
+        pr = np.zeros(n)
+        pr[s] = 1.0
+        for _ in range(12):
+            new = 0.8 * golden.spmv_gold(src, dst, w, n, pr)
+            new[s] += 0.2
+            pr = new
+        res = personalized_pagerank(
+            g_rand, s, tol=0.0, max_iter=12, dangling_norm=False
+        )
+        assert np.allclose(res.ranks_np[0], pr, atol=1e-12), f"source {s}"
+        # and it genuinely differs from the normed run on this graph
+        normed = personalized_pagerank(g_rand, s, tol=0.0, max_iter=12)
+        assert not np.allclose(res.ranks_np[0], normed.ranks_np[0], atol=1e-9)
+
+
+def test_ppr_dangling_norm_off_all_paths_agree(g_rand, monkeypatch):
+    gold = personalized_pagerank(g_rand, 3, tol=0.0, max_iter=8, dangling_norm=False)
+    monkeypatch.setenv("SPARK_GRAFT_BARRIER", "0")
+    fb = personalized_pagerank(g_rand, 3, tol=0.0, max_iter=8, dangling_norm=False)
+    assert np.array_equal(gold.ranks_np, fb.ranks_np)
+    dist = personalized_pagerank(
+        g_rand, 3, tol=0.0, max_iter=8, mode="distributed", dangling_norm=False
+    )
+    pdf = dist.ranks().toPandas().sort_values("id")
+    assert np.allclose(pdf["rank_0"].to_numpy(), gold.ranks_np[0], atol=1e-12)
+    multi = multi_ppr(
+        g_rand, [3, 5], tol=0.0, max_iter=8, mode="distributed", dangling_norm=False
+    )
+    mdf = multi.ranks().toPandas().sort_values("id")
+    assert np.allclose(mdf["rank_0"].to_numpy(), gold.ranks_np[0], atol=1e-12)

