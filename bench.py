@@ -168,25 +168,14 @@ def main() -> None:
 
     # ---- 50-source BFS aggregates (PGX baseline protocol analogue) -------
     def bfs50():
-        from approximate_pagerank_public_spark.operators.traversal import (
-            multi_source_bfs_block,
-        )
+        from approximate_pagerank_public_spark.operators.traversal import bfs_stats
 
         sg = graph_box.get("sg")
         if sg is None:
             edges = gnp_edges(spark, SPMV_V, SPMV_E, seed=42, skew=0.1)
             sg = Graph(edges, num_vertices=SPMV_V, num_partitions=2 * max(CPUS, 8))
             graph_box["sg"] = sg
-        from pyspark.sql import functions as F
-
-        dists = multi_source_bfs_block(sg, list(range(50)))
-        aggs = dists.groupBy("source").agg(
-            F.max("dist").alias("ecc"),
-            F.when(F.sum("dist") > 0, 1.0 / F.sum("dist"))
-            .otherwise(0.0)
-            .alias("closeness"),
-        )
-        rows = aggs.collect()
+        rows = bfs_stats(sg, list(range(50))).collect()
         extra["bfs50_sources"] = len(rows)
         extra["bfs50_max_ecc"] = max(r["ecc"] for r in rows)
         return rows
