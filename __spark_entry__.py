@@ -184,6 +184,23 @@ def q_ppr_fixed8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("id", _stable6(col).alias("rank"))
 
 
+def q_ppr_norm_off(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 8-iteration PPR with the reference's norm=false
+    (ppr.gm:14-16): dangling mass NOT redistributed — oracle-checked
+    against the unrolled CTE chain with the dangling term dropped."""
+    from approximate_pagerank_public_spark.operators.pagerank import (
+        personalized_pagerank,
+    )
+
+    g = _graph(spark, sf_dir)
+    res = personalized_pagerank(
+        g, 0, alpha=0.8, tol=0.0, max_iter=8, dangling_norm=False
+    )
+    ranks = res.ranks()
+    col = "rank_0" if "rank_0" in ranks.columns else "rank"
+    return ranks.select("id", _stable6(col).alias("rank"))
+
+
 def q_multi_ppr_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     from approximate_pagerank_public_spark.operators.pagerank import multi_ppr
 
@@ -207,6 +224,18 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = Graph(_edges(spark, sf_dir), num_partitions=16)
     return connected_components(g).select("id", "component")
+
+
+def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via the large-star/small-star O(log n)
+    alternation — same labels as min-prop, same recursive-CTE oracle."""
+    from approximate_pagerank_public_spark.operators.components import (
+        connected_components,
+    )
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    return connected_components(g, mode="star").select("id", "component")
 
 
 def q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,6 +271,16 @@ def q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = Graph(_edges(spark, sf_dir), num_partitions=16)
     return eccentricity(g, [0]).select("source", F.col("ecc").cast("long").alias("ecc"))
+
+
+def q_fbfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference fbfs (fbfs.gm): visit-counter-gated prop/dist writes,
+    deterministic (level, id) visit order — fully oracle-checked."""
+    from approximate_pagerank_public_spark.operators.traversal import filtered_bfs
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    return filtered_bfs(g, 0).select("id", "dist", "prop")
 
 
 def q_exact_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -462,11 +501,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_top20": q_pagerank_top20,
         "pagerank_fixed8": q_pagerank_fixed8,
         "ppr_fixed8": q_ppr_fixed8,
+        "ppr_norm_off": q_ppr_norm_off,
         "multi_ppr_top10": q_multi_ppr_top10,
         "connected_components": q_connected_components,
+        "cc_star": q_cc_star,
         "component_sizes": q_component_sizes,
         "label_propagation": q_label_propagation,
         "bfs_dist": q_bfs_from_min_conv,
+        "fbfs": q_fbfs,
         "exact_dedup": q_exact_dedup,
         "exact_dedup_events": q_exact_dedup_events,
         "eccentricity": q_eccentricity,
@@ -590,7 +632,10 @@ def _ngram_jaccard_oracle() -> str:
 
 
 def _pagerank_fixed_oracle(
-    iters: int = 8, alpha: float = 0.8, source: int | None = None
+    iters: int = 8,
+    alpha: float = 0.8,
+    source: int | None = None,
+    dangling_norm: bool = True,
 ) -> str:
     """PageRank unrolled as a chained-CTE power iteration (no recursive
     aggregation needed). Arithmetic is parenthesized to match the
@@ -614,18 +659,23 @@ def _pagerank_fixed_oracle(
         ),
     ]
     for k in range(iters):
-        parts.append(
-            f"d{k} AS MATERIALIZED (SELECT coalesce(sum(r), 0.0) AS dm FROM r{k} "
-            f"WHERE id IN (SELECT id FROM dang)), "
-        )
+        if dangling_norm:
+            parts.append(
+                f"d{k} AS MATERIALIZED (SELECT coalesce(sum(r), 0.0) AS dm FROM r{k} "
+                f"WHERE id IN (SELECT id FROM dang)), "
+            )
         parts.append(
             f"c{k} AS MATERIALIZED (SELECT e.dst, sum(e.weight * r{k}.r) AS s "
             f"FROM e JOIN r{k} ON r{k}.id = e.src GROUP BY e.dst), "
         )
+        dang_term = (
+            f" + ({a} / (SELECT c FROM nv)) * (SELECT dm FROM d{k})"
+            if dangling_norm
+            else ""
+        )
         parts.append(
             f"r{k+1} AS MATERIALIZED (SELECT v.id, "
-            f"({a} * coalesce(c{k}.s, 0.0) + ({a} / (SELECT c FROM nv)) "
-            f"* (SELECT dm FROM d{k}))"
+            f"({a} * coalesce(c{k}.s, 0.0){dang_term})"
             + (
                 f" + ((1.0 - {a}) / (SELECT c FROM nv)) AS r "
                 if source is None
@@ -760,6 +810,16 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT und.dst, r.lbl FROM r JOIN und ON r.id = und.src) "
             "SELECT id, min(lbl) AS component FROM r GROUP BY id"
         ),
+        "cc_star": (
+            f"WITH RECURSIVE e AS ({e_sql}), "
+            "und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), "
+            "verts AS (SELECT DISTINCT src AS id FROM und), "
+            "r(id, lbl) AS ("
+            "  SELECT id, id FROM verts "
+            "  UNION "
+            "  SELECT und.dst, r.lbl FROM r JOIN und ON r.id = und.src) "
+            "SELECT id, min(lbl) AS component FROM r GROUP BY id"
+        ),
         "component_sizes": (
             f"WITH RECURSIVE e AS ({e_sql}), "
             "und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), "
@@ -780,6 +840,25 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT e.dst, r.dist + 1 FROM r JOIN e ON r.id = e.src "
             "  WHERE r.dist < 100) "
             "SELECT id, min(dist) AS dist FROM r GROUP BY id"
+        ),
+        "fbfs": (
+            f"WITH RECURSIVE e AS ({e_sql}), "
+            "r(id, dist) AS ("
+            "  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
+            "  UNION "
+            "  SELECT e.dst, r.dist + 1 FROM r JOIN e ON r.id = e.src "
+            "  WHERE r.dist < 100), "
+            "d AS (SELECT id, min(dist) AS dist FROM r GROUP BY id), "
+            "c AS (SELECT id, dist, "
+            "  row_number() OVER (ORDER BY dist, id) - 1 AS cnt FROM d), "
+            "verts AS (SELECT DISTINCT id FROM "
+            "  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)) "
+            "SELECT v.id, "
+            "CAST(CASE WHEN c.cnt >= 9 THEN c.dist "
+            "     WHEN v.id = 0 THEN 0 END AS BIGINT) AS dist, "
+            "CAST(CASE WHEN c.cnt >= 9 THEN 2 * c.cnt + 1 ELSE 0 END AS BIGINT) "
+            "AS prop "
+            "FROM verts v LEFT JOIN c ON c.id = v.id"
         ),
         "lang_id": _lang_id_oracle(),
         "eccentricity": (
@@ -863,6 +942,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank_fixed8": _pagerank_fixed_oracle(8, 0.8),
         "ppr_fixed8": _pagerank_fixed_oracle(8, 0.8, source=0),
+        "ppr_norm_off": _pagerank_fixed_oracle(8, 0.8, source=0, dangling_norm=False),
         "label_propagation": _lpa_oracle(5),
         "cosine_topk": _cosine_topk_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),

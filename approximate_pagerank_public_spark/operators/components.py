@@ -126,14 +126,99 @@ def _cc_distributed(graph: Graph, max_iter: int) -> tuple[DataFrame, int]:
     return labels, max_iter
 
 
+def _cc_star_distributed(graph: Graph, max_rounds: int = 60) -> tuple[DataFrame, int]:
+    """Large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — converges in O(log n) rounds
+    regardless of diameter, where min-label propagation needs
+    O(diameter) supersteps (the r1 TODO: a path-shaped 100x graph is
+    the first place min-prop falls over).
+
+    Each round is joins + groupBy-min over the edge list — no
+    collect_list, so hub neighborhoods never materialize in one task:
+
+    - large-star: every node links its LARGER neighbors to
+      ``m = min(Γ(u) ∪ {u})``;
+    - small-star: every node links its smaller neighbors (and itself)
+      to the minimum of its smaller neighborhood.
+
+    Fixpoint (edge set stable, checked via count + order-independent
+    xxhash aggregate) leaves star edges ``(v, root)``; labels read off
+    directly. ``graph`` must already be symmetrized (undirected()).
+    """
+    spark = graph.spark
+    p = graph.num_partitions
+    e = graph.edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e = e.repartition(p, "a").localCheckpoint()
+
+    def _sig(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
+        ).first()
+        return int(row["n"]), int(row["h"])
+
+    sig = _sig(e)
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        # ---- large-star over the symmetrized current edge set
+        sym = e.unionAll(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct()
+        mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
+        mins = mins.select("a", F.least("a", "mn").alias("m"))
+        ls = (
+            sym.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # ---- small-star on the min-oriented edges
+        ori = ls.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        ).distinct()
+        mins2 = ori.groupBy("a").agg(F.min("b").alias("m"))
+        ss = (
+            ori.join(mins2, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionAll(mins2.select(F.col("a"), F.col("m").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .repartition(p, "a")
+            .localCheckpoint()
+        )
+        new_sig = _sig(ss)
+        old = e
+        e = ss
+        old.unpersist()
+        if new_sig == sig:
+            break
+        sig = new_sig
+    roots = e.groupBy("a").agg(F.min("b").alias("r"))
+    verts = graph.vertices
+    labels = verts.join(roots, verts["id"] == roots["a"], "left").select(
+        "id",
+        F.least(F.col("id"), F.coalesce("r", F.col("id"))).alias("component"),
+    )
+    return labels, rounds
+
+
 def connected_components(
     graph: Graph, max_iter: int = 200, mode: str = "auto"
 ) -> DataFrame:
-    """``(id, component)`` over the symmetrized graph (weak components)."""
+    """``(id, component)`` over the symmetrized graph (weak components).
+
+    ``mode``: ``broadcast`` (Arrow min-label kernel, O(diameter)
+    supersteps), ``distributed`` (DataFrame min-prop twin), or ``star``
+    (large-star/small-star, O(log n) rounds — the path-graph-safe choice
+    for high-diameter graphs at any scale)."""
     und = graph.undirected()
     if mode == "auto":
         mode = "broadcast" if graph.num_vertices <= 100_000_000 else "distributed"
     try:
+        if mode == "star":
+            labels_df, _ = _cc_star_distributed(und)
+            return labels_df
         if mode == "broadcast":
             labels, _ = _cc_broadcast(und, max_iter)
             import pandas as pd

@@ -18,8 +18,62 @@ Python in any hot path.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+logger = logging.getLogger(__name__)
+
+
+def cap_bucket_size(
+    df: DataFrame,
+    bucket_cols: list[str],
+    order_col: str,
+    cap: int | None,
+    log_skew: bool = False,
+    label: str = "lsh",
+) -> DataFrame:
+    """Truncate every LSH bucket to its ``cap`` smallest ``order_col``
+    members (deterministic). A degenerate bucket of k near-identical
+    docs otherwise emits k² candidate pairs — at 100 TB a boilerplate
+    bucket with 10^6 members is a 10^12-pair job killer; with the cap
+    the worst bucket emits ≤ cap². Oversized buckets sort inside one
+    task (bounded spill); the dropped members are still covered by
+    exact dedup and by their other band buckets.
+
+    ``log_skew=True`` eagerly computes and logs the dropped volume
+    (persists ``df`` first so the upstream pipeline is not recomputed).
+    """
+    if cap is None:
+        return df
+    if log_skew:
+        df = df.persist()
+        stats = (
+            df.groupBy(*bucket_cols)
+            .count()
+            .where(F.col("count") > cap)
+            .agg(
+                F.count("*").alias("n_buckets"),
+                F.coalesce(F.sum(F.col("count") - cap), F.lit(0)).alias("dropped"),
+            )
+            .first()
+        )
+        if stats["n_buckets"]:
+            logger.warning(
+                "%s: capped %d oversized buckets (cap=%d), dropped %d rows",
+                label,
+                stats["n_buckets"],
+                cap,
+                stats["dropped"],
+            )
+    w = Window.partitionBy(*bucket_cols).orderBy(order_col)
+    return (
+        df.withColumn("_brn", F.row_number().over(w))
+        .where(F.col("_brn") <= cap)
+        .drop("_brn")
+    )
 
 
 def _normalized_text(col: str = "text") -> F.Column:
@@ -83,9 +137,14 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_size: int | None = 2000,
+    log_skew: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs ``(a, b)`` with a < b: docs sharing
-    at least one LSH band bucket."""
+    at least one LSH band bucket. Buckets larger than
+    ``max_bucket_size`` are truncated to their smallest doc_ids (see
+    :func:`cap_bucket_size`) so a degenerate bucket cannot emit k²
+    pairs; ``None`` disables the cap."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(shingles(docs, id_col, text_col, shingle_n), num_hashes)
     banded = sig.select(
@@ -110,6 +169,9 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+    banded = cap_bucket_size(
+        banded, ["band", "bucket"], "doc_id", max_bucket_size, log_skew, "minhash-lsh"
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -93,8 +93,12 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: exact cosine re-rank within LSH candidates."""
+    """Approximate top-k: exact cosine re-rank within LSH candidates.
+    ``max_bucket_size`` truncates degenerate corpus buckets (smallest
+    ids kept — ``dedup.cap_bucket_size``) so one hot bucket cannot blow
+    up the candidate join; None (default) keeps exact-recall behavior."""
     corpus_buckets = embeddings.select(
         id_col,
         vec_col,
@@ -110,6 +114,12 @@ def lsh_ann_topk(
             )
         ).alias("tb"),
     ).select(id_col, vec_col, "tb.tbl", "tb.bucket")
+    if max_bucket_size is not None:
+        from approximate_pagerank_public_spark.operators.dedup import cap_bucket_size
+
+        corpus_buckets = cap_bucket_size(
+            corpus_buckets, ["tbl", "bucket"], id_col, max_bucket_size, label="ann-lsh"
+        )
     query_buckets = queries.select(
         query_id_col,
         query_vec_col,
@@ -151,6 +161,7 @@ def embedding_near_duplicates(
     bits: int = 4,
     tables: int = 8,
     seed: int = 42,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs ``(a_id, b_id, cosine)`` with
     ``a_id < b_id`` and ``cosine >= threshold``.
@@ -198,6 +209,11 @@ def embedding_near_duplicates(
                 )
             ).alias("tb"),
         ).select("vid", "tb.tbl", "tb.bucket")
+        from approximate_pagerank_public_spark.operators.dedup import cap_bucket_size
+
+        buckets = cap_bucket_size(
+            buckets, ["tbl", "bucket"], "vid", max_bucket_size, label="near-dup-lsh"
+        )
         left = buckets.select(
             F.col("vid").alias("a_id"), "tbl", "bucket"
         )

@@ -44,10 +44,71 @@ def bfs(
     """``(id, dist)`` for vertices reachable from ``source``.
 
     ``vertex_filter`` (a boolean Column over ``id``) restricts which
-    vertices may be visited — the ``fbfs`` predicate hook.
+    vertices may be visited — a *traversal*-blocking predicate (the
+    reference ``fbfs.gm`` predicate gates only the property WRITE, not
+    the traversal — that exact semantics is :func:`filtered_bfs`).
+    Filterless runs take the frontier-sparse block kernel when CSR
+    blocks exist.
     """
+    if vertex_filter is None and graph.blocks is not None:
+        return multi_source_bfs_block(graph, [source], max_levels).select("id", "dist")
     res = multi_source_bfs(graph, [source], max_levels, vertex_filter)
     return res.select("id", "dist")
+
+
+def filtered_bfs(
+    graph: Graph, root: int, skip_first: int = 9, max_levels: int = 10_000
+) -> DataFrame:
+    """Reference ``fbfs`` (``fbfs.gm:1-19``): BFS from ``root`` with a
+    global visit counter ``cnt``; a visited vertex gets ``prop =
+    2·cnt+1`` and ``dist = level`` only once ``cnt >= skip_first`` (the
+    gm's ``(cnt+1)/10 != 0`` integer-division predicate ≡ skip the
+    first 9 visits); earlier visits keep ``prop = 0`` and ``dist``
+    unwritten. The root's ``dist = 0`` is written unconditionally
+    (``fbfs.gm:9``). PGX leaves within-level visit order
+    implementation-defined; here it is pinned to ascending vertex id
+    within ascending level — deterministic, hence oracle-checkable.
+
+    Returns ALL vertices: ``(id, dist, prop)`` with ``dist`` null for
+    +INF. The counter ranks are assigned with the same scalable
+    range-partition + per-partition row_number + driver-offset pattern
+    as ``etl.densify_vertices`` — no global single-partition window.
+    """
+    from pyspark.sql.window import Window
+
+    dists = bfs(graph, root, max_levels)  # (id, dist), reached only
+    spark = graph.spark
+    p = graph.num_partitions
+    ranged = (
+        dists.repartitionByRange(p, "dist", "id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {r["_pid"]: r["count"] for r in ranged.groupBy("_pid").count().collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = spark.createDataFrame(
+        [(int(pid), int(off)) for pid, off in offsets.items()], "_pid int, _off long"
+    )
+    w = Window.partitionBy("_pid").orderBy("dist", "id")
+    cnted = ranged.join(F.broadcast(off_df), "_pid").select(
+        "id",
+        F.col("dist").cast("long").alias("dist"),
+        (F.row_number().over(w) - 1 + F.col("_off")).alias("cnt"),
+    )
+    write = F.col("cnt") >= skip_first
+    return graph.vertices.join(cnted, "id", "left").select(
+        "id",
+        F.when(write, F.col("dist"))
+        .when(F.col("id") == root, F.lit(0))
+        .cast("long")
+        .alias("dist"),
+        F.coalesce(F.when(write, 2 * F.col("cnt") + 1), F.lit(0))
+        .cast("long")
+        .alias("prop"),
+    )
 
 
 def multi_source_bfs(

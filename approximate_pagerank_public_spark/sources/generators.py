@@ -99,6 +99,58 @@ def watts_strogatz_edges(
     )
 
 
+def powerlaw_cluster_edges(
+    spark: SparkSession,
+    num_vertices: int,
+    num_edges: int,
+    p_triad: float = 0.1,
+    bias: float = 2.0,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Triangle-rich heavy-tail graph — the protocol role of the
+    reference's ``pc`` family (nx.powerlaw_cluster_graph(m=1000, p=.1),
+    ``generate_graph.py:85-95``), i.e. Holme–Kim: preferential
+    attachment plus triad closure.
+
+    Distributed deterministic stand-in: each generator row builds a
+    wedge ``(s,d1), (s,d2)`` with heavy-tail dst draws (same inverse-CDF
+    tail as :func:`powerlaw_edges`) and closes it into a triangle
+    ``(d1,d2)`` with probability ``p_triad`` — so clustering is tunable
+    independently of the degree tail, which is exactly what the pc
+    family adds over plain scale-free. ~``num_edges`` edges total;
+    self-loops dropped; 1/outdeg weights; deterministic in ``seed``.
+    """
+    p = partitions or spark.sparkContext.defaultParallelism
+    rows = max(1, int(num_edges / (2.0 + p_triad)))
+    e = spark.range(0, rows, 1, p)
+    s = F.pmod(F.xxhash64("id", F.lit(seed), F.lit(31)), F.lit(num_vertices))
+    d1 = F.floor(
+        F.lit(float(num_vertices)) * F.pow(_u01(seed, 32), F.lit(float(bias)))
+    ).cast("long")
+    d2 = F.floor(
+        F.lit(float(num_vertices)) * F.pow(_u01(seed, 33), F.lit(float(bias)))
+    ).cast("long")
+    close = _u01(seed, 34) < F.lit(float(p_triad))
+    wedges = e.select(
+        s.alias("s"), d1.alias("d1"), d2.alias("d2"), close.alias("close")
+    )
+    df = (
+        wedges.select(F.col("s").alias("src"), F.col("d1").alias("dst"))
+        .unionAll(wedges.select(F.col("s").alias("src"), F.col("d2").alias("dst")))
+        .unionAll(
+            wedges.where("close").select(
+                F.col("d1").alias("src"), F.col("d2").alias("dst")
+            )
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    w = Window.partitionBy("src")
+    return df.select(
+        "src", "dst", (F.lit(1.0) / F.count("*").over(w)).alias("weight")
+    )
+
+
 def powerlaw_edges(
     spark: SparkSession,
     num_vertices: int,

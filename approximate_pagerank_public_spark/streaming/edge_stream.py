@@ -85,49 +85,57 @@ def stateful_consecutive_edges(transcripts_stream: DataFrame) -> DataFrame:
     dropped, making the operator idempotent under at-least-once
     delivery.
     """
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = "conv_id string, src_entity string, dst_entity string"
     state_schema = "last_turn long, last_entity string"
 
-    def link(key, pdf_iter, state: GroupState):
-        conv_id = key[0]
-        if state.exists:
-            last_turn, last_entity = state.get
-        else:
-            last_turn, last_entity = -1, None
-        outs = []
-        for pdf in pdf_iter:
-            pdf = pdf[pdf["turn_idx"] > last_turn].sort_values("turn_idx")
-            if not len(pdf):
-                continue
-            ents = ("tool:" + pdf["tool"].astype(str)).where(
-                pdf["role"].eq("tool"), "role:" + pdf["role"].astype(str)
-            )
-            src = ents.shift(1)
-            if last_entity is not None:
-                src.iloc[0] = last_entity
-            mask = src.notna()
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "conv_id": conv_id,
-                        "src_entity": src[mask],
-                        "dst_entity": ents[mask],
-                    }
-                )
-            )
-            last_turn = int(pdf["turn_idx"].iloc[-1])
-            last_entity = str(ents.iloc[-1])
-        state.update((last_turn, last_entity))
-        if outs:
-            yield pd.concat(outs, ignore_index=True)
-
     return transcripts_stream.groupBy("conv_id").applyInPandasWithState(
-        link,
+        _link_group,
         out_schema,
         state_schema,
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def _link_group(key, pdf_iter, state):
+    """Stateful linker for one conversation's micro-batch rows.
+
+    The whole group is MATERIALIZED and sorted once before linking:
+    ``applyInPandasWithState`` gives no intra-group ordering guarantee
+    across Arrow chunks, so chunk-at-a-time linking silently dropped a
+    later chunk carrying earlier turns (ADVICE r1). Memory is bounded by
+    one conversation's rows within one micro-batch — inherently small
+    next to the Arrow chunk size that triggers multi-chunk groups.
+    """
+    import pandas as pd
+
+    conv_id = key[0]
+    if state.exists:
+        last_turn, last_entity = state.get
+    else:
+        last_turn, last_entity = -1, None
+    chunks = list(pdf_iter)
+    pdf = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+    if len(pdf):
+        pdf = pdf[pdf["turn_idx"] > last_turn].sort_values("turn_idx")
+    if len(pdf):
+        ents = ("tool:" + pdf["tool"].astype(str)).where(
+            pdf["role"].eq("tool"), "role:" + pdf["role"].astype(str)
+        )
+        src = ents.shift(1)
+        if last_entity is not None:
+            src.iloc[0] = last_entity
+        mask = src.notna()
+        state.update((int(pdf["turn_idx"].iloc[-1]), str(ents.iloc[-1])))
+        if mask.any():
+            yield pd.DataFrame(
+                {
+                    "conv_id": conv_id,
+                    "src_entity": src[mask],
+                    "dst_entity": ents[mask],
+                }
+            )
+    else:
+        state.update((last_turn, last_entity))

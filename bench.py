@@ -110,6 +110,21 @@ def main() -> None:
         run("q_lpa5", lambda: label_propagation(g, max_iter=5).count())
         run("q_triangles", lambda: triangle_count(g))
 
+    # ---- triangle count on the reference-shaped pc family ----------------
+    def triangles_pc():
+        from approximate_pagerank_public_spark.sources.generators import (
+            powerlaw_cluster_edges,
+        )
+
+        pc = powerlaw_cluster_edges(spark, 100_000, 2_000_000, p_triad=0.1, seed=42)
+        gpc = Graph(pc, num_vertices=100_000, num_partitions=max(CPUS, 16))
+        t = triangle_count(gpc)
+        extra["pc_triangles"] = t
+        gpc.unpersist()
+        return t
+
+    run("q_triangles_pc", triangles_pc)
+
     # ---- training-data ops on the driver tables --------------------------
     def dedup_minhash():
         from approximate_pagerank_public_spark.operators.dedup import (

@@ -43,6 +43,49 @@ def test_minhash_lsh_finds_near_dup(docs_with_dups):
     assert (base0[1]["doc_id"], 9002) in pairset  # near dup shares bands
 
 
+def test_minhash_lsh_bucket_cap_bounds_degenerate_pairs(spark, docs):
+    """k identical docs collide in EVERY band bucket → k² pairs without
+    a cap; with max_bucket_size=m the output is bounded by bands·C(m,2)
+    and the kept members are the deterministic smallest ids."""
+    k, cap, bands = 40, 6, 4
+    clones = spark.createDataFrame(
+        [(10_000 + i, "same boilerplate text repeated many times here", "en", "c", 46)
+         for i in range(k)],
+        docs.schema,
+    )
+    uncapped = dedup.minhash_lsh_candidates(
+        clones, num_hashes=16, bands=bands, max_bucket_size=None
+    ).count()
+    assert uncapped == k * (k - 1) // 2  # the degenerate blow-up
+    capped = dedup.minhash_lsh_candidates(
+        clones, num_hashes=16, bands=bands, max_bucket_size=cap
+    ).toPandas()
+    assert len(capped) <= bands * cap * (cap - 1) // 2
+    # deterministic: smallest ids survive the truncation
+    assert set(capped["a"]) | set(capped["b"]) == {10_000 + i for i in range(cap)}
+
+
+def test_embedding_near_dup_lsh_bucket_cap(spark):
+    """Same cap on the hyperplane-LSH pair generator: identical vectors
+    land in one bucket per table; candidates stay bounded."""
+    import numpy as np
+
+    from approximate_pagerank_public_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    k, cap = 30, 5
+    vec = np.random.default_rng(7).standard_normal(16).tolist()
+    emb = spark.createDataFrame(
+        [(i, vec) for i in range(k)], "vec_id long, embedding array<double>"
+    )
+    capped = embedding_near_duplicates(
+        emb, threshold=0.99, method="lsh", dim=16, max_bucket_size=cap
+    ).toPandas()
+    assert 0 < len(capped) <= cap * (cap - 1) // 2
+    assert set(capped["a_id"]) | set(capped["b_id"]) == set(range(cap))
+
+
 def test_ngram_jaccard_verification(spark, docs_with_dups):
     base = docs_with_dups.limit(2).collect()
     pairs = spark.createDataFrame(

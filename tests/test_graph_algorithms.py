@@ -58,6 +58,54 @@ def test_connected_components_distributed_parity(spark):
     g.unpersist()
 
 
+def test_connected_components_star_mode_path_graph(spark):
+    """Large-star/small-star must agree with min-prop on a 600-vertex
+    path — the diameter-bound worst case — while converging in O(log n)
+    rounds instead of O(n) supersteps."""
+    import numpy as np
+
+    from approximate_pagerank_public_spark.operators.components import (
+        _cc_star_distributed,
+    )
+
+    n = 600
+    src = list(range(n - 1)) + [700]
+    dst = list(range(1, n)) + [701]
+    g = Graph.from_edge_arrays(spark, src, dst, num_vertices=702, num_partitions=4)
+    star = (
+        connected_components(g, mode="star")
+        .toPandas()
+        .sort_values("id")["component"]
+        .to_numpy()
+    )
+    gold = golden.golden_connected_components(
+        np.asarray(src), np.asarray(dst), 702
+    )
+    assert (star == gold).all()
+    # round count: O(log n), far under the path's O(n) diameter
+    und = g.undirected()
+    _, rounds = _cc_star_distributed(und)
+    und.unpersist()
+    assert rounds <= 15
+    g.unpersist()
+
+
+def test_connected_components_star_matches_broadcast(g_rand):
+    a = (
+        connected_components(g_rand, mode="broadcast")
+        .toPandas()
+        .sort_values("id")["component"]
+        .to_numpy()
+    )
+    b = (
+        connected_components(g_rand, mode="star")
+        .toPandas()
+        .sort_values("id")["component"]
+        .to_numpy()
+    )
+    assert (a == b).all()
+
+
 def test_connected_components_random(g_rand):
     src, dst, _ = g_rand.edges_numpy()
     gold = golden.golden_connected_components(src, dst, 300)

@@ -169,3 +169,52 @@ def test_stateful_consecutive_edges_across_batches(spark, tmp_path):
     # the cross-batch link (turn 2 -> turn 3) exists per conversation
     cross = got[(got["conv_id"] == "a")]
     assert len(got) == len(want) == 10  # 5 links x 2 convs
+
+
+def test_link_group_handles_out_of_order_chunks():
+    """applyInPandasWithState gives no intra-group chunk ordering: a
+    later Arrow chunk may hold EARLIER turns. The linker must produce
+    the same edges regardless of chunk order/split (ADVICE r1)."""
+    import pandas as pd
+
+    from approximate_pagerank_public_spark.streaming.edge_stream import _link_group
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.get = None
+
+        def update(self, v):
+            self.exists, self.get = True, tuple(v)
+
+    def mk(turns):
+        return pd.DataFrame(
+            {
+                "conv_id": "c",
+                "turn_idx": turns,
+                "role": ["user", "tool", "assistant", "tool", "user", "assistant"][
+                    : len(turns)
+                ],
+                "tool": [f"t{i}" for i in turns],
+            }
+        )
+
+    full = mk([0, 1, 2, 3, 4, 5])
+
+    def run(chunks):
+        st = FakeState()
+        outs = list(_link_group(("c",), iter(chunks), st))
+        return pd.concat(outs).reset_index(drop=True), st.get
+
+    in_order, st1 = run([full.iloc[:3], full.iloc[3:]])
+    reversed_chunks, st2 = run([full.iloc[3:], full.iloc[:3]])
+    one_chunk, st3 = run([full])
+    key = ["src_entity", "dst_entity"]
+    assert sorted(map(tuple, in_order[key].values)) == sorted(
+        map(tuple, one_chunk[key].values)
+    )
+    assert sorted(map(tuple, reversed_chunks[key].values)) == sorted(
+        map(tuple, one_chunk[key].values)
+    )
+    assert len(one_chunk) == 5
+    assert st1 == st2 == st3 == (5, "role:assistant")

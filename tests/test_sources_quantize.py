@@ -140,6 +140,35 @@ def test_watts_strogatz_lattice_structure(spark):
     assert a != lattice
 
 
+def test_powerlaw_cluster_triangle_rich_and_deterministic(spark):
+    """The pc-family stand-in must (a) be deterministic in seed,
+    (b) keep the heavy in-degree tail, and (c) carry far more triangles
+    than an edge-matched G(n,m) — the property the reference's
+    powerlaw_cluster_graph adds (generate_graph.py:85-95)."""
+    from approximate_pagerank_public_spark.operators.triangles import triangle_count
+    from approximate_pagerank_public_spark.plans.graph import Graph
+    from approximate_pagerank_public_spark.sources.generators import (
+        gnp_edges,
+        powerlaw_cluster_edges,
+    )
+
+    pc = powerlaw_cluster_edges(spark, 2000, 20_000, p_triad=0.2, seed=7)
+    pc2 = powerlaw_cluster_edges(spark, 2000, 20_000, p_triad=0.2, seed=7)
+    a = sorted(map(tuple, pc.select("src", "dst").collect()))
+    assert a == sorted(map(tuple, pc2.select("src", "dst").collect()))
+    indeg = pc.groupBy("dst").count().toPandas()["count"]
+    assert indeg.max() > 10 * indeg.mean()  # heavy tail preserved
+    g_pc = Graph(pc, num_vertices=2000, num_partitions=4)
+    g_rand = Graph(
+        gnp_edges(spark, 2000, len(a), seed=7), num_vertices=2000, num_partitions=4
+    )
+    t_pc = triangle_count(g_pc)
+    t_rand = triangle_count(g_rand)
+    assert t_pc > 3 * max(t_rand, 1)
+    g_pc.unpersist()
+    g_rand.unpersist()
+
+
 def test_powerlaw_heavy_tail(spark):
     from approximate_pagerank_public_spark.sources.generators import powerlaw_edges
 

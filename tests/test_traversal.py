@@ -65,6 +65,46 @@ def test_closeness_and_eccentricity(g_rand):
         assert ec[s] == max(gold.values())
 
 
+def _golden_fbfs(src, dst, n, root, skip=9):
+    """fbfs.gm twin under the engine's pinned (level, id) visit order."""
+    gold = _golden_bfs(src, dst, n, root)
+    order = sorted(gold, key=lambda v: (gold[v], v))
+    out = {}
+    for cnt, v in enumerate(order):
+        if cnt >= skip:
+            out[v] = (gold[v], 2 * cnt + 1)
+        else:
+            out[v] = (0 if v == root else None, 0)
+    for v in range(n):
+        out.setdefault(v, (None, 0))
+    return out
+
+
+def test_filtered_bfs_fbfs_semantics(g_rand):
+    from approximate_pagerank_public_spark.operators.traversal import filtered_bfs
+
+    src, dst, _ = g_rand.edges_numpy()
+    gold = _golden_fbfs(src, dst, 300, 17)
+    res = filtered_bfs(g_rand, 17).toPandas()
+    assert len(res) == 300
+    for _, row in res.iterrows():
+        gd, gp = gold[row["id"]]
+        got_d = None if row.isna()["dist"] else int(row["dist"])
+        assert got_d == gd, f"id {row['id']}: dist {got_d} != {gd}"
+        assert int(row["prop"]) == gp, f"id {row['id']}: prop"
+
+
+def test_filtered_bfs_small_reach_all_skipped(g5):
+    """A root reaching < skip_first vertices writes nothing but its own
+    unconditional dist=0 (fbfs.gm:9)."""
+    from approximate_pagerank_public_spark.operators.traversal import filtered_bfs
+
+    res = filtered_bfs(g5, 1).toPandas().set_index("id")
+    assert (res["prop"] == 0).all()
+    assert res.loc[1, "dist"] == 0
+    assert res.drop(index=1)["dist"].isna().all()
+
+
 def test_block_bfs_matches_frontier_bfs(g_rand):
     from approximate_pagerank_public_spark.operators.traversal import (
         multi_source_bfs,
