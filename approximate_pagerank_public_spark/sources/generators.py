@@ -151,6 +151,52 @@ def powerlaw_cluster_edges(
     )
 
 
+def scale_free_edges(
+    spark: SparkSession,
+    num_vertices: int,
+    num_edges: int,
+    alpha: float = 0.05,
+    beta: float = 0.9,
+    gamma: float = 0.05,
+    bias: float = 2.0,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Directed scale-free graph — the reference's ``scf`` family
+    (``nx.scale_free_graph(alpha=.05, beta=.9, gamma=.05)``,
+    ``generate_graph.py:96-106``), which is heavy-tailed in BOTH in- and
+    out-degree.
+
+    Distributed stand-in for the sequential preferential-attachment
+    process: each edge picks a branch by the α/β/γ mixture —
+    α: uniform src → attractive (heavy-tail) dst;
+    β: hub (heavy-tail) src → attractive dst;
+    γ: hub src → uniform dst —
+    with heavy endpoints drawn by the same inverse-CDF tail as
+    :func:`powerlaw_edges`. Deterministic in ``seed``; self-loops
+    dropped; 1/outdeg weights.
+    """
+    p = partitions or spark.sparkContext.defaultParallelism
+    e = spark.range(0, num_edges, 1, p)
+    nv = F.lit(float(num_vertices))
+    heavy_src = F.floor(nv * F.pow(_u01(seed, 41), F.lit(float(bias)))).cast("long")
+    heavy_dst = F.floor(nv * F.pow(_u01(seed, 42), F.lit(float(bias)))).cast("long")
+    uni_src = F.pmod(F.xxhash64("id", F.lit(seed), F.lit(43)), F.lit(num_vertices))
+    uni_dst = F.pmod(F.xxhash64("id", F.lit(seed), F.lit(44)), F.lit(num_vertices))
+    branch = _u01(seed, 45)
+    src = F.when(branch < F.lit(float(alpha)), uni_src).otherwise(heavy_src)
+    dst = F.when(
+        branch < F.lit(float(alpha + beta)), heavy_dst
+    ).otherwise(uni_dst)
+    df = e.select(src.alias("src"), dst.alias("dst")).where(
+        F.col("src") != F.col("dst")
+    )
+    w = Window.partitionBy("src")
+    return df.select(
+        "src", "dst", (F.lit(1.0) / F.count("*").over(w)).alias("weight")
+    )
+
+
 def powerlaw_edges(
     spark: SparkSession,
     num_vertices: int,

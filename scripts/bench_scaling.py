@@ -38,12 +38,24 @@ def run_at(cpus: int, env_extra: dict | None = None) -> dict:
     return json.loads(line)
 
 
-def measure(n: int, env_extra: dict, label: str, note: str) -> dict:
-    lo = run_at(n, env_extra)
-    hi = run_at(4 * n, env_extra)
-    tput_lo = lo["extra"]["spmv_edge_traversals_per_sec_median"]
-    tput_hi = hi["extra"]["spmv_edge_traversals_per_sec_median"]
+def measure(n: int, env_extra: dict, label: str, note: str, trials: int | None = None) -> dict:
+    """Median throughput over `trials` fresh-JVM runs PER parallelism
+    level — a single-run efficiency is the ratio of two ±15% noisy
+    numbers on this VM (seen live: 0.67 and 0.82 for identical code);
+    the cross-JVM median pins both sides before taking the ratio. All
+    per-trial numbers are recorded alongside the medians."""
+    if trials is None:
+        trials = int(os.environ.get("SCALING_TRIALS", "3"))
+    los = [run_at(n, env_extra) for _ in range(trials)]
+    his = [run_at(4 * n, env_extra) for _ in range(trials)]
+
+    def tputs(runs):
+        return sorted(r["extra"]["spmv_edge_traversals_per_sec_median"] for r in runs)
+
+    t_lo, t_hi = tputs(los), tputs(his)
+    tput_lo, tput_hi = t_lo[len(t_lo) // 2], t_hi[len(t_hi) // 2]
     eff = tput_hi / (4 * tput_lo)
+    lo, hi = los[0], his[0]
     return {
         "workload": f"q_spmv_throughput[{label}]",
         "edges": lo["extra"]["spmv_edges"],
@@ -53,6 +65,10 @@ def measure(n: int, env_extra: dict, label: str, note: str) -> dict:
         "cores_hi": 4 * n,
         "sec_lo": lo["queries"]["q_spmv_throughput"],
         "sec_hi": hi["queries"]["q_spmv_throughput"],
+        "trials": trials,
+        "repeats_per_trial": int(os.environ.get("SPARK_GRAFT_BENCH_N", "5")),
+        "trials_lo_et_per_sec": t_lo,
+        "trials_hi_et_per_sec": t_hi,
         "edge_traversals_per_sec_lo": tput_lo,
         "edge_traversals_per_sec_hi": tput_hi,
         "scaling_efficiency": round(eff, 3),
@@ -63,6 +79,7 @@ def measure(n: int, env_extra: dict, label: str, note: str) -> dict:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    barrier_only = "--barrier-only" in sys.argv
     results = [
         measure(
             n,
@@ -73,17 +90,21 @@ def main() -> None:
             "row-range-parallel axpb/error phases - the north-rule evidence "
             "(same input, N vs 4N cores, median-superstep throughput)",
         ),
-        measure(
-            n,
-            {"SPARK_GRAFT_BARRIER": "0"},
-            "per-superstep",
-            "fallback path (one Spark job per superstep, driver merge): "
-            "dominated by fixed per-job scheduling at this graph size, so "
-            "added cores do not help - why the barrier path is the default "
-            "on a single node; on a real cluster the per-job overhead "
-            "amortizes over much larger per-superstep work",
-        ),
     ]
+    if not barrier_only:
+        results.append(
+            measure(
+                n,
+                {"SPARK_GRAFT_BARRIER": "0"},
+                "per-superstep",
+                "fallback path (one Spark job per superstep, driver merge): "
+                "dominated by fixed per-job scheduling at this graph size, so "
+                "added cores do not help - why the barrier path is the default "
+                "on a single node; on a real cluster the per-job overhead "
+                "amortizes over much larger per-superstep work",
+                trials=1,
+            )
+        )
     print(json.dumps(results, indent=1))
     path = os.path.join(REPO, "BENCH_SCALING.json")
     hist = []

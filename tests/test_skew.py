@@ -36,6 +36,25 @@ def test_skew_split_results_identical(spark, skewed_edges):
     g_split.unpersist()
 
 
+def test_skew_split_block_bfs_parity(spark, skewed_edges):
+    """Salted layouts overlap dst sets across blocks — the frontier-
+    sparse BFS must fall back to the minimum.at merge and still match
+    the frontier-join result exactly."""
+    from approximate_pagerank_public_spark.operators.traversal import (
+        multi_source_bfs,
+        multi_source_bfs_block,
+    )
+
+    g = Graph(skewed_edges, num_partitions=8, skew_split=True,
+              hot_dst_threshold=1024, salt_buckets=8)
+    sources = [0, 7, 99]
+    a = multi_source_bfs(g, sources).toPandas()
+    b = multi_source_bfs_block(g, sources).toPandas()
+    key = ["source", "id", "dist"]
+    assert sorted(map(tuple, a[key].values)) == sorted(map(tuple, b[key].values))
+    g.unpersist()
+
+
 def test_skew_split_improves_balance(spark, skewed_edges):
     g_plain = Graph(skewed_edges, num_partitions=8)
     g_split = Graph(

@@ -169,6 +169,23 @@ def test_powerlaw_cluster_triangle_rich_and_deterministic(spark):
     g_rand.unpersist()
 
 
+def test_scale_free_two_sided_tails(spark):
+    """scf family: heavy tails on BOTH in- and out-degree (unlike
+    powerlaw_edges, whose src side is uniform), deterministic in seed."""
+    from approximate_pagerank_public_spark.sources.generators import scale_free_edges
+
+    g = scale_free_edges(spark, 10_000, 100_000, seed=7)
+    pdf = g.select("src", "dst").toPandas()
+    outdeg = pdf.groupby("src").size()
+    indeg = pdf.groupby("dst").size()
+    assert outdeg.max() > 10 * outdeg.mean()
+    assert indeg.max() > 10 * indeg.mean()
+    g2 = scale_free_edges(spark, 10_000, 100_000, seed=7)
+    assert sorted(map(tuple, pdf.values)) == sorted(
+        map(tuple, g2.select("src", "dst").toPandas().values)
+    )
+
+
 def test_powerlaw_heavy_tail(spark):
     from approximate_pagerank_public_spark.sources.generators import powerlaw_edges
 
