@@ -155,6 +155,12 @@ def multi_source_bfs(
         if not nxt.take(1):
             break
         visited = visited.unionAll(nxt)
+        # collapse the lazy union every 8 levels: otherwise the plan
+        # grows one leaf per level and Catalyst re-analysis is O(L^2)
+        # over a 100+-diameter traversal; the amortized O(V/8) rewrite
+        # per level is the cheaper side of that trade
+        if level % 8 == 0:
+            visited = visited.repartition(p, "id").localCheckpoint()
         frontier = nxt
     return visited
 

@@ -53,6 +53,22 @@ def test_filtered_bfs(g_rand):
     assert (visited["id"] % 2 == 0).all()
 
 
+def test_frontier_bfs_high_diameter_path(spark):
+    """40-level path through the frontier-join path: exercises the
+    periodic visited-union coalescing (plan stays bounded) and the exact
+    per-level distances."""
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    n = 41
+    g = Graph.from_edge_arrays(
+        spark, list(range(n - 1)), list(range(1, n)), num_vertices=n, num_partitions=4
+    )
+    res = multi_source_bfs(g, [0]).toPandas().set_index("id")["dist"]
+    assert len(res) == n
+    assert all(res[i] == i for i in range(n))
+    g.unpersist()
+
+
 def test_closeness_and_eccentricity(g_rand):
     src, dst, _ = g_rand.edges_numpy()
     sources = [17, 42]
