@@ -151,9 +151,12 @@ def _cc_star_distributed(graph: Graph, max_rounds: int = 60) -> tuple[DataFrame,
     e = e.repartition(p, "a").localCheckpoint()
 
     def _sig(df: DataFrame) -> tuple[int, int]:
+        # bit_xor: order-independent AND overflow-free (a sum of
+        # xxhash64 values overflows long under ANSI-mode sessions,
+        # e.g. plain spark-submit defaults)
         row = df.agg(
             F.count("*").alias("n"),
-            F.coalesce(F.sum(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
+            F.coalesce(F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)).alias("h"),
         ).first()
         return int(row["n"]), int(row["h"])
 

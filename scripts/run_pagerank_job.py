@@ -21,7 +21,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# spark-submit ships the package via --py-files; for bare `python
+# scripts/run_pagerank_job.py` runs, resolve it from the repo checkout
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -30,13 +35,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--algorithm",
         default="pagerank",
-        choices=["pagerank", "ppr", "multi_ppr", "cc", "lpa", "triangles"],
+        choices=[
+            "pagerank", "ppr", "multi_ppr", "cc", "lpa", "triangles",
+            "bfs", "bfs_stats", "fbfs",
+        ],
     )
     p.add_argument("--alpha", type=float, default=0.8)
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--max-iter", type=int, default=100)
-    p.add_argument("--sources", default="", help="comma-separated vertex ids (ppr/multi_ppr)")
-    p.add_argument("--mode", default="auto")
+    p.add_argument("--sources", default="", help="comma-separated vertex ids (ppr/multi_ppr/bfs)")
+    p.add_argument("--mode", default="auto", help="auto|broadcast|distributed; cc also: star")
+    p.add_argument(
+        "--no-dangling-norm",
+        action="store_true",
+        help="ppr/multi_ppr: drop the dangling-mass term (reference ppr.gm norm=false)",
+    )
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--output", required=True, help="parquet output path")
     p.add_argument("--partitions", type=int, default=None)
@@ -77,9 +90,15 @@ def main(argv: list[str] | None = None) -> int:
         if args.algorithm == "pagerank":
             res = pagerank(graph, mode=args.mode, **kw)
         elif args.algorithm == "ppr":
-            res = personalized_pagerank(graph, sources[0], mode=args.mode, **kw)
+            res = personalized_pagerank(
+                graph, sources[0], mode=args.mode,
+                dangling_norm=not args.no_dangling_norm, **kw,
+            )
         else:
-            res = multi_ppr(graph, sources, **kw)
+            res = multi_ppr(
+                graph, sources, mode=args.mode,
+                dangling_norm=not args.no_dangling_norm, **kw,
+            )
         out = res.ranks()
         if graph.vertex_names is not None:
             out = out.join(graph.vertex_names, "id")
@@ -94,7 +113,24 @@ def main(argv: list[str] | None = None) -> int:
             connected_components,
         )
 
-        connected_components(graph).write.mode("overwrite").parquet(args.output)
+        connected_components(graph, mode=args.mode).write.mode("overwrite").parquet(
+            args.output
+        )
+    elif args.algorithm in ("bfs", "bfs_stats", "fbfs"):
+        from approximate_pagerank_public_spark.operators.traversal import (
+            bfs_stats,
+            filtered_bfs,
+            multi_source_bfs_block,
+        )
+
+        srcs = sources or [0]
+        if args.algorithm == "bfs":
+            out = multi_source_bfs_block(graph, srcs)
+        elif args.algorithm == "bfs_stats":
+            out = bfs_stats(graph, srcs)
+        else:
+            out = filtered_bfs(graph, srcs[0])
+        out.write.mode("overwrite").parquet(args.output)
     elif args.algorithm == "lpa":
         from approximate_pagerank_public_spark.operators.labelprop import (
             label_propagation,
