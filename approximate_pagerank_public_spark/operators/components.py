@@ -72,20 +72,31 @@ def _cc_broadcast(graph: Graph, max_iter: int) -> tuple[np.ndarray, int]:
     n = graph.num_vertices
     labels = np.arange(n, dtype=np.int64)
     blocks = graph.blocks
+    if blocks is not None:
+        # frontier-sparse min-label relaxation on the CSR blocks (the
+        # BFS machinery with plus_one=False): supersteps touch only
+        # edges whose src label improved last round, so a high-diameter
+        # component costs O(frontier edges) per extra round instead of
+        # a full edge pass
+        from approximate_pagerank_public_spark.operators.traversal import (
+            frontier_min_relax,
+        )
+
+        state = labels[:, None].copy()
+        changed = np.ones(n, dtype=bool)
+        out = frontier_min_relax(graph, state, changed, plus_one=False, max_iters=max_iter)
+        return out[:, 0], max_iter
     for it in range(1, max_iter + 1):
-        if blocks is not None:
-            new = blocks.gather(labels, op="min")
-        else:
-            ship = _RankShip(graph.spark, labels)
-            try:
-                # partials are disjoint-ish across dst-partitioned edges;
-                # driver-side minimum.at merge makes a shuffle unnecessary
-                pdf = _min_partials(graph.edges, ship.load).toPandas()
-            finally:
-                ship.cleanup()
-            new = labels.copy()
-            idx = pdf["dst"].to_numpy(np.int64)
-            np.minimum.at(new, idx, pdf["lbl"].to_numpy(np.int64))
+        ship = _RankShip(graph.spark, labels)
+        try:
+            # partials are disjoint-ish across dst-partitioned edges;
+            # driver-side minimum.at merge makes a shuffle unnecessary
+            pdf = _min_partials(graph.edges, ship.load).toPandas()
+        finally:
+            ship.cleanup()
+        new = labels.copy()
+        idx = pdf["dst"].to_numpy(np.int64)
+        np.minimum.at(new, idx, pdf["lbl"].to_numpy(np.int64))
         if np.array_equal(new, labels):
             return labels, it
         labels = new

@@ -263,13 +263,8 @@ def _block_bfs_distances(
 ) -> tuple[np.ndarray, int]:
     """The frontier-sparse level loop → ``((N, S) distance block, inf
     sentinel)``; see :func:`multi_source_bfs_block` for the design."""
-    import pyarrow as pa
-
-    from approximate_pagerank_public_spark.plans.blocks import load_block
-
     n = graph.num_vertices
     s = len(sources)
-    blocks = graph.blocks
     # narrow dtype = 4-8x less state traffic per superstep (the block is
     # (N, S) and every edge reads an S-wide row); distances are bounded
     # by the diameter, so int16 suffices below 15k levels
@@ -282,6 +277,35 @@ def _block_bfs_distances(
     dist[src_arr, np.arange(s)] = 0
     changed = np.zeros(n, dtype=bool)
     changed[src_arr] = True
+    dist = frontier_min_relax(graph, dist, changed, plus_one=True, max_iters=max_levels)
+    return dist, int(inf)
+
+
+def frontier_min_relax(
+    graph: Graph,
+    state: np.ndarray,
+    changed: np.ndarray,
+    plus_one: bool,
+    max_iters: int = 10_000,
+) -> np.ndarray:
+    """Generic frontier-sparse min-relaxation over the CSR blocks.
+
+    Repeatedly applies ``state[dst] = min(state[dst], min over frontier
+    in-neighbors u of state[u] (+1 if plus_one))`` until no row
+    improves, touching only edges whose src improved in the previous
+    round. ``plus_one=True`` is level-synchronous BFS (min-plus);
+    ``plus_one=False`` is min-label propagation (connected components).
+    ``state`` is an (N, S) integer array (mutated in place and
+    returned); ``changed`` is the initial frontier mask.
+    """
+    import pyarrow as pa
+
+    from approximate_pagerank_public_spark.plans.blocks import load_block
+
+    n = graph.num_vertices
+    blocks = graph.blocks
+    dtype = state.dtype
+    dist = state
 
     run_dir = os.path.join(blocks.dir, f"bfs_{uuid.uuid4().hex}")
     os.makedirs(run_dir)
@@ -289,12 +313,12 @@ def _block_bfs_distances(
     mask_path = f"{run_dir}/mask.npy"
     block_dir = blocks.dir
     pids = blocks.pids
-    one = dtype(1)
+    one = dtype.type(1) if plus_one else dtype.type(0)
     sc = graph.spark.sparkContext
     k = blocks.num_partitions
     n_tasks = max(1, min(k, sc.defaultParallelism))
     try:
-        for level in range(max_levels):
+        for _level in range(max_iters):
             np.save(state_path, dist)
             np.save(mask_path, changed)
             out_dir = f"{run_dir}/out"
@@ -364,4 +388,4 @@ def _block_bfs_distances(
                 break
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)
-    return dist, int(inf)
+    return dist
