@@ -66,6 +66,109 @@ def _duck_edges_sql() -> str:
     return EDGES_SQL_TEMPLATE.format(SRC=f"({_duck_transcripts_cte()})")
 
 
+def _duck_vertices_sql() -> str:
+    from approximate_pagerank_public_spark.operators.etl import VERTICES_SQL_TEMPLATE
+
+    return VERTICES_SQL_TEMPLATE.format(SRC=f"({_duck_transcripts_cte()})")
+
+
+# --------------------------------------------- convergence replay (oracle)
+_REPLAY_CACHE: dict = {}
+
+
+def _oracle_sf_dir() -> str:
+    """The sf dir the driver compares at (same candidate order as
+    ``_emb_dim`` — the contract gives ``oracle_sql()`` no sf_dir)."""
+    import os
+
+    for d in ("/root/testdata/sf0.01", "/root/testdata/sf0.001"):
+        if os.path.exists(f"{d}/events.parquet"):
+            return d
+    return "/root/testdata/sf0.01"
+
+
+def _duck_edge_arrays(sf_dir: str):
+    """(src, dst, weight, n) materialized from the oracle's own edge SQL
+    (DuckDB over the events parquet) — so the replay below iterates over
+    exactly the edge table the unrolled-CTE oracles will see."""
+    import numpy as np
+
+    key = ("edges", sf_dir)
+    if key not in _REPLAY_CACHE:
+        import duckdb
+
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/events.parquet')"
+        )
+        t = con.sql(_duck_edges_sql()).fetchnumpy()
+        src = t["src"].astype(np.int64)
+        dst = t["dst"].astype(np.int64)
+        w = t["weight"].astype(np.float64)
+        n = int(max(src.max(), dst.max())) + 1
+        _REPLAY_CACHE[key] = (src, dst, w, n)
+    return _REPLAY_CACHE[key]
+
+
+def _replay_convergent_iters(
+    sources: list[int] | None,
+    alpha: float = 0.8,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+) -> int:
+    """Replay the engine's power iteration to find the convergent
+    iteration count K for the unrolled-CTE oracles.
+
+    The stop scalars are path-deterministic by design (CLAUDE.md
+    invariant): L1 error reduces through the same fixed 16k-row chunk
+    partials as both engine paths (``plans/reduction.py``), so the K
+    found here matches the engine's ``res.iterations`` (asserted by
+    ``tests/test_contract_oracles.py``). The per-dst gather association
+    differs harmlessly — the L1-vs-tol decision has ~1e-10 slack."""
+    import numpy as np
+
+    from approximate_pagerank_public_spark.plans.reduction import (
+        dang_partials,
+        err_partials,
+        n_chunks,
+    )
+
+    src, dst, w, n = _duck_edge_arrays(_oracle_sf_dir())
+    dang_mask = np.ones(n, dtype=bool)
+    dang_mask[src] = False
+    dang_idx = np.flatnonzero(dang_mask)
+    if sources is None:
+        pr = np.full((1, n), 1.0 / n, dtype=np.float64)
+    else:
+        pr = np.zeros((len(sources), n), dtype=np.float64)
+        pr[np.arange(len(sources)), sources] = 1.0
+    s = pr.shape[0]
+    nc = n_chunks(n)
+    err = np.zeros((nc, s))
+    sq = np.zeros((nc, s))
+    db = np.zeros((nc, s))
+    dang_partials(pr, dang_idx, n, 0, nc, db)
+    d = db.sum(axis=0)
+    wv = w
+    for it in range(1, max_iter + 1):
+        contrib = np.zeros_like(pr)
+        for i in range(s):
+            np.add.at(contrib[i], dst, wv * pr[i, src])
+        new = alpha * contrib + (alpha / n) * d[:, None]
+        if sources is None:
+            new += (1.0 - alpha) / n
+        else:
+            new[np.arange(s), list(sources)] += 1.0 - alpha
+        err_partials(new, pr, n, 0, nc, err, sq)
+        pr = new
+        dang_partials(pr, dang_idx, n, 0, nc, db)
+        d = db.sum(axis=0)
+        if err.sum(axis=0).max() <= tol:
+            return it
+    return max_iter
+
+
 # ------------------------------------------------------------------- entry
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: top-20 PageRank entities of the sf0.001 transcript graph."""
@@ -144,6 +247,13 @@ def q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: convergent PageRank (tol=1e-6), top-20 entities.
+
+    Ordering uses the 1e-6-TRUNCATED rank (ties → higher id, reference
+    ``sort_pr``, ``evaluation_utils.hpp:17-39``) so the top-20 cut is
+    identical in both engines; the oracle replays the convergent
+    iteration count (path-deterministic stop scalars) as an unrolled
+    CTE chain."""
     from approximate_pagerank_public_spark.operators.pagerank import pagerank
 
     g = _graph(spark, sf_dir)
@@ -151,9 +261,9 @@ def q_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         res.ranks()
         .join(g.vertex_names, "id")
+        .select("id", "entity", _stable6("rank").alias("rank"))
         .orderBy(F.col("rank").desc(), F.col("id").desc())
         .limit(20)
-        .select("entity", F.round("rank", 6).alias("rank"))
     )
 
 
@@ -202,6 +312,12 @@ def q_ppr_norm_off(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multi_ppr_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-source batched PPR to convergence (worst-source L1 ≤ 1e-6),
+    top-10 per source on the truncated rank, ties → higher id
+    (``sort_pr``). ``pos`` keeps the ranking order hash-checked."""
+    import numpy as np
+    import pandas as pd
+
     from approximate_pagerank_public_spark.operators.pagerank import multi_ppr
 
     g = _graph(spark, sf_dir)
@@ -209,11 +325,14 @@ def q_multi_ppr_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = multi_ppr(g, sources)
     rows = []
     for i, s in enumerate(sources):
-        for vid in res.top_k(10, i):
-            rows.append((s, int(vid)))
-    import pandas as pd
-
-    return spark.createDataFrame(pd.DataFrame(rows, columns=["source", "vertex"]))
+        r = res.rank_vector(i)
+        rt = np.floor(r * 1e6) / 1e6
+        order = np.lexsort((-np.arange(len(rt)), -rt))[:10]
+        for pos, vid in enumerate(order, start=1):
+            rows.append((s, pos, int(vid)))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["source", "pos", "vertex"]).astype("int64")
+    )
 
 
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -690,6 +809,126 @@ def _pagerank_fixed_oracle(
     )
 
 
+def _pagerank_top20_oracle() -> str:
+    """Flagship oracle: the convergent iteration count K (replayed via
+    ``_replay_convergent_iters`` — path-deterministic stop scalars make
+    it stable) unrolled as the same CTE chain ``pagerank_fixed8`` uses
+    (reference golden semantics ``gold_algorithms.hpp:65-100``), then
+    the ``sort_pr`` top-20 cut on the truncated rank."""
+    iters = _replay_convergent_iters(None)
+    inner = _pagerank_fixed_oracle(iters, 0.8)
+    return (
+        f"WITH pr AS MATERIALIZED ({inner}), "
+        f"vd AS MATERIALIZED ({_duck_vertices_sql()}) "
+        "SELECT pr.id, vd.entity, pr.rank FROM pr JOIN vd ON vd.id = pr.id "
+        "ORDER BY pr.rank DESC, pr.id DESC LIMIT 20"
+    )
+
+
+def _multi_ppr_top10_oracle(n_sources: int = 8, k: int = 10) -> str:
+    """8-source convergent PPR (shared worst-source L1 stop → one K for
+    all chains), each source's top-10 by truncated rank with the
+    ``sort_pr`` higher-id tie-break (``evaluation_utils.hpp:17-39``)."""
+    iters = _replay_convergent_iters(list(range(n_sources)))
+    parts = []
+    for s in range(n_sources):
+        inner = _pagerank_fixed_oracle(iters, 0.8, source=s)
+        parts.append(
+            f"SELECT CAST({s} AS BIGINT) AS source, pos, vertex FROM ("
+            "SELECT row_number() OVER (ORDER BY rank DESC, id DESC) AS pos, "
+            f"id AS vertex FROM ({inner})) t WHERE pos <= {k}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def _simhash_oracle() -> str:
+    """Replays ``dedup.simhash(hash_method='md5')``: 64 bit planes from
+    the first 16 hex digits of md5(token), sign-summed per doc, signed
+    64-bit value rebuilt as a sum of disjoint-bit literals."""
+    b_exprs = []
+    for i in range(64):
+        j = i // 4 + 1
+        shift = 3 - i % 4
+        b_exprs.append(
+            "SUM(CASE WHEN (((strpos('0123456789abcdef', substr(fp, "
+            f"{j}, 1)) - 1) >> {shift}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        )
+    val_terms = ["(CASE WHEN b63 > 0 THEN -9223372036854775808 ELSE 0 END)"]
+    for i in range(63):
+        val_terms.append(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)")
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(string_split("
+        "lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok "
+        "FROM documents), "
+        "h AS (SELECT doc_id, md5(tok) AS fp FROM toks), "
+        f"b AS (SELECT doc_id, {', '.join(b_exprs)} FROM h GROUP BY doc_id) "
+        f"SELECT doc_id, CAST({' + '.join(val_terms)} AS BIGINT) AS simhash FROM b"
+    )
+
+
+def _ivf_centroids(n_cells: int = 8, kmeans_iters: int = 5, train_sample: int = 4096):
+    """The engine's IVF coarse quantizer, reproduced outside Spark: the
+    training sample is the first ``train_sample`` vectors in vec_id
+    order (deterministic), run through the SAME ``_kmeans_centroids``
+    NumPy code — so the literal centroids below are bit-identical to
+    what ``ivf_ann_topk`` trains at query time."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from approximate_pagerank_public_spark.operators.similarity import (
+        _kmeans_centroids,
+    )
+
+    key = ("ivf", n_cells, kmeans_iters, train_sample)
+    if key not in _REPLAY_CACHE:
+        d = _oracle_sf_dir()
+        t = pq.read_table(
+            f"{d}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).to_pandas()
+        t = t.sort_values("vec_id").head(train_sample)
+        sample = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in t["embedding"]]
+        )
+        _REPLAY_CACHE[key] = _kmeans_centroids(sample, n_cells, kmeans_iters)
+    return _REPLAY_CACHE[key]
+
+
+def _ivf_ann_oracle(n_cells: int = 8, n_probe: int = 4, k: int = 5) -> str:
+    """Full IVF pipeline replay: literal centroids → argmax cell
+    assignment (dot desc, cell asc — exactly ``_cell_sorted``) → probe
+    ``n_probe`` cells per query → exact cosine re-rank."""
+    cents = _ivf_centroids(n_cells)
+    rows = [
+        f"({i}, CAST([{', '.join(repr(float(x)) for x in c)}] AS DOUBLE[]))"
+        for i, c in enumerate(cents)
+    ]
+    return (
+        f"WITH emb AS ({_DUCK_EMB}), q AS ({_DUCK_EMB_Q}), "
+        f"cents(cell, cv) AS (VALUES {', '.join(rows)}), "
+        "cd AS (SELECT e.vec_id, c.cell, list_dot_product(e.v, c.cv) AS d "
+        "FROM emb e CROSS JOIN cents c), "
+        "ca AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) "
+        "AS rn FROM cd) t WHERE rn = 1), "
+        "qd AS (SELECT qq.query_id, c.cell, list_dot_product(qq.qv, c.cv) AS d "
+        "FROM q qq CROSS JOIN cents c), "
+        "qc AS (SELECT query_id, cell FROM (SELECT query_id, cell, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY d DESC, cell ASC) "
+        f"AS rn FROM qd) t WHERE rn <= {n_probe}), "
+        "cand AS (SELECT qc.query_id, ca.vec_id FROM ca JOIN qc USING (cell)), "
+        "scored AS (SELECT c.query_id, c.vec_id, "
+        f"{_duck_cos('e.v', 'q.qv')} AS cosine "
+        "FROM cand c JOIN emb e ON e.vec_id = c.vec_id "
+        "JOIN q ON q.query_id = c.query_id), "
+        "ranked AS (SELECT query_id, vec_id, cosine, row_number() OVER ("
+        'PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS "rank" '
+        "FROM scored) "
+        'SELECT query_id, vec_id, "rank", '
+        "floor(cosine * 1000000.0) / 1000000.0 AS cosine "
+        f'FROM ranked WHERE "rank" <= {k}'
+    )
+
+
 def _lpa_oracle(rounds: int = 5) -> str:
     """Deterministic synchronous label propagation unrolled as chained
     CTEs: per round, each vertex adopts the incoming label with the
@@ -940,6 +1179,10 @@ def oracle_sql() -> dict[str, str]:
             "      + 0.3 * (1.0 - least(punct_ratio * 4, 1.0))) * 1000000.0) / 1000000.0 "
             "AS quality FROM s"
         ),
+        "pagerank_top20": _pagerank_top20_oracle(),
+        "multi_ppr_top10": _multi_ppr_top10_oracle(),
+        "simhash": _simhash_oracle(),
+        "ivf_ann_topk": _ivf_ann_oracle(),
         "pagerank_fixed8": _pagerank_fixed_oracle(8, 0.8),
         "ppr_fixed8": _pagerank_fixed_oracle(8, 0.8, source=0),
         "ppr_norm_off": _pagerank_fixed_oracle(8, 0.8, source=0, dangling_norm=False),

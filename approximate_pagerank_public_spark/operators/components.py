@@ -84,8 +84,19 @@ def _cc_broadcast(graph: Graph, max_iter: int) -> tuple[np.ndarray, int]:
 
         state = labels[:, None].copy()
         changed = np.ones(n, dtype=bool)
-        out = frontier_min_relax(graph, state, changed, plus_one=False, max_iters=max_iter)
-        return out[:, 0], max_iter
+        out, rounds, converged = frontier_min_relax(
+            graph, state, changed, plus_one=False, max_iters=max_iter
+        )
+        if not converged:
+            import warnings
+
+            warnings.warn(
+                f"min-label propagation hit max_iter={max_iter} before "
+                "fixpoint; labels may not be component minima",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        return out[:, 0], rounds
     for it in range(1, max_iter + 1):
         ship = _RankShip(graph.spark, labels)
         try:
@@ -208,6 +219,16 @@ def _cc_star_distributed(graph: Graph, max_rounds: int = 60) -> tuple[DataFrame,
         if new_sig == sig:
             break
         sig = new_sig
+    else:  # pragma: no cover — max_rounds=60 >> O(log n) for any real graph
+        import warnings
+
+        warnings.warn(
+            f"star CC exhausted max_rounds={max_rounds} without a stable "
+            "(count, bit_xor) edge-set signature; labels may be from a "
+            "non-converged edge set",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     roots = e.groupBy("a").agg(F.min("b").alias("r"))
     verts = graph.vertices
     labels = verts.join(roots, verts["id"] == roots["a"], "left").select(

@@ -43,20 +43,20 @@ def cap_bucket_size(
     task (bounded spill); the dropped members are still covered by
     exact dedup and by their other band buckets.
 
-    ``log_skew=True`` eagerly computes and logs the dropped volume
-    (persists ``df`` first so the upstream pipeline is not recomputed).
+    ``log_skew=True`` eagerly computes and logs the dropped volume as
+    one extra job over the same windowed plan (opt-in diagnostics; no
+    persist, so nothing is left cached in the session).
     """
     if cap is None:
         return df
+    w = Window.partitionBy(*bucket_cols).orderBy(order_col)
+    windowed = df.withColumn("_brn", F.row_number().over(w))
     if log_skew:
-        df = df.persist()
         stats = (
-            df.groupBy(*bucket_cols)
-            .count()
-            .where(F.col("count") > cap)
+            windowed.where(F.col("_brn") > cap)
             .agg(
-                F.count("*").alias("n_buckets"),
-                F.coalesce(F.sum(F.col("count") - cap), F.lit(0)).alias("dropped"),
+                F.count_distinct(*[F.col(c) for c in bucket_cols]).alias("n_buckets"),
+                F.count("*").alias("dropped"),
             )
             .first()
         )
@@ -68,12 +68,7 @@ def cap_bucket_size(
                 cap,
                 stats["dropped"],
             )
-    w = Window.partitionBy(*bucket_cols).orderBy(order_col)
-    return (
-        df.withColumn("_brn", F.row_number().over(w))
-        .where(F.col("_brn") <= cap)
-        .drop("_brn")
-    )
+    return windowed.where(F.col("_brn") <= cap).drop("_brn")
 
 
 def _normalized_text(col: str = "text") -> F.Column:
@@ -186,26 +181,55 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_method: str = "md5",
+) -> DataFrame:
     """``(doc_id, simhash: bigint)`` — 64-bit simhash: for each bit plane,
-    sign of Σ over tokens of ±1 by that bit of xxhash64(token)."""
+    sign of Σ over tokens of ±1 by that bit of hash(token).
+
+    ``hash_method='md5'`` (default) derives the 64 bit planes from the
+    first 16 hex digits of ``md5(token)`` — bit ``i`` is bit ``3 - i%4``
+    of hex digit ``i//4`` — which the DuckDB oracle replays verbatim
+    (both engines agree on md5; xxhash64 exists only in Spark).
+    ``hash_method='xxhash64'`` is the faster non-oracled option."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(_normalized_text(text_col), " ")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+    if hash_method == "xxhash64":
+        toks = toks.withColumn("h", F.xxhash64("tok"))
+        bits = [
+            F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1 for i in range(64)
+        ]
+    elif hash_method == "md5":
+        toks = toks.withColumn("fp", F.md5("tok")).select(
+            "doc_id",
+            *[
+                F.conv(F.substring("fp", j, 1), 16, 10).cast("int").alias(f"d{j}")
+                for j in range(1, 17)
+            ],
+        )
+        bits = [
+            F.shiftright(F.col(f"d{i // 4 + 1}"), 3 - i % 4).bitwiseAND(F.lit(1)) == 1
+            for i in range(64)
+        ]
+    else:
+        raise ValueError(f"unknown hash_method {hash_method!r}")
     bit_sums = toks.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
+            F.sum(F.when(bits[i], 1).otherwise(-1)).alias(f"b{i}")
             for i in range(64)
         ]
     )
-    expr = F.lit(0).cast("long")
-    for i in range(64):
-        expr = expr.bitwiseOR(
-            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
-        )
+    # bit planes are disjoint, so addition == bitwise OR; built as a sum
+    # of literals (bit 63 contributing -2^63) so the DuckDB oracle can
+    # reproduce the signed value without a 1<<63 shift overflow
+    expr = F.when(F.col("b63") > 0, F.lit(-(1 << 63))).otherwise(F.lit(0)).cast("long")
+    for i in range(63):
+        expr = expr + F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bit_sums.select("doc_id", expr.alias("simhash"))
 
 

@@ -28,9 +28,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-# {SRC} = transcripts relation (table name or CTE).
-EDGES_SQL_TEMPLATE = """
-WITH turns AS (
+# {SRC} = transcripts relation (table name or CTE). The CTE chain is
+# shared between the edge and vertex-dictionary templates so the oracle
+# derives both from the identical derivation text.
+_GRAPH_CTES = """turns AS (
   SELECT conv_id, turn_idx,
          CASE WHEN role = 'tool' THEN 'tool:' || tool
               ELSE 'role:' || role END AS entity
@@ -63,13 +64,25 @@ verts AS (
   FROM (SELECT src_entity AS entity FROM dedup
         UNION
         SELECT dst_entity AS entity FROM dedup) u
-)
+)"""
+
+EDGES_SQL_TEMPLATE = (
+    "\nWITH "
+    + _GRAPH_CTES
+    + """
 SELECT vs.id AS src, vd.id AS dst,
        1.0 / CAST(count(*) OVER (PARTITION BY vs.id) AS DOUBLE) AS weight
 FROM dedup e
 JOIN verts vs ON e.src_entity = vs.entity
 JOIN verts vd ON e.dst_entity = vd.entity
 """
+)
+
+# (id, entity) dictionary — same derivation, used by oracles that need
+# entity names (e.g. the flagship top-20 PageRank query).
+VERTICES_SQL_TEMPLATE = (
+    "\nWITH " + _GRAPH_CTES + "\nSELECT id, entity FROM verts\n"
+)
 
 
 def turn_entity() -> F.Column:
@@ -79,9 +92,11 @@ def turn_entity() -> F.Column:
     ).otherwise(F.concat(F.lit("role:"), F.col("role")))
 
 
-def derive_entity_edges(transcripts: DataFrame) -> DataFrame:
-    """Directed entity-pair edges (pre-densification), deduped and
-    self-loop-free. Columns: ``src_entity, dst_entity``."""
+def _raw_entity_edges(transcripts: DataFrame) -> DataFrame:
+    """Directed entity-pair edges with duplicates and self-loops still
+    in — every consumer dedups downstream, so no intermediate
+    ``distinct`` (each would be its own full shuffle; the r2 ETL plan
+    paid one for ``role_conv`` alone)."""
     turns = transcripts.select("conv_id", "turn_idx", turn_entity().alias("entity"))
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     consec = turns.select(
@@ -94,9 +109,15 @@ def derive_entity_edges(transcripts: DataFrame) -> DataFrame:
     role_conv = transcripts.select(
         F.concat(F.lit("role:"), F.col("role")).alias("src_entity"),
         F.concat(F.lit("conv:"), F.col("conv_id")).alias("dst_entity"),
-    ).distinct()
+    )
     raw = consec.unionAll(conv_tool).unionAll(role_conv)
-    return raw.where(F.col("src_entity") != F.col("dst_entity")).distinct()
+    return raw.where(F.col("src_entity") != F.col("dst_entity"))
+
+
+def derive_entity_edges(transcripts: DataFrame) -> DataFrame:
+    """Directed entity-pair edges (pre-densification), deduped and
+    self-loop-free. Columns: ``src_entity, dst_entity``."""
+    return _raw_entity_edges(transcripts).distinct()
 
 
 def densify_vertices(entity_edges: DataFrame) -> DataFrame:
@@ -149,36 +170,92 @@ def densify_vertices(entity_edges: DataFrame) -> DataFrame:
     return out
 
 
-def build_edge_table(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
+# Above this vertex count the dictionary/out-degree lookups stop being
+# broadcast-able (a 5M-entity dict is ~200 MB serialized — the practical
+# broadcast ceiling) and the ETL falls back to shuffle joins + the
+# src-window weight pass. Below it, dedup + the Graph's dst layout fuse
+# into ONE full-|E| exchange and every join is map-side.
+ETL_BROADCAST_MAX_VERTICES = 5_000_000
+
+
+def build_edge_table(
+    transcripts: DataFrame, layout_partitions: int | None = None
+) -> tuple[DataFrame, DataFrame]:
     """Full ETL: transcripts → (vertices(id, entity), edges(src, dst, weight)).
 
     weight = 1/outdeg(src) over the deduped edge set (reference
-    out-degree normalization, ``utils.hpp:886-895``).
+    out-degree normalization, ``utils.hpp:886-895``); the reference does
+    the whole load in one pass (``load_graph_mtx``, ``utils.hpp:850-899``)
+    and this is the Spark analogue: the deduplication shuffle doubles as
+    the Graph's pull-side layout.
+
+    Physical plan (broadcast regime, |V| ≤ ETL_BROADCAST_MAX_VERTICES):
+
+    1. raw edges → ``repartition(P, dst_entity)`` → partition-local
+       dedup (Catalyst proves HashPartitioning(dst_entity) satisfies the
+       (src,dst) clustering — verified one Exchange in the plan);
+       hashing by dst ENTITY clusters identically to hashing by dst id,
+       so this single exchange IS the Graph's dst-disjoint layout.
+    2. id dictionary + out-degree joins are all broadcast (map-side, no
+       shuffle, layout preserved).
+
+    Beyond the threshold the id/outdeg lookups become shuffle joins and
+    the weight reverts to a src-window pass — correctness-identical
+    (tests pin both regimes), and ``Graph`` re-partitions explicitly
+    since the joins destroyed the layout.
     """
+    spark = transcripts.sparkSession
+    p = layout_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     # cache: the deduped entity-edge set feeds three consumers (edge
-    # output + both sides of the vertex-dictionary union); without a
-    # persist Catalyst re-derives the whole window/union/distinct
-    # subtree per consumer (verified via .explain)
-    entity_edges = derive_entity_edges(transcripts).persist()
-    vertices = densify_vertices(entity_edges)
-    # dictionary join: vertices is tiny vs edges → broadcast both sides' lookups
-    e = (
-        entity_edges.join(
-            F.broadcast(vertices.withColumnRenamed("entity", "src_entity")
-                        .withColumnRenamed("id", "src")),
-            "src_entity",
-        )
-        .join(
-            F.broadcast(vertices.withColumnRenamed("entity", "dst_entity")
-                        .withColumnRenamed("id", "dst")),
-            "dst_entity",
-        )
-        .select("src", "dst")
+    # output, out-degree agg, and the vertex-dictionary union); without
+    # a persist Catalyst re-derives the whole window/union/dedup subtree
+    # per consumer (verified via .explain)
+    entity_edges = (
+        _raw_entity_edges(transcripts)
+        .repartition(p, "dst_entity")
+        .dropDuplicates(["src_entity", "dst_entity"])
+        .persist()
     )
-    wdeg = Window.partitionBy("src")
-    edges = e.select(
-        "src",
-        "dst",
-        (F.lit(1.0) / F.count("*").over(wdeg).cast("double")).alias("weight"),
+    vertices = densify_vertices(entity_edges).persist()
+    n = vertices.count()
+    small = n <= ETL_BROADCAST_MAX_VERTICES
+    src_map = vertices.select(
+        F.col("entity").alias("src_entity"), F.col("id").alias("src")
     )
+    dst_map = vertices.select(
+        F.col("entity").alias("dst_entity"), F.col("id").alias("dst")
+    )
+    if small:
+        outdeg = entity_edges.groupBy("src_entity").agg(
+            F.count("*").alias("_outdeg")
+        )
+        edges = (
+            entity_edges.join(F.broadcast(outdeg), "src_entity")
+            .join(F.broadcast(src_map), "src_entity")
+            .join(F.broadcast(dst_map), "dst_entity")
+            .select(
+                "src",
+                "dst",
+                (F.lit(1.0) / F.col("_outdeg").cast("double")).alias("weight"),
+            )
+        )
+    else:
+        e = (
+            entity_edges.join(src_map, "src_entity")
+            .join(dst_map, "dst_entity")
+            .select("src", "dst")
+        )
+        wdeg = Window.partitionBy("src")
+        edges = e.select(
+            "src",
+            "dst",
+            (F.lit(1.0) / F.count("*").over(wdeg).cast("double")).alias("weight"),
+        )
     return vertices, edges
+
+
+def edge_layout_ready(num_vertices: int) -> bool:
+    """Whether :func:`build_edge_table`'s output is already in the
+    Graph's dst-disjoint hash layout (the broadcast regime preserved the
+    dedup exchange's partitioning end-to-end)."""
+    return num_vertices <= ETL_BROADCAST_MAX_VERTICES

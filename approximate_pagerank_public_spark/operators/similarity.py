@@ -93,12 +93,14 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Approximate top-k: exact cosine re-rank within LSH candidates.
     ``max_bucket_size`` truncates degenerate corpus buckets (smallest
     ids kept — ``dedup.cap_bucket_size``) so one hot bucket cannot blow
-    up the candidate join; None (default) keeps exact-recall behavior."""
+    up the candidate join. Default 10_000 (scale safety on by default,
+    like ``embedding_near_duplicates``); pass ``None`` for the exact
+    recall-within-candidates escape hatch."""
     corpus_buckets = embeddings.select(
         id_col,
         vec_col,

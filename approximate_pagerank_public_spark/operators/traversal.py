@@ -134,6 +134,10 @@ def multi_source_bfs(
     # frontier instead of a separate blocking count() job.
     visited = seed
     frontier = seed
+    # checkpointed DataFrames whose blocks back the current `visited`;
+    # superseded ones are unpersisted at each collapse so a deep
+    # traversal never accumulates stale O(V) block sets
+    pending = [seed]
     level = 0
     while level < max_levels:
         level += 1
@@ -153,14 +157,24 @@ def multi_source_bfs(
             .localCheckpoint()  # eager: the level's ONE materializing job
         )
         if not nxt.take(1):
+            nxt.unpersist()
             break
         visited = visited.unionAll(nxt)
+        pending.append(nxt)
         # collapse the lazy union every 8 levels: otherwise the plan
         # grows one leaf per level and Catalyst re-analysis is O(L^2)
         # over a 100+-diameter traversal; the amortized O(V/8) rewrite
         # per level is the cheaper side of that trade
         if level % 8 == 0:
-            visited = visited.repartition(p, "id").localCheckpoint()
+            collapsed = visited.repartition(p, "id").localCheckpoint()
+            # eager checkpoint above holds all rows, so the pre-collapse
+            # leaves (except the live frontier, still joined next level)
+            # and the previous collapsed snapshot are safe to release
+            for df in pending:
+                if df is not nxt:
+                    df.unpersist()
+            visited = collapsed
+            pending = [collapsed, nxt]
         frontier = nxt
     return visited
 
@@ -277,7 +291,18 @@ def _block_bfs_distances(
     dist[src_arr, np.arange(s)] = 0
     changed = np.zeros(n, dtype=bool)
     changed[src_arr] = True
-    dist = frontier_min_relax(graph, dist, changed, plus_one=True, max_iters=max_levels)
+    dist, _rounds, converged = frontier_min_relax(
+        graph, dist, changed, plus_one=True, max_iters=max_levels
+    )
+    if not converged:  # pragma: no cover — max_levels default is huge
+        import warnings
+
+        warnings.warn(
+            f"multi-source BFS hit max_levels={max_levels} before fixpoint; "
+            "distances may be upper bounds",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return dist, int(inf)
 
 
@@ -297,6 +322,11 @@ def frontier_min_relax(
     ``plus_one=False`` is min-label propagation (connected components).
     ``state`` is an (N, S) integer array (mutated in place and
     returned); ``changed`` is the initial frontier mask.
+
+    Returns ``(state, rounds, converged)`` — ``rounds`` is the number of
+    relaxation rounds actually executed and ``converged`` is False only
+    when ``max_iters`` ran out while rows were still improving (callers
+    surface that instead of silently reporting ``max_iters``).
     """
     import pyarrow as pa
 
@@ -317,8 +347,11 @@ def frontier_min_relax(
     sc = graph.spark.sparkContext
     k = blocks.num_partitions
     n_tasks = max(1, min(k, sc.defaultParallelism))
+    rounds = 0
+    converged = False
     try:
         for _level in range(max_iters):
+            rounds = _level + 1
             np.save(state_path, dist)
             np.save(mask_path, changed)
             out_dir = f"{run_dir}/out"
@@ -345,7 +378,12 @@ def frontier_min_relax(
                         else:
                             seg_len = np.diff(np.r_[np.asarray(starts), len(src_b)])
                             edge_dst = np.repeat(np.asarray(segmap), seg_len)
-                            np.save(ed_path, edge_dst)
+                            # tmp + rename: a task killed mid-write (retry /
+                            # speculation) must never leave a truncated file
+                            # the exists-check above would then trust
+                            tmp = f"{run_dir}/edst_{pid}.{uuid.uuid4().hex}.tmp.npy"
+                            np.save(tmp, edge_dst)
+                            os.rename(tmp, ed_path)
                         d_sel = np.asarray(edge_dst)[sel]
                         cand = state[src_b[sel]]  # (k, S)
                         order = np.argsort(d_sel, kind="stable")
@@ -357,8 +395,15 @@ def frontier_min_relax(
                         new = np.minimum(cur, m)
                         imp = np.flatnonzero((new < cur).any(axis=1))
                         if len(imp):
-                            np.save(f"{out_dir}/i_{pid}.npy", gd[imp])
-                            np.save(f"{out_dir}/v_{pid}.npy", new[imp])
+                            # v before i, both via rename: the driver keys on
+                            # i_<pid> existing, so its presence must imply a
+                            # complete v_<pid>
+                            vt = f"{out_dir}/v_{pid}.{uuid.uuid4().hex}.tmp.npy"
+                            np.save(vt, new[imp])
+                            os.rename(vt, f"{out_dir}/v_{pid}.npy")
+                            it_ = f"{out_dir}/i_{pid}.{uuid.uuid4().hex}.tmp.npy"
+                            np.save(it_, gd[imp])
+                            os.rename(it_, f"{out_dir}/i_{pid}.npy")
                 yield pa.RecordBatch.from_arrays(
                     [pa.array(done, type=pa.int64())], names=["pid"]
                 )
@@ -385,7 +430,8 @@ def frontier_min_relax(
                 any_imp = True  # frontier rows re-relax, never miss
             shutil.rmtree(out_dir, ignore_errors=True)
             if not any_imp:
+                converged = True
                 break
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)
-    return dist
+    return dist, rounds, converged

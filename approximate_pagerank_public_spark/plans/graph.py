@@ -40,6 +40,7 @@ class Graph:
         skew_split: bool = False,
         hot_dst_threshold: int | None = None,
         salt_buckets: int = 8,
+        layout_ready: bool = False,
     ):
         self.spark: SparkSession = edges.sparkSession
         self.num_partitions = num_partitions or int(
@@ -51,7 +52,13 @@ class Graph:
             F.col("weight").cast("double"),
         )
         # pull-oriented physical layout, built once and reused every superstep
-        if skew_split:
+        if layout_ready:
+            # caller guarantees the edges already arrive dst-disjoint
+            # with exactly `num_partitions` partitions (the ETL's fused
+            # dedup+layout exchange, operators/etl.py::build_edge_table)
+            # — re-shuffling here would pay the exchange twice
+            layout = base
+        elif skew_split:
             # hub-vertex skew splitting: a hot dst whose in-edges exceed the
             # threshold is salted into `salt_buckets` sub-keys so its edges
             # spread across partitions; each sub-partition emits its own
@@ -162,6 +169,8 @@ class Graph:
 
     def unpersist(self) -> None:
         self.edges.unpersist()
+        if self.vertex_names is not None:
+            self.vertex_names.unpersist()
         if self._blocks is not None:
             self._blocks.cleanup()
             self._blocks = None
@@ -171,12 +180,22 @@ class Graph:
     def from_transcripts(
         cls, transcripts: DataFrame, num_partitions: int | None = None
     ) -> "Graph":
-        from approximate_pagerank_public_spark.operators.etl import build_edge_table
+        from approximate_pagerank_public_spark.operators.etl import (
+            build_edge_table,
+            edge_layout_ready,
+        )
 
-        vertices, edges = build_edge_table(transcripts)
-        vertices = vertices.persist(StorageLevel.MEMORY_AND_DISK)
-        n = vertices.count()
-        return cls(edges, num_vertices=n, num_partitions=num_partitions, vertices=vertices)
+        spark = transcripts.sparkSession
+        p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        vertices, edges = build_edge_table(transcripts, layout_partitions=p)
+        n = vertices.count()  # cached: build_edge_table counted it already
+        return cls(
+            edges,
+            num_vertices=n,
+            num_partitions=p,
+            vertices=vertices,
+            layout_ready=edge_layout_ready(n),
+        )
 
     @classmethod
     def from_edge_arrays(

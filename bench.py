@@ -21,10 +21,11 @@ Statistics protocol (reference ``host.cpp:208-237``): every measured
 query runs ``$SPARK_GRAFT_BENCH_N`` times (default 5) with source
 vertices RE-RANDOMIZED per repeat where the workload has sources;
 ``queries`` carries the per-query MEDIAN (CLAUDE.md bench discipline on
-this ±30% VM) and ``stats`` the n/mean/stddev/min/max. One-time builds
-(q_etl_build) run once and say so (n=1). The synthetic-graph build and
-warm-up inside q_spmv_throughput happen on repeat 0 only — the median
-over n≥3 repeats is untouched by it.
+this ±30% VM) and ``stats`` the n/mean/stddev/min/max. q_etl_build
+repeats too (min(N,3) fresh builds — caches dropped between reps); the
+synthetic-graph build and warm-up inside q_spmv_throughput happen on
+repeat 0 only, and its superstep metric is the median of per-rep
+medians (one noisy rep cannot skew the pooled median).
 
 Extra fields: pagerank iterations/min and edges-traversed/sec for the
 north metric; bench_scaling.py reuses q_spmv_throughput at two
@@ -113,13 +114,20 @@ def main() -> None:
     graph_box = {}
 
     def build(_rep=0):
+        # fresh build per repeat: drop every cached artifact of the
+        # previous one so each rep pays the full transcripts→graph cost
+        if graph_box.get("g") is not None:
+            graph_box["g"].unpersist()
+            spark.catalog.clearCache()
         t = synthesize_transcripts(spark, n_convs=N_CONVS, seed=42)
         g = Graph.from_transcripts(t, num_partitions=max(CPUS, 16))
         g.num_edges  # force materialization
         graph_box["g"] = g
         return g
 
-    run("q_etl_build", build, n=1)  # one-time build, not repeated
+    # repeated (r2 verdict: the suite's dominant cost deserves stats),
+    # capped at 3 — a full rebuild is the suite's most expensive query
+    run("q_etl_build", build, n=min(REPEATS, 3))
     g = graph_box.get("g")
     if g is None:  # subset run that still needs the graph
         need_graph = not ONLY or ONLY & {"q_pagerank", "q_multi_ppr8", "q_cc", "q_lpa5", "q_triangles"}
@@ -198,7 +206,7 @@ def main() -> None:
     run("q_ann_lsh", ann_lsh)
 
     # ---- synthetic SpMV throughput (scaling workload) --------------------
-    spmv_steps: list[float] = []
+    spmv_rep_medians: list[float] = []
     spmv_ets: list[float] = []
 
     def spmv_throughput(rep):
@@ -226,19 +234,27 @@ def main() -> None:
         t0 = time.perf_counter()
         res = multi_ppr(sg, srcs, alpha=0.8, tol=0.0, max_iter=SPMV_ITERS)
         el = time.perf_counter() - t0
-        spmv_steps.extend(mm["wall_ms"] / 1e3 for mm in res.metrics)
+        # per-rep median first, then median across reps below: a single
+        # pooled median let one noisy rep's supersteps dominate the
+        # headline (r2 verdict watch item: 0.17-0.31 s spread across
+        # driver runs on this ±30% host)
+        steps = sorted(mm["wall_ms"] / 1e3 for mm in res.metrics)
+        spmv_rep_medians.append(steps[len(steps) // 2])
         spmv_ets.append(m * SPMV_ITERS * SPMV_SOURCES / el)
         return el
 
     out = run("q_spmv_throughput", spmv_throughput)
     if out is not None:
         m = graph_box["sm"]
-        med = sorted(spmv_steps)[len(spmv_steps) // 2]
+        med = sorted(spmv_rep_medians)[len(spmv_rep_medians) // 2]
         ets = sorted(spmv_ets)[len(spmv_ets) // 2]
         extra["spmv_edges"] = m
         extra["spmv_sources"] = SPMV_SOURCES
         extra["spmv_supersteps"] = SPMV_ITERS
         extra["spmv_median_superstep_sec"] = round(med, 3)
+        extra["spmv_rep_median_superstep_sec"] = [
+            round(x, 3) for x in spmv_rep_medians
+        ]
         extra["spmv_edge_traversals_per_sec"] = round(ets, 0)
         extra["spmv_edge_traversals_per_sec_median"] = round(m * SPMV_SOURCES / med, 0)
 
