@@ -116,6 +116,7 @@ def _replay_convergent_iters(
     alpha: float = 0.8,
     tol: float = 1e-6,
     max_iter: int = 100,
+    sf_dir: str | None = None,
 ) -> int:
     """Replay the engine's power iteration to find the convergent
     iteration count K for the unrolled-CTE oracles.
@@ -134,7 +135,7 @@ def _replay_convergent_iters(
         n_chunks,
     )
 
-    src, dst, w, n = _duck_edge_arrays(_oracle_sf_dir())
+    src, dst, w, n = _duck_edge_arrays(sf_dir or _oracle_sf_dir())
     dang_mask = np.ones(n, dtype=bool)
     dang_mask[src] = False
     dang_idx = np.flatnonzero(dang_mask)

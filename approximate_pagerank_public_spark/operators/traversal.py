@@ -371,8 +371,12 @@ def frontier_min_relax(
                         done.append(pid)
                         if not len(sel):
                             continue
-                        # per-edge dst (udst-local), cached per run
-                        ed_path = f"{run_dir}/edst_{pid}.npy"
+                        # per-edge dst (udst-local): deterministic per
+                        # block, so cached at BlockStore scope — repeated
+                        # traversals (warm single-source BFS, repeated CC)
+                        # reuse it instead of re-expanding |E| dst ids per
+                        # call (measured ~1 s/call/10^7 edges)
+                        ed_path = f"{block_dir}/edst_{pid}.npy"
                         if os.path.exists(ed_path):
                             edge_dst = np.load(ed_path, mmap_mode="r")
                         else:
@@ -381,7 +385,7 @@ def frontier_min_relax(
                             # tmp + rename: a task killed mid-write (retry /
                             # speculation) must never leave a truncated file
                             # the exists-check above would then trust
-                            tmp = f"{run_dir}/edst_{pid}.{uuid.uuid4().hex}.tmp.npy"
+                            tmp = f"{block_dir}/edst_{pid}.{uuid.uuid4().hex}.tmp.npy"
                             np.save(tmp, edge_dst)
                             os.rename(tmp, ed_path)
                         d_sel = np.asarray(edge_dst)[sel]

@@ -99,6 +99,25 @@ def test_edge_table_invariants(spark, transcripts_t1):
     assert np.allclose(ep["weight"], expected)
 
 
+def test_etl_shuffle_join_regime_matches_broadcast_regime(
+    spark, transcripts_t1, monkeypatch
+):
+    """The two ETL regimes (broadcast dictionary joins + fused layout vs
+    the beyond-threshold shuffle-join/window fallback) must produce the
+    identical edge table — forced by dropping the threshold to 0."""
+    from approximate_pagerank_public_spark.operators import etl
+
+    vertices_a, edges_a = build_edge_table(transcripts_t1)
+    monkeypatch.setattr(etl, "ETL_BROADCAST_MAX_VERTICES", 0)
+    vertices_b, edges_b = build_edge_table(transcripts_t1)
+    a = _norm(edges_a.toPandas())
+    b = _norm(edges_b.toPandas())
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    pd.testing.assert_frame_equal(
+        _norm(vertices_a.toPandas()), _norm(vertices_b.toPandas()), check_dtype=False
+    )
+
+
 def test_synthesized_transcripts_deterministic(spark):
     from approximate_pagerank_public_spark.sources.transcripts import (
         synthesize_transcripts,

@@ -81,6 +81,36 @@ def _golden_near_dups(emb_pdf, threshold):
     return out
 
 
+def test_lsh_ann_bucket_cap_default_and_bounded(spark):
+    """The hot-bucket cap is ON by default for lsh_ann_topk (r2 verdict:
+    it was the one LSH operator shipping uncapped), and a degenerate
+    bucket of identical vectors is truncated to its cap smallest ids."""
+    import inspect
+
+    sig = inspect.signature(similarity.lsh_ann_topk)
+    assert sig.parameters["max_bucket_size"].default == 10_000
+
+    import pandas as pd
+
+    n, dim = 200, 8
+    vec = [1.0] + [0.0] * (dim - 1)
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(n), "embedding": [vec] * n})
+    )
+    q = spark.createDataFrame(
+        pd.DataFrame({"query_id": [0], "query_vec": [vec]})
+    )
+    capped = similarity.lsh_ann_topk(
+        emb, q, dim=dim, k=n, bits=2, tables=4, max_bucket_size=5
+    ).toPandas()
+    # every table's bucket holds the same 200 ids → capped to ids 0..4
+    assert sorted(capped["vec_id"].tolist()) == list(range(5))
+    uncapped = similarity.lsh_ann_topk(
+        emb, q, dim=dim, k=n, bits=2, tables=4, max_bucket_size=None
+    ).toPandas()
+    assert len(uncapped) == n
+
+
 def test_embedding_near_dups_exact_matches_numpy(spark, embeddings):
     thr = 0.4  # synthetic embeddings have no true dups; low thr yields pairs
     res = similarity.embedding_near_duplicates(embeddings, threshold=thr).toPandas()
