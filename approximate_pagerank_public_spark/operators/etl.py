@@ -191,12 +191,18 @@ def build_edge_table(
 
     Physical plan (broadcast regime, |V| ≤ ETL_BROADCAST_MAX_VERTICES):
 
-    1. raw edges → ``repartition(P, dst_entity)`` → partition-local
-       dedup (Catalyst proves HashPartitioning(dst_entity) satisfies the
-       (src,dst) clustering — verified one Exchange in the plan);
-       hashing by dst ENTITY clusters identically to hashing by dst id,
-       so this single exchange IS the Graph's dst-disjoint layout.
-    2. id dictionary + out-degree joins are all broadcast (map-side, no
+    1. raw edges → ``distinct`` (Catalyst plans a PARTIAL HashAggregate
+       before its exchange, so the massive consecutive-turn duplicate
+       mass — every role→role pair repeats ~|turns|/|role-pairs| times —
+       collapses map-side; the exchange moves ~|E| deduped rows, never
+       raw rows. Shuffling raw by dst first would concentrate half the
+       raw stream in a hub entity's single partition at 10^12-turn
+       scale);
+    2. ``repartition(P, dst_entity)`` over the DEDUPED rows — hashing
+       by dst ENTITY clusters identically to hashing by dst id, so this
+       deduped-volume exchange IS the Graph's dst-disjoint layout
+       (``Graph(layout_ready=True)`` skips its own repartition);
+    3. id dictionary + out-degree joins are all broadcast (map-side, no
        shuffle, layout preserved).
 
     Beyond the threshold the id/outdeg lookups become shuffle joins and
@@ -210,12 +216,7 @@ def build_edge_table(
     # output, out-degree agg, and the vertex-dictionary union); without
     # a persist Catalyst re-derives the whole window/union/dedup subtree
     # per consumer (verified via .explain)
-    entity_edges = (
-        _raw_entity_edges(transcripts)
-        .repartition(p, "dst_entity")
-        .dropDuplicates(["src_entity", "dst_entity"])
-        .persist()
-    )
+    entity_edges = _raw_entity_edges(transcripts).distinct().persist()
     vertices = densify_vertices(entity_edges).persist()
     n = vertices.count()
     small = n <= ETL_BROADCAST_MAX_VERTICES
@@ -230,7 +231,8 @@ def build_edge_table(
             F.count("*").alias("_outdeg")
         )
         edges = (
-            entity_edges.join(F.broadcast(outdeg), "src_entity")
+            entity_edges.repartition(p, "dst_entity")
+            .join(F.broadcast(outdeg), "src_entity")
             .join(F.broadcast(src_map), "src_entity")
             .join(F.broadcast(dst_map), "dst_entity")
             .select(

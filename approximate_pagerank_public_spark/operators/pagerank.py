@@ -48,7 +48,16 @@ from approximate_pagerank_public_spark.operators.spmv import (
 from approximate_pagerank_public_spark.plans.checkpoint import CheckpointManager
 from approximate_pagerank_public_spark.plans.graph import Graph
 
-BROADCAST_MAX_VERTICES = 100_000_000  # ~0.8 GB/source of f64 driver state
+# Mode-selection cutover, now MEASURED at the protocol-max graph
+# (BENCH_SCALING.json `distributed-twin/ppr-supersteps`, |E|=1e8):
+# the single-host barrier/block path sustains ~1.1B edge-traversals/s
+# while the distributed DataFrame twin reaches ~51M on the same box —
+# the per-superstep join+agg shuffle is bandwidth-bound, so on ONE node
+# broadcast mode wins whenever driver state fits. The twin is the
+# correct mode only when vertex state exceeds a single machine
+# (> ~0.8 GB/source of f64 at this threshold) or no shm is available;
+# its shuffle then spreads across the cluster's aggregate bandwidth.
+BROADCAST_MAX_VERTICES = 100_000_000
 
 try:  # job/scheduling failures surface as Py4J errors in classic PySpark
     from py4j.protocol import Py4JError
