@@ -487,12 +487,16 @@ def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates on md5 hashes — the oracle replays the
+    whole pipeline (shingles → md5 minhash → md5 band buckets →
+    bucket self-join) in DuckDB; xxhash64 stays the fast default for
+    non-oracled use."""
     from approximate_pagerank_public_spark.operators.dedup import (
         minhash_lsh_candidates,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_candidates(docs, num_hashes=16, bands=4)
+    return minhash_lsh_candidates(docs, num_hashes=16, bands=4, hash_method="md5")
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -725,6 +729,43 @@ def _embedding_near_dup_oracle() -> str:
         f"floor({cos} * 1000000.0) / 1000000.0 AS cosine "
         "FROM emb a JOIN emb b ON a.vec_id < b.vec_id "
         f"WHERE {cos} >= 0.45"
+    )
+
+
+_DUCK_SHINGLES = (
+    "toksrc AS (SELECT doc_id, "
+    "  string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks "
+    "  FROM documents), "
+    "sh AS (SELECT doc_id, unnest(list_distinct("
+    "  [array_to_string(toks[i+1:i+3], ' ') "
+    "   for i in range(0, greatest(len(toks) - 3, 0) + 1)])) AS shingle "
+    "  FROM toksrc)"
+)
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """Replays ``minhash_lsh_candidates(hash_method='md5')`` end-to-end:
+    md5 minhashes (lexicographic min over fixed-length hex == numeric
+    min, identical in both engines), md5 band buckets, self-join on
+    (band, bucket). The 2000-doc bucket cap cannot trigger at the
+    500-doc oracle scale, so the replay omits it."""
+    r = num_hashes // bands
+    mins = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS m{i}" for i in range(num_hashes)
+    )
+    band_selects = []
+    for b in range(bands):
+        expr = " || ',' || ".join(f"m{b * r + j}" for j in range(r))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({expr}) AS bucket FROM sig"
+        )
+    return (
+        f"WITH {_DUCK_SHINGLES}, "
+        f"sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id), "
+        f"banded AS ({' UNION ALL '.join(band_selects)}) "
+        "SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM banded x "
+        "JOIN banded y ON x.band = y.band AND x.bucket = y.bucket "
+        "AND x.doc_id < y.doc_id"
     )
 
 
@@ -1188,6 +1229,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr_fixed8": _pagerank_fixed_oracle(8, 0.8, source=0),
         "ppr_norm_off": _pagerank_fixed_oracle(8, 0.8, source=0, dangling_norm=False),
         "label_propagation": _lpa_oracle(5),
+        "minhash_lsh": _minhash_oracle(),
         "cosine_topk": _cosine_topk_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
         "embedding_near_dup": _embedding_near_dup_oracle(),

@@ -110,16 +110,31 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n:
 
 
 def minhash_signatures(
-    sh: DataFrame, num_hashes: int = 16
+    sh: DataFrame, num_hashes: int = 16, hash_method: str = "xxhash64"
 ) -> DataFrame:
-    """``(doc_id, sig: array<bigint>)`` — min over xxhash64(shingle, seed)
-    per seed; one groupBy, vectorized JVM-side."""
-    mins = sh.groupBy("doc_id").agg(
-        *[
+    """``(doc_id, sig: array)`` — min over hash_i(shingle) per seed i;
+    one groupBy, vectorized JVM-side.
+
+    ``xxhash64`` (default): ``min(xxhash64(shingle, i))`` — fastest,
+    Spark-only. ``md5``: ``min(md5(i || ':' || shingle))`` as a STRING —
+    lexicographic min over fixed-length lowercase hex equals numeric
+    min, and DuckDB computes the identical value, so the md5 variant is
+    fully oracle-replayable."""
+    if hash_method == "xxhash64":
+        cols = [
             F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"m{i}")
             for i in range(num_hashes)
         ]
-    )
+    elif hash_method == "md5":
+        cols = [
+            F.min(
+                F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))
+            ).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_method {hash_method!r}")
+    mins = sh.groupBy("doc_id").agg(*cols)
     return mins.select(
         "doc_id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig")
     )
@@ -134,14 +149,22 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     max_bucket_size: int | None = 2000,
     log_skew: bool = False,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs ``(a, b)`` with a < b: docs sharing
     at least one LSH band bucket. Buckets larger than
     ``max_bucket_size`` are truncated to their smallest doc_ids (see
     :func:`cap_bucket_size`) so a degenerate bucket cannot emit k²
-    pairs; ``None`` disables the cap."""
+    pairs; ``None`` disables the cap. ``hash_method='md5'`` builds both
+    the minhashes and the band buckets from md5 (string-typed buckets) —
+    slower, but DuckDB-replayable end-to-end."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(shingles(docs, id_col, text_col, shingle_n), num_hashes)
+    sig = minhash_signatures(
+        shingles(docs, id_col, text_col, shingle_n), num_hashes, hash_method
+    )
+    bucket_of = (
+        (lambda c: F.xxhash64(c)) if hash_method == "xxhash64" else (lambda c: F.md5(c))
+    )
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -149,7 +172,7 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
+                        bucket_of(
                             F.concat_ws(
                                 ",",
                                 *[

@@ -132,3 +132,20 @@ def test_block_bfs_matches_frontier_bfs(g_rand):
     b = multi_source_bfs_block(g_rand, sources).toPandas()
     key = ["source", "id", "dist"]
     assert sorted(map(tuple, a[key].values)) == sorted(map(tuple, b[key].values))
+
+
+def test_block_bfs_dense_frontier_path_matches_sparse(g_rand, monkeypatch):
+    """The dense |E|-mask gather and the sparse src-index lookup are
+    alternate selection strategies inside frontier_min_relax — force
+    each and require identical distances (small graphs otherwise always
+    take the sparse path, leaving dense untested)."""
+    from approximate_pagerank_public_spark.operators import traversal
+
+    sources = [0, 7]
+    sparse = traversal.multi_source_bfs_block(g_rand, sources).toPandas()
+    monkeypatch.setattr(traversal, "_sparse_threshold", lambda n: -1)
+    dense = traversal.multi_source_bfs_block(g_rand, sources).toPandas()
+    key = ["source", "id", "dist"]
+    assert sorted(map(tuple, sparse[key].values)) == sorted(
+        map(tuple, dense[key].values)
+    )
