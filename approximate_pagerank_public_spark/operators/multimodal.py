@@ -4,15 +4,24 @@ Media payloads are opaque ``binary`` columns with typed metadata; the
 Spark-side plumbing — schema, partitioning, Arrow batch shape, Pandas
 UDF signatures over ``mapInPandas`` — is real and tested.
 
-Codec coverage: **uncompressed containers decode for real, in pure
-NumPy** — 24-bit BI_RGB BMP (:func:`decode_bmp`/:func:`encode_bmp`) and
-PCM-16 mono WAV (:func:`decode_wav`/:func:`encode_wav`) — so
-``decode_stub=False`` runs a genuine decode → feature/resize kernel for
-those formats (golden-tested against known pixels/samples). Compressed
-codecs (JPEG/PNG/MP4...) require libraries not present in this
-environment and still raise ``NotImplementedError`` at the point the
-codec would run. ``decode_stub=True`` (default) keeps the deterministic
-byte-derived fake for schema/plumbing tests regardless of format.
+Codec coverage — all pure NumPy + stdlib, no codec libraries:
+
+- 24-bit BI_RGB BMP (:func:`decode_bmp`/:func:`encode_bmp`);
+- PCM-16 mono WAV (:func:`decode_wav`/:func:`encode_wav`);
+- **PNG** (:func:`decode_png`/:func:`encode_png`) — a real DEFLATE-
+  compressed format via stdlib ``zlib``: 8-bit gray/RGB/RGBA, all five
+  scanline filters (None/Sub/Up/Average/Paeth) on decode;
+- **Y4M** (YUV4MPEG2, :func:`decode_y4m`/:func:`encode_y4m`) — the
+  standard uncompressed video container, giving frame sampling a real
+  decode path.
+
+``decode_stub=False`` therefore runs a genuine decode → feature /
+resize / frame-sample kernel for these formats (golden-tested against
+known pixels/samples/frames). Codecs that genuinely need external
+libraries (JPEG/H.264/MP4...) still raise ``NotImplementedError`` at
+the point the codec would run. ``decode_stub=True`` (default) keeps the
+deterministic byte-derived fake for schema/plumbing tests regardless of
+format.
 """
 
 from __future__ import annotations
@@ -129,13 +138,190 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return samples, rate
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w) gray / (h, w, 3) RGB / (h, w, 4) RGBA uint8 → PNG.
+
+    Real DEFLATE compression via stdlib ``zlib``; scanline filter 0
+    (None) on every row — simple, always-valid output that any PNG
+    reader accepts."""
+    import struct
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    rows = np.zeros((h, 1 + w * ch), dtype=np.uint8)
+    rows[:, 1:] = px.reshape(h, w * ch)  # filter byte 0 per row
+    idat = zlib.compress(rows.tobytes(), 6)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _unfilter_row(f: int, cur: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """Reverse one PNG scanline filter (spec §9). ``cur`` is the filtered
+    row (mutated into the reconstruction), ``prev`` the reconstructed
+    row above. Sub/Up vectorize fully; Average/Paeth recur on the left
+    neighbor so they walk pixels (vectorized across channels)."""
+    if f == 0:  # None
+        return cur
+    if f == 1:  # Sub: recon[x] = cur[x] + recon[x-bpp] → per-lane cumsum
+        lanes = cur.reshape(-1, bpp).astype(np.uint64)
+        return (lanes.cumsum(axis=0) % 256).astype(np.uint8).reshape(-1)
+    if f == 2:  # Up
+        return cur + prev  # uint8 wraparound is the spec's mod-256
+    w = len(cur) // bpp
+    rec = np.empty_like(cur)
+    if f == 3:  # Average
+        left = np.zeros(bpp, dtype=np.uint16)
+        for x in range(w):
+            sl = slice(x * bpp, (x + 1) * bpp)
+            left = (cur[sl] + ((left + prev[sl]) >> 1)).astype(np.uint16) % 256
+            rec[sl] = left
+        return rec
+    if f == 4:  # Paeth
+        left = np.zeros(bpp, dtype=np.int32)
+        upleft = np.zeros(bpp, dtype=np.int32)
+        for x in range(w):
+            sl = slice(x * bpp, (x + 1) * bpp)
+            up = prev[sl].astype(np.int32)
+            p = left + up - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
+            val = (cur[sl].astype(np.int32) + pred) % 256
+            rec[sl] = val.astype(np.uint8)
+            upleft, left = up, val
+        return rec
+    raise ValueError(f"bad PNG filter type {f}")
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → (h, w) uint8 gray or (h, w, ch) uint8 RGB/RGBA.
+
+    8-bit depth, color types 0/2/6, no interlace; all five scanline
+    filters. Stdlib ``zlib`` inflate + NumPy unfiltering — no codec
+    library."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit gray/RGB/RGBA non-interlaced PNG supported "
+            f"(depth={depth}, color={color_type}, interlace={interlace})"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    raw = raw.reshape(h, 1 + stride)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        prev = _unfilter_row(int(raw[y, 0]), raw[y, 1:].copy(), prev, ch)
+        out[y] = prev
+    px = out.reshape(h, w, ch)
+    return px[:, :, 0] if ch == 1 else px
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """(t, h, w) uint8 luma frames → YUV4MPEG2 (C420, flat gray chroma).
+    h and w must be even (4:2:0 chroma subsampling)."""
+    fr = np.asarray(frames, dtype=np.uint8)
+    t, h, w = fr.shape
+    if h % 2 or w % 2:
+        raise ValueError("Y4M 4:2:0 needs even dimensions")
+    header = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420jpeg\n".encode()
+    chroma = np.full((h // 2) * (w // 2), 128, dtype=np.uint8).tobytes()
+    parts = [header]
+    for i in range(t):
+        parts.append(b"FRAME\n")
+        parts.append(fr[i].tobytes())
+        parts.append(chroma)
+        parts.append(chroma)
+    return b"".join(parts)
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, float]:
+    """YUV4MPEG2 → ((t, h, w) uint8 luma frames, fps). C420 only; chroma
+    planes are parsed past but not returned (luma drives the features)."""
+    nl = payload.index(b"\n")
+    tokens = payload[:nl].decode("ascii", "replace").split()
+    if not tokens or tokens[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    fps = 25.0
+    for tok in tokens[1:]:
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("F"):
+            num, den = tok[1:].split(":")
+            fps = int(num) / int(den)
+        elif tok.startswith("C") and not tok.startswith("C420"):
+            raise NotImplementedError(f"only C420 Y4M supported, got {tok}")
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    luma, chroma = h * w, (h // 2) * (w // 2)
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad Y4M frame marker")
+        pos = fnl + 1
+        frames.append(
+            np.frombuffer(payload, dtype=np.uint8, count=luma, offset=pos).reshape(h, w)
+        )
+        pos += luma + 2 * chroma
+    return np.stack(frames) if frames else np.empty((0, h, w), np.uint8), fps
+
+
 def synthesize_media(
     spark, n: int = 64, seed: int = 42, real_codecs: bool = False
 ) -> DataFrame:
     """Deterministic fake media table. ``real_codecs=True`` emits valid
-    24-bit BMP image payloads and PCM-16 WAV audio payloads (video stays
-    seeded bytes — no uncompressed video container here) so the
-    ``decode_stub=False`` path exercises the real decoders end-to-end."""
+    payloads for every kind — images alternate 24-bit BMP and PNG, audio
+    is PCM-16 WAV, video is Y4M — so the ``decode_stub=False`` path
+    exercises every real decoder end-to-end."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = []
@@ -145,14 +331,26 @@ def synthesize_media(
         h = 48 + i % 16 if kind != "audio" else None
         dur = (1000 + 10 * i) if kind != "image" else None
         if real_codecs and kind == "image":
-            payload = encode_bmp(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
-            mime = "image/bmp"
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            if (i // 3) % 2:
+                payload, mime = encode_png(px), "image/png"
+            else:
+                payload, mime = encode_bmp(px), "image/bmp"
         elif real_codecs and kind == "audio":
             n_samp = 16 * dur  # 16 kHz, duration_ms samples
             payload = encode_wav(
                 rng.integers(-(2**15), 2**15, n_samp, dtype=np.int64).astype(np.int16)
             )
             mime = "audio/wav"
+        elif real_codecs and kind == "video":
+            fps = 25
+            we, he = w - (w % 2), h - (h % 2)  # Y4M needs even dims
+            w, h = we, he
+            n_frames = max(1, dur * fps // 1000)
+            payload = encode_y4m(
+                rng.integers(0, 256, (n_frames, he, we), dtype=np.uint8), fps=fps
+            )
+            mime = "video/x-yuv4mpeg"
         else:
             payload = rng.integers(0, 256, 128 + (i % 64), dtype=np.uint8).tobytes()
             mime = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind]
@@ -176,9 +374,24 @@ def _l2(v: np.ndarray) -> np.ndarray:
 def _real_feature(payload: bytes, kind: str, dim: int) -> np.ndarray:
     """Decoded-pixel/sample feature for the uncompressed containers.
 
-    image (BMP): L2-normalized ``dim``-bin luminance histogram;
-    audio (WAV): L2-normalized per-window RMS over ``dim`` windows.
-    Anything else (JPEG/PNG/MP4...) needs a codec library → raise."""
+    image (BMP/PNG): L2-normalized ``dim``-bin luminance histogram;
+    audio (WAV): L2-normalized per-window RMS over ``dim`` windows;
+    video (Y4M): L2-normalized luma histogram over all frames.
+    Anything else (JPEG/H.264...) needs a codec library → raise."""
+    if kind == "image" and bytes(payload[:8]) == _PNG_MAGIC:
+        px = decode_png(payload)
+        if px.ndim == 2:
+            lum = px.astype(np.float64).ravel()
+        else:
+            lum = (
+                0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+            ).ravel()
+        hist, _ = np.histogram(lum, bins=dim, range=(0.0, 256.0))
+        return _l2(hist.astype(np.float64))
+    if kind == "video" and bytes(payload[:9]) == b"YUV4MPEG2":
+        frames, _fps = decode_y4m(payload)
+        hist, _ = np.histogram(frames.ravel(), bins=dim, range=(0.0, 256.0))
+        return _l2(hist.astype(np.float64))
     if kind == "image" and bytes(payload[:2]) == b"BM":
         px = decode_bmp(payload)
         lum = (
@@ -198,8 +411,8 @@ def _real_feature(payload: bytes, kind: str, dim: int) -> np.ndarray:
         )
         return _l2(rms)
     raise NotImplementedError(
-        f"no pure-NumPy decoder for this {kind} payload — only uncompressed "
-        "BMP/WAV decode without codec libraries; run with decode_stub=True"
+        f"no pure-NumPy decoder for this {kind} payload — BMP/PNG/WAV/Y4M "
+        "decode without codec libraries; run with decode_stub=True"
     )
 
 
@@ -248,6 +461,73 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_ms", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),  # PNG-encoded grayscale frame
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, decode_stub: bool = True
+) -> DataFrame:
+    """Materialize sampled video frames via ``mapInPandas``.
+
+    ``decode_stub=False``: real path for Y4M payloads — parse the
+    container, pick the nearest frame every ``every_ms``, emit each as a
+    PNG-encoded grayscale image row (ready for ``extract_features`` /
+    ``resize_images``); other containers raise. ``decode_stub=True``
+    keeps a deterministic byte-slice fake with the same schema and
+    row-count semantics, so plumbing tests don't need real payloads.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "frame_ms", "width", "height", "payload")}
+            for mid, p, dur, w, h in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"],
+                pdf["width"], pdf["height"],
+            ):
+                if decode_stub:
+                    n_f = max(1, int(dur or 0) // every_ms + 1)
+                    arr = np.frombuffer(p, dtype=np.uint8)
+                    for i in range(n_f):
+                        a = (i * len(arr)) // n_f
+                        rows["media_id"].append(mid)
+                        rows["frame_ms"].append(i * every_ms)
+                        rows["width"].append(w)
+                        rows["height"].append(h)
+                        rows["payload"].append(arr[a : a + 64].tobytes())
+                    continue
+                if bytes(p[:9]) != b"YUV4MPEG2":
+                    raise NotImplementedError(
+                        "no pure-NumPy decoder for this video payload — only "
+                        "Y4M samples without codec libraries; run with "
+                        "decode_stub=True"
+                    )
+                frames, fps = decode_y4m(p)
+                t, fh, fw = frames.shape
+                ms = 0
+                while t and ms <= int(dur or (t - 1) * 1000 / fps):
+                    fi = min(t - 1, int(round(ms * fps / 1000.0)))
+                    rows["media_id"].append(mid)
+                    rows["frame_ms"].append(ms)
+                    rows["width"].append(fw)
+                    rows["height"].append(fh)
+                    rows["payload"].append(encode_png(frames[fi]))
+                    ms += every_ms
+            yield pd.DataFrame(rows)
+
+    v = media.where(F.col("kind") == "video").select(
+        "media_id", "payload", "duration_ms", "width", "height"
+    )
+    return v.mapInPandas(fn, FRAME_SCHEMA)
+
+
 RESIZED_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -267,10 +547,10 @@ def resize_images(
 ) -> DataFrame:
     """Resize pass over image rows via ``mapInPandas``.
 
-    ``decode_stub=False`` runs the real kernel for BMP payloads:
+    ``decode_stub=False`` runs the real kernel for BMP and PNG payloads:
     decode → nearest-neighbor resample to (target_w, target_h) →
-    re-encode BMP (golden-tested pixel-exact); formats that need codec
-    libraries raise. ``decode_stub=True`` (default) keeps the
+    re-encode in the same container (golden-tested pixel-exact); formats
+    that need codec libraries raise. ``decode_stub=True`` (default) keeps the
     shape-faithful byte resampling for plumbing tests (schema, filter
     pushdown to the image rows, Arrow batch shape, payload-size
     scaling).
@@ -287,13 +567,19 @@ def resize_images(
             out_payloads = []
             for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
                 if not decode_stub:
-                    if bytes(p[:2]) != b"BM":
+                    if bytes(p[:8]) == _PNG_MAGIC:
+                        px = decode_png(p)
+                        if px.ndim == 2:
+                            px = px[:, :, None].repeat(3, axis=2)
+                        out_payloads.append(encode_png(_nn_resize(px[:, :, :3])))
+                    elif bytes(p[:2]) == b"BM":
+                        out_payloads.append(encode_bmp(_nn_resize(decode_bmp(p))))
+                    else:
                         raise NotImplementedError(
                             "no pure-NumPy decoder for this image payload — "
-                            "only uncompressed BMP resizes without codec "
-                            "libraries; run with decode_stub=True"
+                            "only BMP/PNG resize without codec libraries; "
+                            "run with decode_stub=True"
                         )
-                    out_payloads.append(encode_bmp(_nn_resize(decode_bmp(p))))
                     continue
                 arr = np.frombuffer(p, dtype=np.uint8)
                 in_px = max(1, int(w or 1) * int(h or 1))

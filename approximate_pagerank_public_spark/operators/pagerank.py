@@ -21,9 +21,12 @@ Execution modes:
 - ``mode='broadcast'`` — Arrow-kernel supersteps (1 Spark job each),
   driver holds O(S·N) f64 state. Right when the vertex state fits the
   driver (≲ 10^8 vertices).
-- ``mode='distributed'`` — pure-DataFrame supersteps with co-partitioned
-  rank state and in-memory lineage truncation every iteration; vertex
-  state never leaves the cluster. Right at 10^12-turn scale.
+- ``mode='distributed'`` — pure-DataFrame supersteps (|E|-row join +
+  hash agg) with co-partitioned rank state and in-memory lineage
+  truncation every iteration; vertex state never leaves the cluster.
+- ``mode='distributed-arrow'`` — cluster-state supersteps over shared-FS
+  CSR blocks with packed message shuffles and vectorized NumPy kernels
+  (``plans/distblocks.py``). The recommended path at 10^12-turn scale.
 - ``mode='auto'`` picks by ``num_vertices``.
 
 Every superstep appends to the iteration-metrics series
@@ -548,10 +551,148 @@ def _run_distributed_multi(
     )
 
 
+def _run_distributed_arrow(
+    graph: Graph,
+    alpha: float,
+    tol: float,
+    max_iter: int,
+    sources: list[int] | None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = True,
+    dangling_norm: bool = True,
+) -> PageRankResult:
+    """Message-shuffle supersteps over shared-FS CSR blocks — the
+    cluster-scale path (``plans/distblocks.py``; single source, plain
+    PageRank, and the (S, N) multi-PPR block all share it).
+
+    Per superstep (vs ``_run_distributed``'s |E|-row join + |E|-row hash
+    agg): one narrow scan for the dangling dot (dangling ⇔ empty routing
+    column), one job whose only all-to-all is packed per-(state
+    partition, block) binary messages feeding the L2-tiled NumPy SpMV
+    against mmap-cached blocks, one narrow scan for the stop scalars
+    (carried as diff columns on the checkpointed state, so no second
+    join). Vertex state never leaves the cluster.
+    """
+    spark = graph.spark
+    n = graph.num_vertices
+    p = graph.num_partitions
+    store = graph.dist_blocks()
+    s = 1 if sources is None else len(sources)
+    cols = [f"r{i}" for i in range(s)]
+    if sources is None:
+        init = [F.lit(1.0 / n).alias("r0")]
+    else:
+        init = [
+            F.when(F.col("id") == src, 1.0).otherwise(0.0).alias(c)
+            for c, src in zip(cols, sources)
+        ]
+    routed = store.attach_routing(graph.vertices)
+    state = (
+        routed.select("id", "pids", *init).repartition(p, "id").localCheckpoint()
+    )
+
+    metrics: list[dict] = []
+    start_it = 0
+    config = {
+        "alpha": alpha,
+        "tol": tol,
+        "max_iter": max_iter,
+        "sources": sources,
+        "dangling_norm": dangling_norm,
+    }
+    ckpt = CheckpointManager(checkpoint_dir, every=checkpoint_every) if checkpoint_dir else None
+    if ckpt and resume:
+        loaded = ckpt.load_latest_df(graph.spark)
+        if loaded is not None:
+            start_it, ranks_df, metrics = loaded
+            state.unpersist()
+            state = (
+                routed.join(ranks_df.select("id", *cols), "id")
+                .select("id", "pids", *cols)
+                .repartition(p, "id")
+                .localCheckpoint()
+            )
+    converged = False
+    it = start_it
+    for it in range(start_it + 1, max_iter + 1):
+        t0 = time.perf_counter()
+        if dangling_norm:
+            drow = (
+                state.where(F.size("pids") == 0)
+                .agg(*[F.sum(c).alias(c) for c in cols])
+                .first()
+            )
+            d = [float(drow[c] or 0.0) for c in cols]
+        else:
+            d = [0.0] * s
+        contribs = store.contribs(state, s, p)
+        new_cols, diff_cols = [], []
+        for i, c in enumerate(cols):
+            expr = F.lit(alpha) * F.coalesce(F.col(f"c{i}"), F.lit(0.0)) + F.lit(
+                alpha / n * d[i] + ((1.0 - alpha) / n if sources is None else 0.0)
+            )
+            if sources is not None:
+                expr = expr + F.when(
+                    F.col("id") == sources[i], 1.0 - alpha
+                ).otherwise(0.0)
+            new_cols.append(expr.alias(c))
+            diff_cols.append(F.abs(expr - F.col(c)).alias(f"_d{i}"))
+        new = (
+            state.join(contribs, "id", "left")
+            .select("id", "pids", *new_cols, *diff_cols)
+            .repartition(p, "id")
+            .localCheckpoint()
+        )
+        err_row = new.agg(
+            *[F.sum(f"_d{i}").alias(f"_d{i}") for i in range(s)],
+            *[F.sum(F.pow(f"_d{i}", 2)).alias(f"_q{i}") for i in range(s)],
+        ).first()
+        l1 = max(float(err_row[f"_d{i}"]) for i in range(s))
+        sq = max(float(err_row[f"_q{i}"]) for i in range(s))
+        state.unpersist()
+        state = new.select("id", "pids", *cols)
+        metrics.append(
+            {
+                "iter": it,
+                "l1_err": l1,
+                "sq_l2_err": sq,
+                "dangling_sum": max(d),
+                "wall_ms": (time.perf_counter() - t0) * 1e3,
+            }
+        )
+        if ckpt:
+            ckpt.save_df(state.select("id", *cols), it, metrics, config=config)
+        if l1 <= tol:
+            converged = True
+            break
+    if sources is None:
+        out = state.select("id", F.col("r0").alias("rank"))
+    else:
+        out = state.select(
+            "id", *[F.col(c).alias(f"rank_{i}") for i, c in enumerate(cols)]
+        )
+    return PageRankResult(
+        iterations=it,
+        converged=converged,
+        metrics=metrics,
+        sources=sources,
+        ranks_df=out,
+        _graph=graph,
+    )
+
+
 def _pick_mode(graph: Graph, mode: str) -> str:
     if mode != "auto":
         return mode
-    return "broadcast" if graph.num_vertices <= BROADCAST_MAX_VERTICES else "distributed"
+    # beyond driver-resident state, the message-shuffle block path is the
+    # measured winner over the join-based twin (BENCH_SCALING.json
+    # `distributed-twin` rows) — the join twin stays reachable explicitly
+    return (
+        "broadcast"
+        if graph.num_vertices <= BROADCAST_MAX_VERTICES
+        else "distributed-arrow"
+    )
 
 
 def pagerank(
@@ -567,6 +708,10 @@ def pagerank(
     mode = _pick_mode(graph, mode)
     if mode == "broadcast":
         return _run_broadcast(
+            graph, alpha, tol, max_iter, None, checkpoint_dir, checkpoint_every, resume
+        )
+    if mode == "distributed-arrow":
+        return _run_distributed_arrow(
             graph, alpha, tol, max_iter, None, checkpoint_dir, checkpoint_every, resume
         )
     return _run_distributed(
@@ -592,6 +737,11 @@ def personalized_pagerank(
     mode = _pick_mode(graph, mode)
     if mode == "broadcast":
         return _run_broadcast(
+            graph, alpha, tol, max_iter, [source], checkpoint_dir, checkpoint_every,
+            resume, dangling_norm=dangling_norm,
+        )
+    if mode == "distributed-arrow":
+        return _run_distributed_arrow(
             graph, alpha, tol, max_iter, [source], checkpoint_dir, checkpoint_every,
             resume, dangling_norm=dangling_norm,
         )
@@ -621,6 +771,11 @@ def multi_ppr(
     mode = _pick_mode(graph, mode)
     if mode == "broadcast":
         return _run_broadcast(
+            graph, alpha, tol, max_iter, list(sources), checkpoint_dir,
+            checkpoint_every, resume, dangling_norm=dangling_norm,
+        )
+    if mode == "distributed-arrow":
+        return _run_distributed_arrow(
             graph, alpha, tol, max_iter, list(sources), checkpoint_dir,
             checkpoint_every, resume, dangling_norm=dangling_norm,
         )

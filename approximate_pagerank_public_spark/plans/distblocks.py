@@ -1,0 +1,308 @@
+"""Cluster-valid CSR block store + message-shuffle supersteps.
+
+The third execution path for the iterative kernels, aimed at the regime
+where vertex state exceeds one machine (the 10^12-turn target) and the
+single-host shm :class:`~approximate_pagerank_public_spark.plans.blocks.
+BlockStore` cannot engage:
+
+- **Blocks on a shared filesystem.** Each edge partition's dst-sorted
+  tiled CSR arrays (the exact layout ``plans/blocks.py::build_tiled_block``
+  produces, plus a ``usrc``/``src_local`` remap) are written ONCE to a
+  directory that every executor can read — /dev/shm locally, HDFS/S3/NFS
+  on a real cluster, the same contract the checkpoint manifest already
+  uses. Python workers mmap and memoize their blocks across supersteps
+  (workers are reused between jobs), so after the first touch a superstep
+  reads no edge bytes at all: the reference's "transfer the COO stream
+  once, iterate on-chip" (``pagerank_coo.cpp:69-89``) translated to a
+  multi-executor filesystem.
+
+- **Shuffle-minimizing message aggregation.** Vertex state stays a
+  DataFrame ``(id, pids, r0..r{S-1})`` hash-partitioned by id; ``pids``
+  is the static routing column — which edge partitions need this
+  vertex's rank (because it appears as a ``src`` there). Each superstep,
+  a ``mapInArrow`` outbox kernel packs, per (state partition, target
+  block), ONE binary message ``(pid, srcs, vals)`` holding the sorted
+  src ids and their rank rows. The only all-to-all is these packed
+  messages: O(Σ_p unique srcs of block p) rows of 8(1+S) bytes each —
+  never a per-edge row, never a JVM-side hash aggregation over |E| rows.
+  The receiving kernel merges the ≤P messages per block (disjoint sorted
+  runs), runs the L2-tiled NumPy SpMV against the mmapped block, and
+  emits one contribution row per distinct dst.
+
+Per superstep: one narrow scan for the dangling dot (dangling ⇔
+``pids`` is empty — no out-edges), one job carrying the message shuffle
++ SpMV + axpb projection into the next checkpointed state, one narrow
+scan for the L1/L2 stop scalars. Compare ``operators/pagerank.py::
+_run_distributed``: an |E|-row join + |E|-row hash agg per superstep.
+
+Reference: the message packing mirrors the FPGA's block-local
+accumulation + burst write-back (``spmv_coo_multi_stream.hpp:178-232``);
+the routing column is the software analogue of its pre-routed stream
+split across HBM channels.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from approximate_pagerank_public_spark.plans.blocks import (
+    _SHM_DIR,
+    TILE_ROWS,
+    build_tiled_block,
+)
+
+# arrays persisted per block, in file-name order
+_DIST_ARRAYS = ("usrc", "srcl", "w", "udst", "starts", "segmap", "tb", "sb")
+
+# worker-process memo: (store_dir, pid) -> tuple of mmapped arrays.
+# Python workers are reused across jobs (spark.python.worker.reuse), so
+# after the first superstep touches a block the mmap stays resident and
+# later supersteps pay zero filesystem reads for edge data.
+_BLOCK_CACHE: dict = {}
+
+
+def _load_dist_block(block_dir: str, pid: int) -> tuple:
+    key = (block_dir, pid)
+    blk = _BLOCK_CACHE.get(key)
+    if blk is None:
+        blk = tuple(
+            np.load(f"{block_dir}/db_{pid}_{name}.npy", mmap_mode="r")
+            for name in _DIST_ARRAYS
+        )
+        _BLOCK_CACHE[key] = blk
+    return blk
+
+
+def default_store_dir() -> str:
+    """Local default: /dev/shm (same as BlockStore). On a cluster, pass
+    an explicit shared-filesystem path instead."""
+    base = _SHM_DIR if os.path.isdir(_SHM_DIR) else tempfile.gettempdir()
+    return os.path.join(base, f"apr_dist_{uuid.uuid4().hex}")
+
+
+class DistBlockStore:
+    """CSR blocks for one Graph on a shared filesystem + routing table.
+
+    ``path`` must be readable by every executor (shared FS on a real
+    cluster). Building runs one pass over the cached edge layout; the
+    same pass yields the ``(src, pid)`` pairs the routing table
+    aggregates, so no extra edge scan is needed.
+    """
+
+    def __init__(self, spark: SparkSession, edges: DataFrame, path: str | None = None):
+        self.spark = spark
+        self.dir = path or default_store_dir()
+        os.makedirs(self.dir, exist_ok=True)
+        block_dir = self.dir
+
+        def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            srcs, dsts, ws = [], [], []
+            for b in batches:
+                if b.num_rows:
+                    srcs.append(b.column("src").to_numpy(zero_copy_only=False))
+                    dsts.append(b.column("dst").to_numpy(zero_copy_only=False))
+                    ws.append(b.column("weight").to_numpy(zero_copy_only=False))
+            if not srcs:
+                return
+            src = np.concatenate(srcs)
+            dst = np.concatenate(dsts)
+            w = np.concatenate(ws)
+            arrays = build_tiled_block(src, dst, w)
+            usrc = np.unique(arrays["src"])
+            out = {
+                "usrc": usrc,
+                # local src index: messages arrive as one sorted value
+                # per usrc entry, so the kernel gathers by local index
+                "srcl": np.searchsorted(usrc, arrays["src"]).astype(np.int32),
+                "w": arrays["w"],
+                "udst": arrays["udst"],
+                "starts": arrays["starts"],
+                "segmap": arrays["segmap"],
+                "tb": arrays["tb"],
+                "sb": arrays["sb"],
+            }
+            for name, arr in out.items():
+                tmp = f"{block_dir}/db_{pid}_{name}.{uuid.uuid4().hex}.tmp.npy"
+                np.save(tmp, arr)
+                os.rename(tmp, f"{block_dir}/db_{pid}_{name}.npy")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.full(len(usrc), pid, dtype=np.int32)),
+                    pa.array(usrc),
+                ],
+                names=["pid", "src"],
+            )
+
+        pairs = edges.mapInArrow(build, "pid int, src long")
+        # routing: which blocks consume each vertex's rank. Deterministic
+        # (sorted), bounded by P ints per vertex.
+        self.routing = (
+            pairs.groupBy("src")
+            .agg(F.array_sort(F.collect_set("pid")).alias("pids"))
+            .withColumnRenamed("src", "id")
+            .persist()
+        )
+        self.num_messages = self.routing.agg(
+            F.sum(F.size("pids")).alias("m")
+        ).first()["m"] or 0
+
+        # driver-side manifest from the files the build pass wrote
+        self.pids = sorted(
+            int(f.split("_")[1])
+            for f in os.listdir(self.dir)
+            if f.startswith("db_") and f.endswith("_udst.npy")
+        )
+        self.num_partitions = len(self.pids)
+        n_dst_total = 0
+        all_udst = []
+        for pid in self.pids:
+            u = np.load(os.path.join(self.dir, f"db_{pid}_udst.npy"), mmap_mode="r")
+            n_dst_total += len(u)
+            all_udst.append(np.asarray(u))
+        if n_dst_total:
+            self.dst_disjoint = (
+                len(np.unique(np.concatenate(all_udst))) == n_dst_total
+            )
+        else:
+            self.dst_disjoint = True
+
+    # ------------------------------------------------------------ superstep
+    def contribs(self, state: DataFrame, n_sources: int, shuffle_partitions: int) -> DataFrame:
+        """One SpMV superstep as a DataFrame: ``(id, c0..c{S-1})`` — one
+        row per distinct dst with ≥1 in-edge. ``state`` must expose
+        ``(id, pids, r0..r{S-1})``.
+
+        Physical plan: outbox pack (narrow over cached state) → message
+        shuffle (≤ P rows per state partition, binary payload) → block
+        SpMV (mmap-cached CSR, L2-tiled NumPy) — plus, for skew-salted
+        layouts whose blocks share dsts, a final partial+final hash agg.
+        """
+        s = n_sources
+        cols = [f"r{i}" for i in range(s)]
+        block_dir = self.dir
+
+        def outbox(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            ids_l, flat_l, cnt_l, vals_l = [], [], [], []
+            for b in batches:
+                if b.num_rows == 0:
+                    continue
+                la = b.column("pids")
+                cnt = np.diff(la.offsets.to_numpy(zero_copy_only=False))
+                if cnt.sum() == 0:
+                    continue
+                ids_l.append(b.column("id").to_numpy(zero_copy_only=False))
+                flat_l.append(la.flatten().to_numpy(zero_copy_only=False))
+                cnt_l.append(cnt)
+                vals_l.append(
+                    np.column_stack(
+                        [
+                            b.column(c).to_numpy(zero_copy_only=False)
+                            for c in cols
+                        ]
+                    )
+                )
+            if not ids_l:
+                return
+            ids = np.concatenate(ids_l)
+            flat_pid = np.concatenate(flat_l)
+            counts = np.concatenate(cnt_l)
+            vals = np.ascontiguousarray(np.concatenate(vals_l, axis=0))  # (k, S)
+            rep_ids = np.repeat(ids, counts)
+            rep_rows = np.repeat(np.arange(len(ids)), counts)
+            # one message per target pid, srcs ascending within it — the
+            # receiver then merges P disjoint sorted runs
+            order = np.lexsort((rep_ids, flat_pid))
+            fp = flat_pid[order]
+            brk = np.r_[0, np.flatnonzero(fp[1:] != fp[:-1]) + 1, len(fp)]
+            out_pid, out_src, out_val = [], [], []
+            for a, bnd in zip(brk[:-1], brk[1:]):
+                sl = order[a:bnd]
+                out_pid.append(int(fp[a]))
+                out_src.append(rep_ids[sl].tobytes())
+                out_val.append(np.ascontiguousarray(vals[rep_rows[sl]]).tobytes())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_pid, type=pa.int32()),
+                    pa.array(out_src, type=pa.binary()),
+                    pa.array(out_val, type=pa.binary()),
+                ],
+                names=["pid", "srcs", "vals"],
+            )
+
+        def spmv_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            from approximate_pagerank_public_spark.plans.blocks import tiled_spmv
+
+            per_pid: dict[int, list[tuple[bytes, bytes]]] = {}
+            for b in batches:
+                pids = b.column("pid").to_pylist()
+                srcs = b.column("srcs").to_pylist()
+                vals = b.column("vals").to_pylist()
+                for p_, s_, v_ in zip(pids, srcs, vals):
+                    per_pid.setdefault(p_, []).append((s_, v_))
+            for pid, msgs in per_pid.items():
+                usrc, srcl, w, udst, starts, segmap, tb, sb = _load_dist_block(
+                    block_dir, pid
+                )
+                src_cat = np.concatenate(
+                    [np.frombuffer(m[0], dtype=np.int64) for m in msgs]
+                )
+                val_cat = np.concatenate(
+                    [
+                        np.frombuffer(m[1], dtype=np.float64).reshape(-1, s)
+                        for m in msgs
+                    ]
+                )
+                order = np.argsort(src_cat, kind="stable")
+                if len(src_cat) != len(usrc):  # pragma: no cover — invariant
+                    raise RuntimeError(
+                        f"block {pid}: {len(src_cat)} message srcs != "
+                        f"{len(usrc)} expected"
+                    )
+                # src_cat[order] == usrc by construction (routing emits
+                # exactly the owners of usrc; runs are disjoint+sorted)
+                state_local = np.ascontiguousarray(val_cat[order])  # (U, S)
+                contrib = tiled_spmv(
+                    state_local, (srcl, w, udst, starts, segmap, tb, sb)
+                )  # (K, S)
+                arrays = [pa.array(np.asarray(udst))] + [
+                    pa.array(np.ascontiguousarray(contrib[:, i])) for i in range(s)
+                ]
+                yield pa.RecordBatch.from_arrays(
+                    arrays, names=["id"] + [f"c{i}" for i in range(s)]
+                )
+
+        msg_schema = "pid int, srcs binary, vals binary"
+        out_schema = "id long, " + ", ".join(f"c{i} double" for i in range(s))
+        msgs = state.select("id", "pids", *cols).mapInArrow(outbox, msg_schema)
+        out = msgs.repartition(shuffle_partitions, "pid").mapInArrow(
+            spmv_kernel, out_schema
+        )
+        if not self.dst_disjoint:
+            out = out.groupBy("id").agg(
+                *[F.sum(f"c{i}").alias(f"c{i}") for i in range(s)]
+            )
+        return out
+
+    def attach_routing(self, verts: DataFrame) -> DataFrame:
+        """``(id, pids)`` for every vertex — empty array ⇔ no out-edges
+        (the dangling bitmap, free as a by-product of routing)."""
+        return verts.join(self.routing, "id", "left").select(
+            "id",
+            F.coalesce(F.col("pids"), F.array().cast("array<int>")).alias("pids"),
+        )
+
+    def cleanup(self) -> None:
+        self.routing.unpersist()
+        shutil.rmtree(self.dir, ignore_errors=True)

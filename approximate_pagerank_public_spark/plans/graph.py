@@ -103,6 +103,7 @@ class Graph:
         self.vertex_names = vertices  # optional (id, entity) dictionary
         self._dangling_mask: np.ndarray | None = None
         self._blocks = None
+        self._dist_blocks = None
 
     @property
     def blocks(self):
@@ -113,6 +114,17 @@ class Graph:
         if self._blocks is None and blk.shm_available(self.spark):
             self._blocks = blk.BlockStore(self.spark, self.edges)
         return self._blocks
+
+    def dist_blocks(self, path: str | None = None):
+        """Shared-filesystem CSR block store (``plans/distblocks.py``) —
+        the cluster-scale superstep engine. ``path`` must be a directory
+        every executor can read (shared FS on a real cluster; defaults
+        to /dev/shm locally). Built once, memoized."""
+        from approximate_pagerank_public_spark.plans.distblocks import DistBlockStore
+
+        if self._dist_blocks is None:
+            self._dist_blocks = DistBlockStore(self.spark, self.edges, path=path)
+        return self._dist_blocks
 
     # ---------------------------------------------------------------- sizes
     @property
@@ -174,6 +186,9 @@ class Graph:
         if self._blocks is not None:
             self._blocks.cleanup()
             self._blocks = None
+        if self._dist_blocks is not None:
+            self._dist_blocks.cleanup()
+            self._dist_blocks = None
 
     # -------------------------------------------------------- constructors
     @classmethod

@@ -55,9 +55,17 @@ kind = {kind!r}
 
 if kind == "ppr":
     from approximate_pagerank_public_spark.operators.pagerank import multi_ppr
-    # distributed twin: never builds CSR blocks, state stays on-cluster
+    # distributed twins: state stays on-cluster. mode='distributed' is the
+    # join+agg twin; 'distributed-arrow' the message-shuffle block path
+    # (its one-time store build is reported separately).
+    mode = {prmode!r}
+    if mode == "distributed-arrow":
+        t0 = time.perf_counter()
+        store = g.dist_blocks()
+        out["store_build_sec"] = round(time.perf_counter() - t0, 1)
+        out["routed_messages"] = int(store.num_messages)
     res = multi_ppr(g, list(range(8)), alpha=0.8, tol=0.0, max_iter={iters},
-                    mode="distributed")
+                    mode=mode)
     steps = sorted(m["wall_ms"] / 1e3 for m in res.metrics)
     med = steps[len(steps) // 2]
     out.update(superstep_secs=[round(s, 2) for s in steps], median_superstep_sec=round(med, 2),
@@ -101,6 +109,7 @@ def run_worker(kind: str, cpus: int, v: int, e: int, timeout: int, **kw) -> dict
         e=e,
         kind=kind,
         iters=kw.get("iters", 5),
+        prmode=kw.get("prmode", "distributed"),
         ccmode=kw.get("ccmode", "distributed"),
         n_sources=kw.get("n_sources", 50),
     )
@@ -135,6 +144,7 @@ def run_worker(kind: str, cpus: int, v: int, e: int, timeout: int, **kw) -> dict
 
 def main() -> None:
     quick = "--quick" in sys.argv
+    arrow_only = "--arrow-only" in sys.argv
     v, e = (1_000_000, 20_000_000) if quick else (1_000_000, 100_000_000)
     to = 1200 if quick else 5400
     results = []
@@ -143,6 +153,27 @@ def main() -> None:
         r.update(workload=f"distributed-twin/{label}", note=note)
         results.append(r)
         print(json.dumps(r), flush=True)
+
+    # 0. message-shuffle block path (mode='distributed-arrow') at 8 and
+    # 32 cores — the cluster-scale path's own scaling efficiency
+    lo_a = run_worker("ppr", 8, v, e, to, iters=5, prmode="distributed-arrow")
+    hi_a = run_worker("ppr", 32, v, e, to, iters=5, prmode="distributed-arrow")
+    eff_a = None
+    if "et_per_sec" in lo_a and "et_per_sec" in hi_a:
+        eff_a = round(hi_a["et_per_sec"] / (4 * lo_a["et_per_sec"]), 3)
+    rec(
+        "ppr-supersteps-arrow",
+        "message-shuffle block path (plans/distblocks.py): packed "
+        "(pid,srcs,vals) shuffle + mmap-cached CSR SpMV; state on-cluster",
+        {"lo": lo_a, "hi": hi_a, "scaling_efficiency": eff_a},
+    )
+    if arrow_only:
+        path = os.path.join(REPO, "BENCH_SCALING.json")
+        hist = json.load(open(path)) if os.path.exists(path) else []
+        hist.extend(results)
+        json.dump(hist, open(path, "w"), indent=1)
+        print(f"appended {len(results)} rows to BENCH_SCALING.json")
+        return
 
     # 1. distributed multi-PPR supersteps at 8 and 32 cores -> twin efficiency
     lo = run_worker("ppr", 8, v, e, to, iters=5)

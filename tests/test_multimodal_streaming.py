@@ -95,14 +95,106 @@ def test_real_resize_bmp_pixel_exact(spark):
 
 
 def test_synthesize_media_real_codecs_end_to_end(spark):
-    """real_codecs media decodes through the non-stub path for image +
-    audio rows (video still raises — no uncompressed container)."""
+    """real_codecs media decodes through the non-stub path for EVERY
+    kind: BMP + PNG images, WAV audio, Y4M video."""
     media = multimodal.synthesize_media(spark, n=12, real_codecs=True)
-    ia = media.where(media.kind != "video")
-    feats = multimodal.extract_features(ia, dim=8, decode_stub=False).toPandas()
-    assert len(feats) == 8
+    feats = multimodal.extract_features(media, dim=8, decode_stub=False).toPandas()
+    assert len(feats) == 12
     norms = feats["feature"].map(lambda f: np.linalg.norm(f))
     assert np.allclose(norms, 1.0)
+    mimes = set(media.select("mime").toPandas()["mime"])
+    assert {"image/bmp", "image/png", "audio/wav", "video/x-yuv4mpeg"} <= mimes
+
+
+def test_png_roundtrip_golden():
+    """encode → decode is exact for gray, RGB and RGBA pixels; the
+    payload is a genuine zlib-deflated PNG."""
+    rng = np.random.default_rng(3)
+    for shape in [(5, 7), (6, 4, 3), (3, 3, 4)]:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        payload = multimodal.encode_png(px)
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        np.testing.assert_array_equal(multimodal.decode_png(payload), px)
+
+
+def test_png_decode_all_filter_types():
+    """The decoder reverses every PNG scanline filter (None/Sub/Up/
+    Average/Paeth): forward-filter known pixels per the spec here, build
+    the PNG by hand, and check the decode reproduces the pixels."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(9)
+    h, w, ch = 5, 6, 3
+    px = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+    flat = px.reshape(h, w * ch).astype(np.int32)
+    rows = []
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y, f in enumerate([0, 1, 2, 3, 4]):  # one row per filter type
+        cur = flat[y]
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            filt = (cur - left) % 256
+        elif f == 2:
+            filt = (cur - prev) % 256
+        elif f == 3:
+            left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            filt = (cur - (left + prev) // 2) % 256
+        else:  # Paeth
+            left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            upleft = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = (cur - pred) % 256
+        rows.append(np.concatenate([[f], filt]).astype(np.uint8))
+        prev = cur
+    body = zlib.compress(np.concatenate(rows).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"IDAT", body)
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(multimodal.decode_png(payload), px)
+
+
+def test_y4m_roundtrip_golden():
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, (4, 6, 8), dtype=np.uint8)
+    payload = multimodal.encode_y4m(frames, fps=10)
+    got, fps = multimodal.decode_y4m(payload)
+    assert fps == 10.0
+    np.testing.assert_array_equal(got, frames)
+
+
+def test_sample_frames_real_y4m(spark):
+    """decode_stub=False over a known Y4M: exact frame selection (nearest
+    frame at each every_ms tick) and PNG-decodable grayscale payloads."""
+    frames = np.arange(10 * 4 * 6, dtype=np.uint8).reshape(10, 4, 6) % 251
+    payload = multimodal.encode_y4m(frames, fps=10)  # 100 ms per frame
+    rows = [(7, "video", bytearray(payload), "video/x-yuv4mpeg", 6, 4, 900)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = (
+        multimodal.sample_frames(df, every_ms=300, decode_stub=False)
+        .toPandas()
+        .sort_values("frame_ms")
+    )
+    assert out["frame_ms"].tolist() == [0, 300, 600, 900]
+    for _, r in out.iterrows():
+        fi = min(9, round(r["frame_ms"] * 10 / 1000.0))
+        np.testing.assert_array_equal(
+            multimodal.decode_png(bytes(r["payload"])), frames[fi]
+        )
+    # stub path: same schema, deterministic rows, no real decode needed
+    stub = multimodal.sample_frames(df, every_ms=300).toPandas()
+    assert list(stub.columns) == list(out.columns)
+    assert len(stub) == 4
 
 
 def test_frame_sample_plan(media):
