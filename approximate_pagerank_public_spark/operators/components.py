@@ -28,6 +28,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
+from approximate_pagerank_public_spark.plans.checkpoint import (
+    free_local_ckpt,
+    local_ckpt,
+)
 from approximate_pagerank_public_spark.plans.graph import Graph
 
 _MIN_SCHEMA = StructType(
@@ -118,7 +122,7 @@ def _cc_distributed(graph: Graph, max_iter: int) -> tuple[DataFrame, int]:
     spark = graph.spark
     p = graph.num_partitions
     labels = graph.vertices.withColumn("label", F.col("id"))
-    labels = labels.repartition(p, "id").localCheckpoint()
+    labels, label_ids = local_ckpt(labels.repartition(p, "id"))
     for it in range(1, max_iter + 1):
         incoming = (
             graph.edges.join(
@@ -127,22 +131,21 @@ def _cc_distributed(graph: Graph, max_iter: int) -> tuple[DataFrame, int]:
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new = (
+        new, new_ids = local_ckpt(
             labels.join(incoming, labels.id == incoming.dst, "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
             )
             .repartition(p, "id")
-            .localCheckpoint()
         )
         changed = (
             new.join(labels.withColumnRenamed("label", "_old"), "id")
             .where(F.col("label") != F.col("_old"))
             .count()
         )
-        labels.unpersist()
-        labels = new
+        free_local_ckpt(spark, label_ids)
+        labels, label_ids = new, new_ids
         if changed == 0:
             return labels, it
     return labels, max_iter
@@ -170,7 +173,7 @@ def _cc_star_distributed(graph: Graph, max_rounds: int = 60) -> tuple[DataFrame,
     spark = graph.spark
     p = graph.num_partitions
     e = graph.edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e = e.repartition(p, "a").localCheckpoint()
+    e, e_ids = local_ckpt(e.repartition(p, "a"))
 
     def _sig(df: DataFrame) -> tuple[int, int]:
         # bit_xor: order-independent AND overflow-free (a sum of
@@ -203,19 +206,17 @@ def _cc_star_distributed(graph: Graph, max_rounds: int = 60) -> tuple[DataFrame,
             F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
         ).distinct()
         mins2 = ori.groupBy("a").agg(F.min("b").alias("m"))
-        ss = (
+        ss, ss_ids = local_ckpt(
             ori.join(mins2, "a")
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .unionAll(mins2.select(F.col("a"), F.col("m").alias("b")))
             .where(F.col("a") != F.col("b"))
             .distinct()
             .repartition(p, "a")
-            .localCheckpoint()
         )
         new_sig = _sig(ss)
-        old = e
-        e = ss
-        old.unpersist()
+        free_local_ckpt(spark, e_ids)
+        e, e_ids = ss, ss_ids
         if new_sig == sig:
             break
         sig = new_sig

@@ -24,6 +24,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 from pyspark.sql.window import Window
 
+from approximate_pagerank_public_spark.plans.checkpoint import (
+    free_local_ckpt,
+    local_ckpt,
+)
 from approximate_pagerank_public_spark.plans.graph import Graph
 
 _VOTE_SCHEMA = StructType(
@@ -144,7 +148,7 @@ def label_propagation(graph: Graph, max_iter: int = 10, mode: str = "auto") -> D
     spark = graph.spark
     p = graph.num_partitions
     labels = und.vertices.withColumn("label", F.col("id"))
-    labels = labels.repartition(p, "id").localCheckpoint()
+    labels, label_ids = local_ckpt(labels.repartition(p, "id"))
     try:
         for _ in range(max_iter):
             votes = (
@@ -160,19 +164,18 @@ def label_propagation(graph: Graph, max_iter: int = 10, mode: str = "auto") -> D
                 .where(F.col("_rn") == 1)
                 .select(F.col("dst").alias("id"), F.col("label").alias("new_label"))
             )
-            new = (
+            new, new_ids = local_ckpt(
                 labels.join(best, "id", "left")
                 .select("id", F.coalesce("new_label", "label").alias("label"))
                 .repartition(p, "id")
-                .localCheckpoint()
             )
             changed = (
                 new.join(labels.withColumnRenamed("label", "_old"), "id")
                 .where(F.col("label") != F.col("_old"))
                 .count()
             )
-            labels.unpersist()
-            labels = new
+            free_local_ckpt(spark, label_ids)
+            labels, label_ids = new, new_ids
             if changed == 0:
                 break
         return labels

@@ -48,7 +48,11 @@ from approximate_pagerank_public_spark.operators.spmv import (
     gather_contrib,
     gather_contrib_df,
 )
-from approximate_pagerank_public_spark.plans.checkpoint import CheckpointManager
+from approximate_pagerank_public_spark.plans.checkpoint import (
+    CheckpointManager,
+    free_local_ckpt,
+    local_ckpt,
+)
 from approximate_pagerank_public_spark.plans.graph import Graph
 
 # Mode-selection cutover, now MEASURED at the protocol-max graph
@@ -349,7 +353,7 @@ def _run_distributed(
         ranks = verts.withColumn(
             "rank", F.when(F.col("id") == source, 1.0).otherwise(0.0)
         )
-    ranks = ranks.repartition(p, "id").localCheckpoint()
+    ranks, rank_ids = local_ckpt(ranks.repartition(p, "id"))
     dangling = graph.dangling_vertices().repartition(p, "id").persist()
     dangling.count()
 
@@ -360,8 +364,9 @@ def _run_distributed(
         loaded = ckpt.load_latest_df(graph.spark)
         if loaded is not None:
             start_it, ranks_df, metrics = loaded
-            ranks.unpersist()
-            ranks = ranks_df.repartition(p, "id").localCheckpoint()
+            new, new_ids = local_ckpt(ranks_df.repartition(p, "id"))
+            free_local_ckpt(spark, rank_ids)
+            ranks, rank_ids = new, new_ids
     converged = False
     it = start_it
     for it in range(start_it + 1, max_iter + 1):
@@ -377,11 +382,10 @@ def _run_distributed(
         new_rank = F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(shift)
         if source is not None:
             new_rank = new_rank + F.when(F.col("id") == source, 1.0 - alpha).otherwise(0.0)
-        new = (
+        new, new_ids = local_ckpt(
             verts.join(contribs, verts.id == contribs.dst, "left")
             .select("id", new_rank.alias("rank"))
             .repartition(p, "id")
-            .localCheckpoint()
         )
         err_row = (
             new.join(ranks.withColumnRenamed("rank", "_old"), "id")
@@ -391,8 +395,8 @@ def _run_distributed(
             )
             .first()
         )
-        ranks.unpersist()
-        ranks = new
+        free_local_ckpt(spark, rank_ids)
+        ranks, rank_ids = new, new_ids
         metrics.append(
             {
                 "iter": it,
@@ -452,7 +456,7 @@ def _run_distributed_multi(
         F.when(F.col("id") == src, 1.0).otherwise(0.0).alias(c)
         for c, src in zip(cols, sources)
     ]
-    ranks = verts.select("id", *init).repartition(p, "id").localCheckpoint()
+    ranks, rank_ids = local_ckpt(verts.select("id", *init).repartition(p, "id"))
     dangling = graph.dangling_vertices().repartition(p, "id").persist()
     dangling.count()
 
@@ -463,8 +467,11 @@ def _run_distributed_multi(
         loaded = ckpt.load_latest_df(graph.spark)
         if loaded is not None:
             start_it, ranks_df, metrics = loaded
-            ranks.unpersist()
-            ranks = ranks_df.select("id", *cols).repartition(p, "id").localCheckpoint()
+            new, new_ids = local_ckpt(
+                ranks_df.select("id", *cols).repartition(p, "id")
+            )
+            free_local_ckpt(spark, rank_ids)
+            ranks, rank_ids = new, new_ids
     converged = False
     it = start_it
     for it in range(start_it + 1, max_iter + 1):
@@ -492,11 +499,10 @@ def _run_distributed_multi(
                 + F.when(F.col("id") == src, 1.0 - alpha).otherwise(0.0)
             )
             new_cols.append(expr.alias(c))
-        new = (
+        new, new_ids = local_ckpt(
             verts.join(contribs, verts.id == contribs.dst, "left")
             .select("id", *new_cols)
             .repartition(p, "id")
-            .localCheckpoint()
         )
         old = ranks.select("id", *[F.col(c).alias(f"_o{i}") for i, c in enumerate(cols)])
         err_row = (
@@ -510,8 +516,8 @@ def _run_distributed_multi(
             .first()
         )
         l1 = max(float(err_row[c]) for c in cols)
-        ranks.unpersist()
-        ranks = new
+        free_local_ckpt(spark, rank_ids)
+        ranks, rank_ids = new, new_ids
         metrics.append(
             {
                 "iter": it,
@@ -567,12 +573,13 @@ def _run_distributed_arrow(
     PageRank, and the (S, N) multi-PPR block all share it).
 
     Per superstep (vs ``_run_distributed``'s |E|-row join + |E|-row hash
-    agg): one narrow scan for the dangling dot (dangling ⇔ empty routing
-    column), one job whose only all-to-all is packed per-(state
-    partition, block) binary messages feeding the L2-tiled NumPy SpMV
-    against mmap-cached blocks, one narrow scan for the stop scalars
+    agg): one job whose only all-to-all is packed per-(state partition,
+    block) binary messages feeding the L2-tiled NumPy SpMV against
+    mmap-cached blocks, then one narrow scan for the stop scalars
     (carried as diff columns on the checkpointed state, so no second
-    join). Vertex state never leaves the cluster.
+    join) which ALSO computes the next iteration's dangling dot
+    (dangling ⇔ empty routing column) — so the dangling term costs no
+    job of its own. Vertex state never leaves the cluster.
     """
     spark = graph.spark
     n = graph.num_vertices
@@ -588,8 +595,8 @@ def _run_distributed_arrow(
             for c, src in zip(cols, sources)
         ]
     routed = store.attach_routing(graph.vertices)
-    state = (
-        routed.select("id", "pids", *init).repartition(p, "id").localCheckpoint()
+    state, state_ids = local_ckpt(
+        routed.select("id", "pids", *init).repartition(p, "id")
     )
 
     metrics: list[dict] = []
@@ -606,26 +613,29 @@ def _run_distributed_arrow(
         loaded = ckpt.load_latest_df(graph.spark)
         if loaded is not None:
             start_it, ranks_df, metrics = loaded
-            state.unpersist()
-            state = (
+            new, new_ids = local_ckpt(
                 routed.join(ranks_df.select("id", *cols), "id")
                 .select("id", "pids", *cols)
                 .repartition(p, "id")
-                .localCheckpoint()
             )
+            free_local_ckpt(spark, state_ids)
+            state, state_ids = new, new_ids
     converged = False
     it = start_it
+    # dangling dot of the CURRENT state, one scan before the loop; every
+    # later iteration piggybacks it on the stop-scalar agg of the state
+    # it just materialized — no separate per-superstep job
+    if dangling_norm:
+        drow = (
+            state.where(F.size("pids") == 0)
+            .agg(*[F.sum(c).alias(c) for c in cols])
+            .first()
+        )
+        d = [float(drow[c] or 0.0) for c in cols]
+    else:
+        d = [0.0] * s
     for it in range(start_it + 1, max_iter + 1):
         t0 = time.perf_counter()
-        if dangling_norm:
-            drow = (
-                state.where(F.size("pids") == 0)
-                .agg(*[F.sum(c).alias(c) for c in cols])
-                .first()
-            )
-            d = [float(drow[c] or 0.0) for c in cols]
-        else:
-            d = [0.0] * s
         contribs = store.contribs(state, s, p)
         new_cols, diff_cols = [], []
         for i, c in enumerate(cols):
@@ -638,26 +648,39 @@ def _run_distributed_arrow(
                 ).otherwise(0.0)
             new_cols.append(expr.alias(c))
             diff_cols.append(F.abs(expr - F.col(c)).alias(f"_d{i}"))
-        new = (
+        new, new_ids = local_ckpt(
             state.join(contribs, "id", "left")
             .select("id", "pids", *new_cols, *diff_cols)
             .repartition(p, "id")
-            .localCheckpoint()
+        )
+        gaggs = (
+            [
+                F.sum(F.when(F.size("pids") == 0, F.col(c))).alias(f"_g{i}")
+                for i, c in enumerate(cols)
+            ]
+            if dangling_norm
+            else []
         )
         err_row = new.agg(
             *[F.sum(f"_d{i}").alias(f"_d{i}") for i in range(s)],
             *[F.sum(F.pow(f"_d{i}", 2)).alias(f"_q{i}") for i in range(s)],
+            *gaggs,
         ).first()
         l1 = max(float(err_row[f"_d{i}"]) for i in range(s))
         sq = max(float(err_row[f"_q{i}"]) for i in range(s))
-        state.unpersist()
-        state = new.select("id", "pids", *cols)
+        d_used = max(d)
+        if dangling_norm:
+            d = [float(err_row[f"_g{i}"] or 0.0) for i in range(s)]
+        # the new state is materialized — actually free the superseded
+        # checkpoint blocks (DataFrame.unpersist would be a no-op)
+        free_local_ckpt(spark, state_ids)
+        state, state_ids = new.select("id", "pids", *cols), new_ids
         metrics.append(
             {
                 "iter": it,
                 "l1_err": l1,
                 "sq_l2_err": sq,
-                "dangling_sum": max(d),
+                "dangling_sum": d_used,
                 "wall_ms": (time.perf_counter() - t0) * 1e3,
             }
         )

@@ -32,6 +32,10 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from approximate_pagerank_public_spark.plans.checkpoint import (
+    free_local_ckpt,
+    local_ckpt,
+)
 from approximate_pagerank_public_spark.plans.graph import Graph
 
 
@@ -122,11 +126,10 @@ def multi_source_bfs(
     p = graph.num_partitions
     import pandas as pd
 
-    seed = (
+    seed, seed_ids = local_ckpt(
         spark.createDataFrame(pd.DataFrame({"source": sources, "id": sources}))
         .withColumn("dist", F.lit(0))
         .repartition(p, "id")
-        .localCheckpoint()  # eager
     )
     # visited = lazy union of the per-level checkpointed frontiers:
     # no O(V) re-write of the whole visited set every level, and the
@@ -134,10 +137,11 @@ def multi_source_bfs(
     # frontier instead of a separate blocking count() job.
     visited = seed
     frontier = seed
-    # checkpointed DataFrames whose blocks back the current `visited`;
-    # superseded ones are unpersisted at each collapse so a deep
-    # traversal never accumulates stale O(V) block sets
-    pending = [seed]
+    # (df, storage ids) of the checkpoints backing the current `visited`;
+    # superseded ones are FREED at each collapse (free_local_ckpt —
+    # DataFrame.unpersist is a no-op for localCheckpoint blocks) so a
+    # deep traversal never accumulates stale O(V) block sets
+    pending = [(seed, seed_ids)]
     level = 0
     while level < max_levels:
         level += 1
@@ -150,31 +154,30 @@ def multi_source_bfs(
         )
         if vertex_filter is not None:
             nxt = nxt.where(vertex_filter)
-        nxt = (
+        nxt, nxt_ids = local_ckpt(
             nxt.join(visited.select("source", "id"), ["source", "id"], "left_anti")
             .withColumn("dist", F.lit(level))
             .repartition(p, "id")
-            .localCheckpoint()  # eager: the level's ONE materializing job
-        )
+        )  # eager: the level's ONE materializing job
         if not nxt.take(1):
-            nxt.unpersist()
+            free_local_ckpt(spark, nxt_ids)
             break
         visited = visited.unionAll(nxt)
-        pending.append(nxt)
+        pending.append((nxt, nxt_ids))
         # collapse the lazy union every 8 levels: otherwise the plan
         # grows one leaf per level and Catalyst re-analysis is O(L^2)
         # over a 100+-diameter traversal; the amortized O(V/8) rewrite
         # per level is the cheaper side of that trade
         if level % 8 == 0:
-            collapsed = visited.repartition(p, "id").localCheckpoint()
+            collapsed, coll_ids = local_ckpt(visited.repartition(p, "id"))
             # eager checkpoint above holds all rows, so the pre-collapse
             # leaves (except the live frontier, still joined next level)
             # and the previous collapsed snapshot are safe to release
-            for df in pending:
+            for df, ids in pending:
                 if df is not nxt:
-                    df.unpersist()
+                    free_local_ckpt(spark, ids)
             visited = collapsed
-            pending = [collapsed, nxt]
+            pending = [(collapsed, coll_ids), (nxt, nxt_ids)]
         frontier = nxt
     return visited
 

@@ -28,8 +28,46 @@ import os
 import time
 
 import numpy as np
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def local_ckpt(df: DataFrame) -> tuple[DataFrame, set[int]]:
+    """``localCheckpoint()`` plus the storage-RDD ids it materialized.
+
+    ``DataFrame.unpersist()`` is a NO-OP for localCheckpoint storage
+    (the blocks live outside the cache manager), so an iterative loop
+    that rotates checkpointed state accumulates every superstep's
+    blocks until driver GC + ContextCleaner get around to them — at
+    ~100 MB+ per superstep that is an escalating-superstep-time leak.
+    The returned ids let :func:`free_local_ckpt` drop the blocks
+    deterministically.
+
+    Caveats: the id capture diffs ``getRDDStorageInfo`` around the
+    checkpoint, so it must not race concurrent persists on the same
+    driver (the superstep loops are sequential); and a freed
+    localCheckpoint is UNRECOVERABLE (its lineage was truncated) — only
+    free state that has been superseded, never the final result.
+    """
+    sc = df.sparkSession.sparkContext
+    before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+    out = df.localCheckpoint()
+    after = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+    return out, after - before
+
+
+def free_local_ckpt(spark: SparkSession, ids: set[int]) -> None:
+    """Drop the storage blocks of a superseded :func:`local_ckpt`.
+
+    Goes through ``SparkContext.unpersistRDD`` (package-private in
+    Scala, public in bytecode) because no public DataFrame API releases
+    localCheckpoint blocks."""
+    jsc = spark.sparkContext._jsc.sc()
+    for rid in ids:
+        try:
+            jsc.unpersistRDD(rid, False)
+        except Exception:  # pragma: no cover — already cleaned
+            pass
 
 
 class CheckpointManager:

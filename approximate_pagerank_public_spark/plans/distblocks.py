@@ -18,16 +18,31 @@ BlockStore` cannot engage:
 
 - **Shuffle-minimizing message aggregation.** Vertex state stays a
   DataFrame ``(id, pids, r0..r{S-1})`` hash-partitioned by id; ``pids``
-  is the static routing column — which edge partitions need this
-  vertex's rank (because it appears as a ``src`` there). Each superstep,
-  a ``mapInArrow`` outbox kernel packs, per (state partition, target
-  block), ONE binary message ``(pid, srcs, vals)`` holding the sorted
-  src ids and their rank rows. The only all-to-all is these packed
-  messages: O(Σ_p unique srcs of block p) rows of 8(1+S) bytes each —
-  never a per-edge row, never a JVM-side hash aggregation over |E| rows.
-  The receiving kernel merges the ≤P messages per block (disjoint sorted
-  runs), runs the L2-tiled NumPy SpMV against the mmapped block, and
-  emits one contribution row per distinct dst.
+  is the static routing column — one packed ``(pid << 32) | local_idx``
+  code per block that needs this vertex's rank (because it appears as a
+  ``src`` there), where ``local_idx`` is the vertex's position in that
+  block's sorted unique-src array. Each superstep, a ``mapInArrow``
+  outbox kernel packs, per (state partition, target block), ONE binary
+  message ``(pid, idxs:int32, vals:f64)``. The only all-to-all is these
+  packed messages: Σ_p unique_srcs(p) entries of 4+8·S bytes — never a
+  per-edge row, never a JVM-side hash aggregation over |E| rows. The
+  receiving kernel scatter-assigns each message's rank rows by local
+  index (no sort, no merge), runs the L2-tiled NumPy SpMV against the
+  mmapped block, and emits one contribution row per distinct dst.
+
+- **Block sizing is the communication knob.** Message volume is
+  Σ_p unique_srcs(p) ≈ P·V·(1 − exp(−E/(P·V))) → P·V once blocks are
+  dense, so FEWER, LARGER blocks shuffle less: at V=10⁶, E=2·10⁷,
+  P=32 costs 14.9·V messages; 3 blocks of ~7M edges cost 3.0·V — a 5×
+  payload cut for the same SpMV work. The store therefore coalesces the
+  edge layout down to ``ceil(E / edges_per_block)`` blocks (default 8M
+  edges ≈ 130 MB CSR per block, env ``SPARK_GRAFT_DIST_EDGES_PER_BLOCK``)
+  — a narrow ``coalesce``, no shuffle, and a union of dst-disjoint
+  partitions stays dst-disjoint. On a real cluster set ``num_blocks`` ≈
+  a small multiple of executor count: per-superstep communication is
+  then O(blocks·V) ≈ O(executors·V), the same replication factor a 1-D
+  partitioned cluster SpMV pays. Skew-salted layouts skip the coalesce
+  (it would re-merge the salted hub partitions).
 
 Per superstep: one narrow scan for the dangling dot (dangling ⇔
 ``pids`` is empty — no out-edges), one job carrying the message shuffle
@@ -98,11 +113,26 @@ class DistBlockStore:
     aggregates, so no extra edge scan is needed.
     """
 
-    def __init__(self, spark: SparkSession, edges: DataFrame, path: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        edges: DataFrame,
+        path: str | None = None,
+        num_blocks: int | None = None,
+        num_edges: int | None = None,
+    ):
         self.spark = spark
         self.dir = path or default_store_dir()
         os.makedirs(self.dir, exist_ok=True)
         block_dir = self.dir
+        if num_blocks is None and num_edges:
+            epb = int(
+                os.environ.get("SPARK_GRAFT_DIST_EDGES_PER_BLOCK", 8_000_000)
+            )
+            num_blocks = max(1, -(-num_edges // epb))
+        if num_blocks is not None and num_blocks < edges.rdd.getNumPartitions():
+            # narrow merge of dst-disjoint partitions — stays disjoint
+            edges = edges.coalesce(num_blocks)
 
         def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             from pyspark import TaskContext
@@ -141,16 +171,19 @@ class DistBlockStore:
                 [
                     pa.array(np.full(len(usrc), pid, dtype=np.int32)),
                     pa.array(usrc),
+                    pa.array(np.arange(len(usrc), dtype=np.int32)),
                 ],
-                names=["pid", "src"],
+                names=["pid", "src", "idx"],
             )
 
-        pairs = edges.mapInArrow(build, "pid int, src long")
-        # routing: which blocks consume each vertex's rank. Deterministic
-        # (sorted), bounded by P ints per vertex.
+        pairs = edges.mapInArrow(build, "pid int, src long, idx int")
+        # routing: which blocks consume each vertex's rank, as packed
+        # (pid << 32) | local_idx codes. Deterministic (sorted by pid —
+        # the code order IS pid order), bounded by P entries per vertex.
+        code = F.shiftleft(F.col("pid").cast("long"), 32) + F.col("idx")
         self.routing = (
             pairs.groupBy("src")
-            .agg(F.array_sort(F.collect_set("pid")).alias("pids"))
+            .agg(F.array_sort(F.collect_list(code)).alias("pids"))
             .withColumnRenamed("src", "id")
             .persist()
         )
@@ -194,7 +227,7 @@ class DistBlockStore:
         block_dir = self.dir
 
         def outbox(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-            ids_l, flat_l, cnt_l, vals_l = [], [], [], []
+            flat_l, cnt_l, vals_l = [], [], []
             for b in batches:
                 if b.num_rows == 0:
                     continue
@@ -202,7 +235,6 @@ class DistBlockStore:
                 cnt = np.diff(la.offsets.to_numpy(zero_copy_only=False))
                 if cnt.sum() == 0:
                     continue
-                ids_l.append(b.column("id").to_numpy(zero_copy_only=False))
                 flat_l.append(la.flatten().to_numpy(zero_copy_only=False))
                 cnt_l.append(cnt)
                 vals_l.append(
@@ -213,29 +245,31 @@ class DistBlockStore:
                         ]
                     )
                 )
-            if not ids_l:
+            if not flat_l:
                 return
-            ids = np.concatenate(ids_l)
-            flat_pid = np.concatenate(flat_l)
+            flat_code = np.concatenate(flat_l)
             counts = np.concatenate(cnt_l)
             vals = np.ascontiguousarray(np.concatenate(vals_l, axis=0))  # (k, S)
-            rep_ids = np.repeat(ids, counts)
-            rep_rows = np.repeat(np.arange(len(ids)), counts)
-            # one message per target pid, srcs ascending within it — the
-            # receiver then merges P disjoint sorted runs
-            order = np.lexsort((rep_ids, flat_pid))
-            fp = flat_pid[order]
+            rep_rows = np.repeat(np.arange(len(counts)), counts)
+            # one message per target pid: a single sort of the packed
+            # codes groups by pid (high bits) with local idx in the low
+            # bits — the receiver scatter-assigns, no merge needed
+            order = np.argsort(flat_code, kind="stable")
+            fc = flat_code[order]
+            fp = (fc >> 32).astype(np.int32)
+            fi = (fc & 0xFFFFFFFF).astype(np.int32)
             brk = np.r_[0, np.flatnonzero(fp[1:] != fp[:-1]) + 1, len(fp)]
-            out_pid, out_src, out_val = [], [], []
+            out_pid, out_idx, out_val = [], [], []
             for a, bnd in zip(brk[:-1], brk[1:]):
-                sl = order[a:bnd]
                 out_pid.append(int(fp[a]))
-                out_src.append(rep_ids[sl].tobytes())
-                out_val.append(np.ascontiguousarray(vals[rep_rows[sl]]).tobytes())
+                out_idx.append(fi[a:bnd].tobytes())
+                out_val.append(
+                    np.ascontiguousarray(vals[rep_rows[order[a:bnd]]]).tobytes()
+                )
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(out_pid, type=pa.int32()),
-                    pa.array(out_src, type=pa.binary()),
+                    pa.array(out_idx, type=pa.binary()),
                     pa.array(out_val, type=pa.binary()),
                 ],
                 names=["pid", "srcs", "vals"],
@@ -255,8 +289,8 @@ class DistBlockStore:
                 usrc, srcl, w, udst, starts, segmap, tb, sb = _load_dist_block(
                     block_dir, pid
                 )
-                src_cat = np.concatenate(
-                    [np.frombuffer(m[0], dtype=np.int64) for m in msgs]
+                idx_cat = np.concatenate(
+                    [np.frombuffer(m[0], dtype=np.int32) for m in msgs]
                 )
                 val_cat = np.concatenate(
                     [
@@ -264,15 +298,15 @@ class DistBlockStore:
                         for m in msgs
                     ]
                 )
-                order = np.argsort(src_cat, kind="stable")
-                if len(src_cat) != len(usrc):  # pragma: no cover — invariant
+                if len(idx_cat) != len(usrc):  # pragma: no cover — invariant
                     raise RuntimeError(
-                        f"block {pid}: {len(src_cat)} message srcs != "
+                        f"block {pid}: {len(idx_cat)} message entries != "
                         f"{len(usrc)} expected"
                     )
-                # src_cat[order] == usrc by construction (routing emits
-                # exactly the owners of usrc; runs are disjoint+sorted)
-                state_local = np.ascontiguousarray(val_cat[order])  # (U, S)
+                # routing emits exactly one (pid, local_idx) per usrc
+                # entry, so scatter-assign fills every row once
+                state_local = np.empty((len(usrc), s), dtype=np.float64)
+                state_local[idx_cat] = val_cat
                 contrib = tiled_spmv(
                     state_local, (srcl, w, udst, starts, segmap, tb, sb)
                 )  # (K, S)
@@ -285,6 +319,7 @@ class DistBlockStore:
 
         msg_schema = "pid int, srcs binary, vals binary"
         out_schema = "id long, " + ", ".join(f"c{i} double" for i in range(s))
+        self._last_outbox = outbox  # exposed for phase profiling
         msgs = state.select("id", "pids", *cols).mapInArrow(outbox, msg_schema)
         out = msgs.repartition(shuffle_partitions, "pid").mapInArrow(
             spmv_kernel, out_schema
@@ -300,7 +335,7 @@ class DistBlockStore:
         (the dangling bitmap, free as a by-product of routing)."""
         return verts.join(self.routing, "id", "left").select(
             "id",
-            F.coalesce(F.col("pids"), F.array().cast("array<int>")).alias("pids"),
+            F.coalesce(F.col("pids"), F.array().cast("array<bigint>")).alias("pids"),
         )
 
     def cleanup(self) -> None:

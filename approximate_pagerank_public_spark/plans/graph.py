@@ -101,6 +101,7 @@ class Graph:
             self._num_edges = None
         self.num_vertices = int(num_vertices)
         self.vertex_names = vertices  # optional (id, entity) dictionary
+        self.skew_split = skew_split
         self._dangling_mask: np.ndarray | None = None
         self._blocks = None
         self._dist_blocks = None
@@ -115,15 +116,26 @@ class Graph:
             self._blocks = blk.BlockStore(self.spark, self.edges)
         return self._blocks
 
-    def dist_blocks(self, path: str | None = None):
+    def dist_blocks(self, path: str | None = None, num_blocks: int | None = None):
         """Shared-filesystem CSR block store (``plans/distblocks.py``) —
         the cluster-scale superstep engine. ``path`` must be a directory
         every executor can read (shared FS on a real cluster; defaults
-        to /dev/shm locally). Built once, memoized."""
+        to /dev/shm locally). Built once, memoized.
+
+        ``num_blocks=None`` lets the store pick block count from |E|
+        (message volume ∝ blocks·|V|, so fewer/larger blocks shuffle
+        less — see distblocks.py); a skew-salted layout keeps its own
+        partitioning, since coalescing would re-merge the salted hubs."""
         from approximate_pagerank_public_spark.plans.distblocks import DistBlockStore
 
         if self._dist_blocks is None:
-            self._dist_blocks = DistBlockStore(self.spark, self.edges, path=path)
+            self._dist_blocks = DistBlockStore(
+                self.spark,
+                self.edges,
+                path=path,
+                num_blocks=num_blocks,
+                num_edges=None if self.skew_split else self.num_edges,
+            )
         return self._dist_blocks
 
     # ---------------------------------------------------------------- sizes

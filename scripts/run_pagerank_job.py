@@ -9,7 +9,7 @@ Ship as:
         --transcripts <parquet-or-iceberg-path> \\
         --algorithm pagerank --alpha 0.8 --tol 1e-6 --max-iter 100 \\
         --checkpoint-dir /path/ckpt --output /path/out \\
-        [--sources 0,5,9] [--mode auto|broadcast|distributed]
+        [--sources 0,5,9] [--mode auto|broadcast|distributed|distributed-arrow]
 
 On a cluster the SparkSession comes from spark-submit's conf (master,
 executor counts); locally it falls back to local[*]. A killed job rerun
@@ -44,13 +44,24 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--max-iter", type=int, default=100)
     p.add_argument("--sources", default="", help="comma-separated vertex ids (ppr/multi_ppr/bfs)")
-    p.add_argument("--mode", default="auto", help="auto|broadcast|distributed; cc also: star")
+    p.add_argument(
+        "--mode",
+        default="auto",
+        help="auto|broadcast|distributed|distributed-arrow (pagerank family); cc also: star",
+    )
     p.add_argument(
         "--no-dangling-norm",
         action="store_true",
         help="ppr/multi_ppr: drop the dangling-mass term (reference ppr.gm norm=false)",
     )
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument(
+        "--store-dir",
+        default=None,
+        help="mode=distributed-arrow: shared-filesystem directory every "
+        "executor can read (NFS/shm mount) for the CSR block store; "
+        "defaults to /dev/shm (single-host only)",
+    )
     p.add_argument("--output", required=True, help="parquet output path")
     p.add_argument("--partitions", type=int, default=None)
     args = p.parse_args(argv)
@@ -70,6 +81,9 @@ def main(argv: list[str] | None = None) -> int:
     else:
         transcripts = spark.read.table(args.transcripts)  # Iceberg catalog table
     graph = Graph.from_transcripts(transcripts, num_partitions=args.partitions)
+
+    if args.store_dir is not None:
+        graph.dist_blocks(path=args.store_dir)  # memoized; arrow mode reuses it
 
     sources = [int(s) for s in args.sources.split(",") if s != ""]
     summary: dict = {"algorithm": args.algorithm, "num_vertices": graph.num_vertices}

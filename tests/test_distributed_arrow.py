@@ -16,6 +16,15 @@ from approximate_pagerank_public_spark.operators.pagerank import (
 from approximate_pagerank_public_spark.plans.graph import Graph
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _multi_block_store(g_rand):
+    """Pin g_rand's store to 4 blocks: tiny test graphs would otherwise
+    auto-coalesce to ONE block (8M-edge default), and the multi-block
+    message routing/scatter path would go untested."""
+    g_rand.dist_blocks(num_blocks=4)
+    yield
+
+
 def test_arrow_pagerank_matches_golden(g_rand):
     src, dst, w = g_rand.edges_numpy()
     gold, _ = golden.golden_pagerank(src, dst, w, 300, tol=0.0, max_iter=8)
@@ -101,6 +110,7 @@ def test_arrow_routing_invariants(g_rand):
     from pyspark.sql import functions as F
 
     store = g_rand.dist_blocks()
+    assert store.num_partitions == 4  # _multi_block_store pinned it
     routed = store.attach_routing(g_rand.vertices)
     empty_ids = sorted(
         r["id"] for r in routed.where(F.size("pids") == 0).collect()
