@@ -167,12 +167,15 @@ def main() -> None:
         "(pid,srcs,vals) shuffle + mmap-cached CSR SpMV; state on-cluster",
         {"lo": lo_a, "hi": hi_a, "scaling_efficiency": eff_a},
     )
-    if arrow_only:
+    def flush():
         path = os.path.join(REPO, "BENCH_SCALING.json")
         hist = json.load(open(path)) if os.path.exists(path) else []
         hist.extend(results)
         json.dump(hist, open(path, "w"), indent=1)
         print(f"appended {len(results)} rows to BENCH_SCALING.json")
+
+    if arrow_only:
+        flush()
         return
 
     # 1. distributed multi-PPR supersteps at 8 and 32 cores -> twin efficiency
@@ -187,6 +190,9 @@ def main() -> None:
         "on-cluster); compare to barrier-path 1039-1134M ET/s at 32 cores",
         {"lo": lo, "hi": hi, "scaling_efficiency": eff},
     )
+    if "--ppr-only" in sys.argv:
+        flush()
+        return
 
     # 2. connected components, both distributed modes (32 cores)
     for mode in ("distributed", "star"):
