@@ -117,6 +117,7 @@ def run_worker(kind: str, cpus: int, v: int, e: int, timeout: int, **kw) -> dict
     # the bfs50 DataFrame twin accumulates ~|S|x|V| checkpointed rows;
     # the default 8g driver heap OOMs at 50 sources x 1e6 vertices
     env.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    env.update(kw.get("env_extra") or {})
     t0 = time.time()
     try:
         p = subprocess.run(
@@ -154,19 +155,6 @@ def main() -> None:
         results.append(r)
         print(json.dumps(r), flush=True)
 
-    # 0. message-shuffle block path (mode='distributed-arrow') at 8 and
-    # 32 cores — the cluster-scale path's own scaling efficiency
-    lo_a = run_worker("ppr", 8, v, e, to, iters=5, prmode="distributed-arrow")
-    hi_a = run_worker("ppr", 32, v, e, to, iters=5, prmode="distributed-arrow")
-    eff_a = None
-    if "et_per_sec" in lo_a and "et_per_sec" in hi_a:
-        eff_a = round(hi_a["et_per_sec"] / (4 * lo_a["et_per_sec"]), 3)
-    rec(
-        "ppr-supersteps-arrow",
-        "message-shuffle block path (plans/distblocks.py): packed "
-        "(pid,srcs,vals) shuffle + mmap-cached CSR SpMV; state on-cluster",
-        {"lo": lo_a, "hi": hi_a, "scaling_efficiency": eff_a},
-    )
     def flush():
         path = os.path.join(REPO, "BENCH_SCALING.json")
         hist = json.load(open(path)) if os.path.exists(path) else []
@@ -174,25 +162,70 @@ def main() -> None:
         json.dump(hist, open(path, "w"), indent=1)
         print(f"appended {len(results)} rows to BENCH_SCALING.json")
 
-    if arrow_only:
+    if "--arrow-matched" in sys.argv:
+        # the cluster-analogue experiment: blocks = 2x cores at EACH
+        # parallelism level (a real cluster scales block count with
+        # executor count, paying O(blocks*V) messages for blocks ∝
+        # executors — the 1-D partitioned SpMV replication factor).
+        # Fixed-block runs (the default section 0) hold communication
+        # constant but cap SpMV parallelism at the block count.
+        lo_m = run_worker(
+            "ppr", 8, v, e, to, iters=5, prmode="distributed-arrow",
+            env_extra={"SPARK_GRAFT_DIST_EDGES_PER_BLOCK": str(-(-e // 16))},
+        )
+        hi_m = run_worker(
+            "ppr", 32, v, e, to, iters=5, prmode="distributed-arrow",
+            env_extra={"SPARK_GRAFT_DIST_EDGES_PER_BLOCK": str(-(-e // 64))},
+        )
+        eff_m = None
+        if "et_per_sec" in lo_m and "et_per_sec" in hi_m:
+            eff_m = round(hi_m["et_per_sec"] / (4 * lo_m["et_per_sec"]), 3)
+        rec(
+            "ppr-supersteps-arrow-matched-blocks",
+            "blocks = 2x cores at each level (16 @ 8c, 64 @ 32c): the "
+            "cluster scaling analogue — message volume grows O(blocks*V) "
+            "while per-block SpMV work shrinks; compare to the "
+            "fixed-13-block rows where communication is constant but "
+            "SpMV parallelism is capped",
+            {"lo": lo_m, "hi": hi_m, "scaling_efficiency": eff_m},
+        )
         flush()
         return
 
-    # 1. distributed multi-PPR supersteps at 8 and 32 cores -> twin efficiency
-    lo = run_worker("ppr", 8, v, e, to, iters=5)
-    hi = run_worker("ppr", 32, v, e, to, iters=5)
-    eff = None
-    if "et_per_sec" in lo and "et_per_sec" in hi:
-        eff = round(hi["et_per_sec"] / (4 * lo["et_per_sec"]), 3)
-    rec(
-        "ppr-supersteps",
-        "pure-DataFrame twin (join + hash agg per superstep, state "
-        "on-cluster); compare to barrier-path 1039-1134M ET/s at 32 cores",
-        {"lo": lo, "hi": hi, "scaling_efficiency": eff},
-    )
-    if "--ppr-only" in sys.argv:
-        flush()
-        return
+    rest_only = "--rest-only" in sys.argv  # sections 2-4 (cc/bfs) only
+    if not rest_only:
+        # 0. message-shuffle block path (mode='distributed-arrow') at 8
+        # and 32 cores — the cluster-scale path's own scaling efficiency
+        lo_a = run_worker("ppr", 8, v, e, to, iters=5, prmode="distributed-arrow")
+        hi_a = run_worker("ppr", 32, v, e, to, iters=5, prmode="distributed-arrow")
+        eff_a = None
+        if "et_per_sec" in lo_a and "et_per_sec" in hi_a:
+            eff_a = round(hi_a["et_per_sec"] / (4 * lo_a["et_per_sec"]), 3)
+        rec(
+            "ppr-supersteps-arrow",
+            "message-shuffle block path (plans/distblocks.py): packed "
+            "(pid,srcs,vals) shuffle + mmap-cached CSR SpMV; state on-cluster",
+            {"lo": lo_a, "hi": hi_a, "scaling_efficiency": eff_a},
+        )
+        if arrow_only:
+            flush()
+            return
+
+        # 1. distributed multi-PPR supersteps at 8/32 cores -> twin efficiency
+        lo = run_worker("ppr", 8, v, e, to, iters=5)
+        hi = run_worker("ppr", 32, v, e, to, iters=5)
+        eff = None
+        if "et_per_sec" in lo and "et_per_sec" in hi:
+            eff = round(hi["et_per_sec"] / (4 * lo["et_per_sec"]), 3)
+        rec(
+            "ppr-supersteps",
+            "pure-DataFrame twin (join + hash agg per superstep, state "
+            "on-cluster); compare to barrier-path 1039-1134M ET/s at 32 cores",
+            {"lo": lo, "hi": hi, "scaling_efficiency": eff},
+        )
+        if "--ppr-only" in sys.argv:
+            flush()
+            return
 
     # 2. connected components, both distributed modes (32 cores)
     for mode in ("distributed", "star"):
