@@ -280,6 +280,32 @@ def q_pagerank_fixed8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.ranks().select("id", _stable6("rank").alias("rank"))
 
 
+def q_pagerank_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (warm-start) PageRank — the streaming-recompute
+    primitive: 8 fixed iterations on a deterministic edge SUBSET
+    (``(src*31 + dst) % 5 != 0``, out-degree weights recomputed on the
+    subset, full vertex universe kept), then 4 warm iterations on the
+    FULL graph starting from those ranks (``init_ranks``). Replayed in
+    DuckDB as one continuous 12-deep unrolled CTE chain that switches
+    edge tables (and dangling sets) at the hand-off."""
+    from pyspark.sql.window import Window
+
+    from approximate_pagerank_public_spark.operators.pagerank import pagerank
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    g = _graph(spark, sf_dir)
+    sub = g.edges.where(((F.col("src") * 31 + F.col("dst")) % 5) != 0).select(
+        "src", "dst"
+    )
+    sub_w = sub.withColumn(
+        "weight", F.lit(1.0) / F.count("*").over(Window.partitionBy("src"))
+    )
+    g_sub = Graph(sub_w, num_vertices=g.num_vertices, num_partitions=16)
+    r1 = pagerank(g_sub, alpha=0.8, tol=0.0, max_iter=8)
+    r2 = pagerank(g, alpha=0.8, tol=0.0, max_iter=4, init_ranks=r1.ranks())
+    return r2.ranks().select("id", _stable6("rank").alias("rank"))
+
+
 def q_ppr_fixed8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed 8-iteration personalized PageRank from vertex 0
     (reference K10, ``gold_algorithms.hpp:105-140``: teleport mass goes
@@ -624,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_stats": q_conversation_stats,
         "pagerank_top20": q_pagerank_top20,
         "pagerank_fixed8": q_pagerank_fixed8,
+        "pagerank_warm": q_pagerank_warm,
         "ppr_fixed8": q_ppr_fixed8,
         "ppr_norm_off": q_ppr_norm_off,
         "multi_ppr_top10": q_multi_ppr_top10,
@@ -848,6 +875,56 @@ def _pagerank_fixed_oracle(
     sql = "".join(parts).rstrip(", ")
     return (
         sql + f" SELECT id, floor(r * 1000000.0) / 1000000.0 AS rank FROM r{iters}"
+    )
+
+
+def _pagerank_warm_oracle(
+    iters_sub: int = 8, iters_warm: int = 4, alpha: float = 0.8
+) -> str:
+    """Warm-start replay: one continuous unrolled CTE chain —
+    ``iters_sub`` power iterations over the deterministic edge subset
+    (same ``(src*31 + dst) % 5 != 0`` predicate and recomputed
+    1/outdeg weights as ``q_pagerank_warm``), then ``iters_warm`` more
+    over the full edge table; the edge table AND the dangling set
+    switch at the hand-off, the rank vector carries over untruncated.
+    Same fp association as ``_pagerank_fixed_oracle``."""
+    e_sql = _duck_edges_sql()
+    a = repr(float(alpha))
+    parts = [
+        f"WITH e AS MATERIALIZED ({e_sql}), ",
+        "verts AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM e UNION ALL SELECT dst FROM e)), ",
+        "nv AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS c FROM verts), ",
+        "es AS MATERIALIZED (SELECT src, dst, "
+        "1.0 / CAST(count(*) OVER (PARTITION BY src) AS DOUBLE) AS weight "
+        "FROM e WHERE ((src * 31 + dst) % 5) <> 0), ",
+        "dang AS MATERIALIZED "
+        "(SELECT id FROM verts WHERE id NOT IN (SELECT src FROM e)), ",
+        "dangs AS MATERIALIZED "
+        "(SELECT id FROM verts WHERE id NOT IN (SELECT src FROM es)), ",
+        "r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT c FROM nv) AS r FROM verts), ",
+    ]
+    total = iters_sub + iters_warm
+    for k in range(total):
+        tbl, dg = ("es", "dangs") if k < iters_sub else ("e", "dang")
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT coalesce(sum(r), 0.0) AS dm FROM r{k} "
+            f"WHERE id IN (SELECT id FROM {dg})), "
+        )
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT t.dst, sum(t.weight * r{k}.r) AS s "
+            f"FROM {tbl} t JOIN r{k} ON r{k}.id = t.src GROUP BY t.dst), "
+        )
+        parts.append(
+            f"r{k+1} AS MATERIALIZED (SELECT v.id, "
+            f"({a} * coalesce(c{k}.s, 0.0)"
+            f" + ({a} / (SELECT c FROM nv)) * (SELECT dm FROM d{k}))"
+            f" + ((1.0 - {a}) / (SELECT c FROM nv)) AS r "
+            f"FROM verts v LEFT JOIN c{k} ON c{k}.dst = v.id), "
+        )
+    sql = "".join(parts).rstrip(", ")
+    return (
+        sql + f" SELECT id, floor(r * 1000000.0) / 1000000.0 AS rank FROM r{total}"
     )
 
 
@@ -1226,6 +1303,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_oracle(),
         "ivf_ann_topk": _ivf_ann_oracle(),
         "pagerank_fixed8": _pagerank_fixed_oracle(8, 0.8),
+        "pagerank_warm": _pagerank_warm_oracle(8, 4, 0.8),
         "ppr_fixed8": _pagerank_fixed_oracle(8, 0.8, source=0),
         "ppr_norm_off": _pagerank_fixed_oracle(8, 0.8, source=0, dangling_norm=False),
         "label_propagation": _lpa_oracle(5),

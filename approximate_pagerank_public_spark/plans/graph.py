@@ -125,9 +125,21 @@ class Graph:
         ``num_blocks=None`` lets the store pick block count from |E|
         (message volume ∝ blocks·|V|, so fewer/larger blocks shuffle
         less — see distblocks.py); a skew-salted layout keeps its own
-        partitioning, since coalescing would re-merge the salted hubs."""
+        partitioning, since coalescing would re-merge the salted hubs.
+
+        An explicit ``num_blocks`` that differs from a memoized store's
+        block count rebuilds the store (the memo must not silently
+        override an explicit request)."""
         from approximate_pagerank_public_spark.plans.distblocks import DistBlockStore
 
+        if self._dist_blocks is not None and num_blocks is not None:
+            # coalesce cannot split, so the achievable count is capped
+            # by the edge layout's partitions — don't thrash rebuilding
+            # toward an unreachable target
+            achievable = min(num_blocks, self.edges.rdd.getNumPartitions())
+            if self._dist_blocks.num_partitions != achievable:
+                self._dist_blocks.cleanup()
+                self._dist_blocks = None
         if self._dist_blocks is None:
             self._dist_blocks = DistBlockStore(
                 self.spark,

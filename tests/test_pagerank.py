@@ -6,6 +6,7 @@ import pytest
 
 from approximate_pagerank_public_spark.functions import golden
 from approximate_pagerank_public_spark.functions.metrics import evaluate_ranking
+from approximate_pagerank_public_spark.plans.graph import Graph
 from approximate_pagerank_public_spark.operators.pagerank import (
     multi_ppr,
     pagerank,
@@ -172,3 +173,78 @@ def test_ppr_dangling_norm_off_all_paths_agree(g_rand, monkeypatch):
     )
     mdf = multi.ranks().toPandas().sort_values("id")
     assert np.allclose(mdf["rank_0"].to_numpy(), gold.ranks_np[0], atol=1e-12)
+
+
+def test_warm_start_from_converged_stops_in_one_iteration(g_rand):
+    """The incremental-recompute primitive: warm-started from its own
+    fixed point, the iteration detects convergence immediately and the
+    ranks are unchanged."""
+    cold = pagerank(g_rand, mode="broadcast")
+    warm = pagerank(g_rand, mode="broadcast", init_ranks=cold.ranks())
+    assert warm.iterations == 1 and warm.converged
+    assert np.allclose(warm.ranks_np[0], cold.ranks_np[0], atol=1e-9)
+
+
+def test_warm_start_fill_rule_and_max_iter_zero(g_rand):
+    """max_iter=0 returns the filled init state: ids present in
+    init_ranks keep their value verbatim, missing ids (new vertices)
+    get the cold 1/N."""
+    import pyspark.sql.functions as F
+
+    cold = pagerank(g_rand, mode="broadcast")
+    half = cold.ranks().where(F.col("id") < 150)
+    got = (
+        pagerank(g_rand, mode="broadcast", max_iter=0, init_ranks=half)
+        .ranks()
+        .toPandas()
+        .sort_values("id")["rank"]
+        .to_numpy()
+    )
+    n = g_rand.num_vertices
+    assert np.array_equal(got[:150], cold.ranks_np[0][:150])
+    assert np.all(got[150:] == 1.0 / n)
+
+
+def test_warm_start_paths_agree_bitwise(g_rand):
+    """Fixed-budget warm continuation from a partial init matches
+    across broadcast, distributed, and distributed-arrow paths."""
+    import pyspark.sql.functions as F
+
+    cold = pagerank(g_rand, mode="broadcast", tol=0.0, max_iter=5)
+    part = cold.ranks().where(F.col("id") % 3 != 0)
+    outs = {}
+    for mode in ("broadcast", "distributed", "distributed-arrow"):
+        outs[mode] = (
+            pagerank(g_rand, mode=mode, tol=0.0, max_iter=3, init_ranks=part)
+            .ranks()
+            .toPandas()
+            .sort_values("id")["rank"]
+            .to_numpy()
+        )
+    assert np.allclose(outs["broadcast"], outs["distributed"], atol=1e-12)
+    assert np.allclose(outs["broadcast"], outs["distributed-arrow"], atol=1e-12)
+
+
+def test_warm_start_reconverges_faster_after_graph_delta(spark):
+    """Cold-vs-warm on a perturbed graph: warm start from the previous
+    solution reaches 1e-6 in strictly fewer iterations and lands on the
+    same fixed point."""
+    src, dst = _warm_delta_edges()
+    g_old = Graph.from_edge_arrays(spark, src[:-40], dst[:-40], num_vertices=250, num_partitions=4)
+    g_new = Graph.from_edge_arrays(spark, src, dst, num_vertices=250, num_partitions=4)
+    old = pagerank(g_old, mode="broadcast")
+    cold = pagerank(g_new, mode="broadcast")
+    warm = pagerank(g_new, mode="broadcast", init_ranks=old.ranks())
+    assert warm.converged and cold.converged
+    assert warm.iterations < cold.iterations
+    assert np.allclose(warm.ranks_np[0], cold.ranks_np[0], atol=2e-6)
+    g_old.unpersist()
+    g_new.unpersist()
+
+
+def _warm_delta_edges():
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 250, 1200)
+    dst = rng.integers(0, 250, 1200)
+    keep = src != dst
+    return src[keep], dst[keep]
