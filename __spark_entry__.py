@@ -306,6 +306,40 @@ def q_pagerank_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r2.ranks().select("id", _stable6("rank").alias("rank"))
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities, 8 fixed power iterations (Kleinberg) —
+    oracle-checked against an unrolled CTE chain that replays the exact
+    fp association (raw per-vertex sums → one global L2 norm → divide;
+    operators/hits.py)."""
+    from approximate_pagerank_public_spark.operators.hits import hits
+
+    g = _graph(spark, sf_dir)
+    res = hits(g, max_iter=8)
+    return res.scores().select(
+        "id",
+        _stable6("hub").alias("hub"),
+        _stable6("authority").alias("authority"),
+    )
+
+
+def q_mc_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo random-walk PPR from vertex 0: 256 md5-derandomized
+    α-terminated walks, endpoint estimator (operators/randomwalk.py) —
+    the walk ensemble is bit-reproducible, so the oracle replays every
+    hop in SQL."""
+    from approximate_pagerank_public_spark.operators.randomwalk import (
+        random_walk_ppr,
+    )
+
+    g = _graph(spark, sf_dir)
+    res = random_walk_ppr(
+        g, 0, num_walks=256, walk_length=12, alpha=0.8, seed="mc"
+    )
+    return res.endpoints().select(
+        "id", "endpoints", _stable6("ppr_hat").alias("ppr_hat")
+    )
+
+
 def q_ppr_fixed8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed 8-iteration personalized PageRank from vertex 0
     (reference K10, ``gold_algorithms.hpp:105-140``: teleport mass goes
@@ -651,6 +685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_top20": q_pagerank_top20,
         "pagerank_fixed8": q_pagerank_fixed8,
         "pagerank_warm": q_pagerank_warm,
+        "hits": q_hits,
+        "mc_ppr": q_mc_ppr,
         "ppr_fixed8": q_ppr_fixed8,
         "ppr_norm_off": q_ppr_norm_off,
         "multi_ppr_top10": q_multi_ppr_top10,
@@ -875,6 +911,99 @@ def _pagerank_fixed_oracle(
     sql = "".join(parts).rstrip(", ")
     return (
         sql + f" SELECT id, floor(r * 1000000.0) / 1000000.0 AS rank FROM r{iters}"
+    )
+
+
+def _hits_oracle(iters: int = 8) -> str:
+    """HITS unrolled as a chained-CTE power iteration. Association
+    matches ``operators/hits.py`` exactly: raw per-vertex sums over the
+    (already deduped) edge table, ONE global ``sqrt(sum(raw²))`` over
+    the raw sums only (absent vertices contribute 0), then the divide;
+    a zero/empty norm divides by 1.0 like the engine's ``_l2``."""
+    e_sql = _duck_edges_sql()
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT src, dst FROM ({e_sql})), ",
+        "verts AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM e UNION ALL SELECT dst FROM e)), ",
+        "h0 AS MATERIALIZED (SELECT id, 1.0 AS s FROM verts), ",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"ar{k} AS MATERIALIZED (SELECT e.dst AS gid, sum(h{k}.s) AS raw "
+            f"FROM e JOIN h{k} ON h{k}.id = e.src GROUP BY e.dst), "
+        )
+        parts.append(
+            f"an{k} AS MATERIALIZED (SELECT coalesce(nullif("
+            f"sqrt(sum(raw * raw)), 0.0), 1.0) AS n FROM ar{k}), "
+        )
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT v.id, "
+            f"coalesce(r.raw, 0.0) / (SELECT n FROM an{k}) AS s "
+            f"FROM verts v LEFT JOIN ar{k} r ON r.gid = v.id), "
+        )
+        parts.append(
+            f"hr{k} AS MATERIALIZED (SELECT e.src AS gid, sum(a{k}.s) AS raw "
+            f"FROM e JOIN a{k} ON a{k}.id = e.dst GROUP BY e.src), "
+        )
+        parts.append(
+            f"hn{k} AS MATERIALIZED (SELECT coalesce(nullif("
+            f"sqrt(sum(raw * raw)), 0.0), 1.0) AS n FROM hr{k}), "
+        )
+        parts.append(
+            f"h{k+1} AS MATERIALIZED (SELECT v.id, "
+            f"coalesce(r.raw, 0.0) / (SELECT n FROM hn{k}) AS s "
+            f"FROM verts v LEFT JOIN hr{k} r ON r.gid = v.id), "
+        )
+    sql = "".join(parts).rstrip(", ")
+    return (
+        sql
+        + f" SELECT h.id, floor(h.s * 1000000.0) / 1000000.0 AS hub, "
+        f"floor(a.s * 1000000.0) / 1000000.0 AS authority "
+        f"FROM h{iters} h JOIN a{iters - 1} a ON a.id = h.id"
+    )
+
+
+def _mc_ppr_oracle(
+    source: int = 0,
+    num_walks: int = 256,
+    walk_length: int = 12,
+    alpha: float = 0.8,
+    seed: str = "mc",
+) -> str:
+    """Replays ``random_walk_ppr`` hop-for-hop: same 60-bit md5 draw
+    (``CAST('0x'||substring(md5(seed:w:t),1,15) AS UBIGINT)`` ==
+    Spark's ``conv(substring(md5(...),1,15),16,10)``), same α-percent
+    termination, same ``(hv // 100) % deg``-th dst-sorted neighbor."""
+    e_sql = _duck_edges_sql()
+    pct = int(round(alpha * 100))
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT src, dst FROM ({e_sql})), ",
+        "adj AS MATERIALIZED (SELECT src, dst, "
+        "row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk, "
+        "count(*) OVER (PARTITION BY src) AS deg FROM e), ",
+        f"w0 AS MATERIALIZED (SELECT range AS walk, "
+        f"CAST({source} AS BIGINT) AS cur, false AS stopped "
+        f"FROM range({num_walks})), ",
+    ]
+    for t in range(walk_length):
+        parts.append(
+            f"s{t} AS (SELECT walk, cur, stopped, "
+            f"CAST(CAST(('0x' || substring(md5('{seed}:' || walk || ':{t}'), 1, 15)) "
+            f"AS UBIGINT) AS BIGINT) AS hv FROM w{t}), "
+        )
+        parts.append(
+            f"w{t+1} AS MATERIALIZED (SELECT s.walk, "
+            f"coalesce(a.dst, s.cur) AS cur, "
+            f"((s.stopped OR (s.hv % 100) >= {pct}) OR a.dst IS NULL) AS stopped "
+            f"FROM s{t} s LEFT JOIN adj a ON a.src = s.cur "
+            f"AND ((s.hv // 100) % a.deg) = a.rnk "
+            f"AND NOT (s.stopped OR (s.hv % 100) >= {pct})), "
+        )
+    sql = "".join(parts).rstrip(", ")
+    return (
+        sql + f" SELECT cur AS id, count(*) AS endpoints, "
+        f"floor(count(*) / {float(num_walks)!r} * 1000000.0) / 1000000.0 AS ppr_hat "
+        f"FROM w{walk_length} GROUP BY cur"
     )
 
 
@@ -1304,6 +1433,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_topk": _ivf_ann_oracle(),
         "pagerank_fixed8": _pagerank_fixed_oracle(8, 0.8),
         "pagerank_warm": _pagerank_warm_oracle(8, 4, 0.8),
+        "hits": _hits_oracle(8),
+        "mc_ppr": _mc_ppr_oracle(0, 256, 12, 0.8, "mc"),
         "ppr_fixed8": _pagerank_fixed_oracle(8, 0.8, source=0),
         "ppr_norm_off": _pagerank_fixed_oracle(8, 0.8, source=0, dangling_norm=False),
         "label_propagation": _lpa_oracle(5),

@@ -1,0 +1,151 @@
+"""HITS (hubs & authorities) over the link graph.
+
+The reference ships PageRank-family ranking only, but its PGX harness
+(the CPU baseline the paper compares against, ``results.txt``) exposes
+HITS as the sibling link-analysis kernel; the engine adds it on the same
+dual-path infrastructure as PageRank so rankings beyond the
+random-surfer model are first-class:
+
+- iteration ``k``:  ``a = A^T h`` then L2-normalize, ``h = A a`` then
+  L2-normalize (Kleinberg's power iteration, unweighted adjacency);
+- fp association is pinned on both paths — raw per-vertex sums first,
+  THEN one global ``sqrt(sum(s^2))``, THEN the division — so the
+  DuckDB unrolled-CTE oracle replays it after 1e-6 truncation.
+
+Execution paths (same cutover idiom as ``operators/pagerank.py``):
+
+- ``mode='broadcast'`` — edge arrays cached on the driver once
+  (Arrow collect), per-iteration ``np.add.at`` scatter over COO; O(E)
+  driver memory, the single-host fast path.
+- ``mode='distributed'`` — per-half-step |E|-row join + hash agg with
+  ``local_ckpt`` lineage truncation; vertex state and edges never leave
+  the cluster. This is the 100-TB path: both half-steps shuffle on the
+  grouping key only (partial aggregation is map-side), and the L2 norm
+  is a scalar agg, not a collect of state.
+- ``mode='auto'`` picks by ``num_edges`` (driver collect is the only
+  broadcast-path scale limit).
+
+Parity between the two paths is asserted by ``tests/test_hits.py``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from approximate_pagerank_public_spark.plans.checkpoint import (
+    free_local_ckpt,
+    local_ckpt,
+)
+from approximate_pagerank_public_spark.plans.graph import Graph
+
+# Above this the one-off driver Arrow collect of (src, dst) stops being
+# cheap relative to the join path; same order of magnitude as the
+# measured PageRank cutover (pagerank.py::BROADCAST_MAX_VERTICES) but
+# keyed on edges because HITS state here is O(E) on the driver.
+BROADCAST_MAX_EDGES = 50_000_000
+
+
+@dataclass
+class HitsResult:
+    iterations: int
+    _df: DataFrame
+
+    def scores(self) -> DataFrame:
+        """(id, hub, authority) — unnormalized beyond the final L2 step."""
+        return self._df
+
+
+def _l2(x: np.ndarray) -> float:
+    n = float(np.sqrt(np.dot(x, x)))
+    return n if n > 0.0 else 1.0
+
+
+def _hits_broadcast(g: Graph, max_iter: int) -> DataFrame:
+    src, dst, _w = g.edges_numpy()
+    n = g.num_vertices
+    h = np.ones(n, dtype=np.float64)
+    a = np.zeros(n, dtype=np.float64)
+    for _ in range(max_iter):
+        a.fill(0.0)
+        np.add.at(a, dst, h[src])
+        a /= _l2(a)
+        h.fill(0.0)
+        np.add.at(h, src, a[dst])
+        h /= _l2(h)
+    pdf = {
+        "id": np.arange(n, dtype=np.int64),
+        "hub": h,
+        "authority": a,
+    }
+    import pandas as pd
+
+    return g.spark.createDataFrame(pd.DataFrame(pdf))
+
+
+def _half_step(
+    edges: DataFrame,
+    verts: DataFrame,
+    state: DataFrame,
+    join_key: str,
+    group_key: str,
+) -> DataFrame:
+    """One normalized half-step: group ``state`` pulled across edges by
+    ``group_key``, L2-normalize. Raw sums keep map-side partial agg;
+    the norm is a 1-row scalar agg (no state collect)."""
+    raw = (
+        edges.join(state, F.col(join_key) == state["id"])
+        .groupBy(F.col(group_key).alias("gid"))
+        .agg(F.sum("s").alias("raw"))
+    )
+    norm_row = raw.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("n")).first()
+    norm = float(norm_row["n"] or 0.0) or 1.0
+    return verts.join(raw, verts["id"] == raw["gid"], "left").select(
+        verts["id"], (F.coalesce(F.col("raw"), F.lit(0.0)) / F.lit(norm)).alias("s")
+    )
+
+
+def _hits_distributed(g: Graph, max_iter: int) -> DataFrame:
+    spark = g.spark
+    edges = g.edges.select("src", "dst")
+    verts = g.vertices
+    h = verts.select("id", F.lit(1.0).alias("s"))
+    h, h_ids = local_ckpt(h)
+    a = None
+    a_ids: set[int] = set()
+    for _ in range(max_iter):
+        a_new = _half_step(edges, verts, h, "src", "dst")
+        a_new, new_a_ids = local_ckpt(a_new)
+        if a is not None:
+            free_local_ckpt(spark, a_ids)
+        a, a_ids = a_new, new_a_ids
+        h_new = _half_step(edges, verts, a, "dst", "src")
+        h_new, new_h_ids = local_ckpt(h_new)
+        free_local_ckpt(spark, h_ids)
+        h, h_ids = h_new, new_h_ids
+    # final states stay checkpointed: lineage is truncated, the blocks
+    # are the only copy (plans/checkpoint.py contract)
+    return (
+        h.select("id", F.col("s").alias("hub"))
+        .join(a.select("id", F.col("s").alias("authority")), "id")
+        .select("id", "hub", "authority")
+    )
+
+
+def hits(g: Graph, max_iter: int = 8, mode: str = "auto") -> HitsResult:
+    """Kleinberg HITS, fixed ``max_iter`` power iterations (the same
+    iteration-budget approximation knob as the reference's PageRank,
+    ``options.hpp:20``)."""
+    if mode == "auto":
+        m = g.num_edges
+        mode = "broadcast" if m <= BROADCAST_MAX_EDGES else "distributed"
+    if mode == "broadcast":
+        df = _hits_broadcast(g, max_iter)
+    elif mode == "distributed":
+        df = _hits_distributed(g, max_iter)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    return HitsResult(iterations=max_iter, _df=df)

@@ -1,0 +1,144 @@
+"""Monte-Carlo random-walk personalized PageRank.
+
+The reference approximates PPR by truncating the power iteration
+(iteration budget + L1 early exit, ``multi_personalized_pagerank.cpp``);
+the other classic approximation family — the one used at web scale when
+even one |E|-pass per iteration is too much — simulates α-terminated
+random walks from the source and estimates PPR(v) by the fraction of
+walks that END at v (Fogaras et al., "Towards Scaling Fully Personalized
+PageRank", 2005; Avrachenkov et al. 2007 for the endpoint estimator).
+
+Everything random is derandomized through md5 so the walk ensemble is
+reproducible across engines (the DuckDB oracle replays it exactly):
+
+- per (walk ``w``, step ``t``): ``r = int(md5(f"{seed}:{w}:{t}")[:15], 16)``
+  (60 bits — fits a signed i64 in Spark and a UBIGINT in DuckDB);
+- terminate when ``r % 100 >= continue_pct`` (α=0.8 → 80) or the
+  current vertex is dangling, else hop to out-neighbor
+  ``(r // 100) % outdeg`` in dst-sorted adjacency order;
+- walks are truncated at ``walk_length`` steps (the tail mass beyond L
+  is α^L — the estimator's declared bias, same spirit as the
+  reference's fixed iteration budget).
+
+Distributed shape (the 100-TB path): walk state is a DataFrame
+``(walk, cur, stopped)`` of W rows; each step is one equi-join against
+the ranked adjacency ``(src, rnk, dst)`` — shuffle volume O(W) per step,
+independent of |E|, and W walks spread across the cluster. Lineage is
+truncated via ``local_ckpt`` every few steps. No driver-side state at
+any point; the W→∞ scale axis is embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from approximate_pagerank_public_spark.plans.checkpoint import (
+    free_local_ckpt,
+    local_ckpt,
+)
+from approximate_pagerank_public_spark.plans.graph import Graph
+
+_CKPT_EVERY = 4  # join-lineage truncation cadence
+
+
+def _step_hash(seed: str, walk_col: str, t: int) -> F.Column:
+    """60-bit deterministic per-(walk, step) draw, identical in DuckDB:
+    ``CAST('0x' || substring(md5(seed:w:t), 1, 15) AS UBIGINT)``."""
+    payload = F.concat_ws(":", F.lit(seed), F.col(walk_col), F.lit(str(t)))
+    return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
+
+
+def ranked_adjacency(g: Graph) -> DataFrame:
+    """(src, rnk, dst, deg): out-neighbors indexed 0..deg-1 in dst order.
+
+    The per-src window is safe at scale: it partitions BY src (hash
+    shuffle, no global sort), and a web-graph hub's out-degree — unlike
+    its in-degree — is crawl-bounded, so per-partition state stays small.
+    """
+    w = Window.partitionBy("src").orderBy("dst")
+    return g.edges.select("src", "dst").withColumn(
+        "rnk", F.row_number().over(w) - 1
+    ).withColumn("deg", F.count("*").over(Window.partitionBy("src")))
+
+
+@dataclass
+class RandomWalkResult:
+    num_walks: int
+    walk_length: int
+    _df: DataFrame
+
+    def endpoints(self) -> DataFrame:
+        """(id, endpoints, ppr_hat) — visit mass of walk ENDPOINTS."""
+        return self._df
+
+
+def random_walk_ppr(
+    g: Graph,
+    source: int,
+    num_walks: int = 256,
+    walk_length: int = 12,
+    alpha: float = 0.8,
+    seed: str = "mc",
+) -> RandomWalkResult:
+    """α-terminated endpoint-estimator MC PPR from ``source``.
+
+    ``alpha`` is the continuation probability — the same α as the
+    reference's PPR damping (``options.hpp:20``), quantized to integer
+    percent so the md5 draw decides identically in both engines.
+    """
+    spark = g.spark
+    continue_pct = int(round(alpha * 100))
+    adj = ranked_adjacency(g)
+
+    state = spark.range(num_walks).select(
+        F.col("id").alias("walk"),
+        F.lit(int(source)).cast("long").alias("cur"),
+        F.lit(False).alias("stopped"),
+    )
+    ckpt_ids: set[int] = set()
+    for t in range(walk_length):
+        s = state.withColumn("hv", _step_hash(seed, "walk", t))
+        s = s.withColumn(
+            "terminate",
+            F.col("stopped") | (F.col("hv") % 100 >= F.lit(continue_pct)),
+        ).withColumn("pick", F.expr("hv div 100"))
+        # plan-level aliases: state's `cur` lineage traces back to adj's
+        # `dst` from the previous step, so dataset-column references would
+        # be ambiguous on the re-join (Spark's failAmbiguousSelfJoin)
+        nxt = (
+            s.alias("w")
+            .join(
+                adj.alias("a"),
+                (F.col("w.cur") == F.col("a.src"))
+                & ((F.col("w.pick") % F.col("a.deg")) == F.col("a.rnk"))
+                & ~F.col("w.terminate"),
+                "left",
+            )
+            .select(
+                F.col("w.walk").alias("walk"),
+                F.coalesce(F.col("a.dst"), F.col("w.cur")).alias("cur"),
+                # dangling (no adjacency match while trying to move) stops too
+                (F.col("w.terminate") | F.col("a.dst").isNull()).alias("stopped"),
+            )
+        )
+        if (t + 1) % _CKPT_EVERY == 0 or t == walk_length - 1:
+            nxt, new_ids = local_ckpt(nxt)
+            if ckpt_ids:
+                free_local_ckpt(spark, ckpt_ids)
+            ckpt_ids = new_ids
+        state = nxt
+
+    out = (
+        state.groupBy(F.col("cur").alias("id"))
+        .agg(F.count("*").alias("endpoints"))
+        .select(
+            "id",
+            "endpoints",
+            (F.col("endpoints") / F.lit(float(num_walks))).alias("ppr_hat"),
+        )
+    )
+    return RandomWalkResult(num_walks=num_walks, walk_length=walk_length, _df=out)

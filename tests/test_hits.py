@@ -1,0 +1,59 @@
+"""HITS: broadcast/distributed path parity, golden NumPy replay,
+structural sanity on the g5 fixture."""
+
+import numpy as np
+import pandas as pd
+
+from approximate_pagerank_public_spark.operators.hits import hits
+
+
+def _numpy_hits(src, dst, n, iters):
+    h = np.ones(n)
+    a = np.zeros(n)
+    for _ in range(iters):
+        a.fill(0.0)
+        np.add.at(a, dst, h[src])
+        a /= np.sqrt(np.dot(a, a)) or 1.0
+        h.fill(0.0)
+        np.add.at(h, src, a[dst])
+        h /= np.sqrt(np.dot(h, h)) or 1.0
+    return h, a
+
+
+def _scores(res) -> pd.DataFrame:
+    return res.scores().toPandas().sort_values("id").reset_index(drop=True)
+
+
+def test_hits_broadcast_matches_numpy_golden(g_rand):
+    src, dst, _ = g_rand.edges_numpy()
+    want_h, want_a = _numpy_hits(src, dst, g_rand.num_vertices, 8)
+    got = _scores(hits(g_rand, max_iter=8, mode="broadcast"))
+    np.testing.assert_allclose(got["hub"].to_numpy(), want_h, atol=1e-12)
+    np.testing.assert_allclose(got["authority"].to_numpy(), want_a, atol=1e-12)
+
+
+def test_hits_distributed_matches_broadcast(g_rand):
+    b = _scores(hits(g_rand, max_iter=4, mode="broadcast"))
+    d = _scores(hits(g_rand, max_iter=4, mode="distributed"))
+    assert b["id"].tolist() == d["id"].tolist()
+    np.testing.assert_allclose(d["hub"], b["hub"], atol=1e-9)
+    np.testing.assert_allclose(d["authority"], b["authority"], atol=1e-9)
+
+
+def test_hits_g5_structure(g5):
+    got = _scores(hits(g5, max_iter=16))
+    # L2 norms are 1 after the final normalization of each vector
+    assert np.isclose(np.dot(got["hub"], got["hub"]), 1.0)
+    assert np.isclose(np.dot(got["authority"], got["authority"]), 1.0)
+    # vertex 0 is dangling (no out-edges) => hub score exactly 0
+    assert got.loc[got["id"] == 0, "hub"].iloc[0] == 0.0
+    # vertex 4 has no in-edges => authority exactly 0
+    assert got.loc[got["id"] == 4, "authority"].iloc[0] == 0.0
+    # g_rand-independent sanity: scores non-negative
+    assert (got["hub"] >= 0).all() and (got["authority"] >= 0).all()
+
+
+def test_hits_hub_vertex_dominates_authority(g_rand):
+    # g_rand wires vertices 1..199 -> 0, so 0 is the clear top authority
+    got = _scores(hits(g_rand, max_iter=8))
+    assert int(got.loc[got["authority"].idxmax(), "id"]) == 0
