@@ -524,6 +524,54 @@ def q_per_vertex_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_vertex_triangles(g)
 
 
+def q_kcore3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the transcript graph (simultaneous-removal peel;
+    operators/kcore.py) — the oracle unrolls the replay-computed round
+    count; extra rounds are idempotent, so the unroll is exact."""
+    from approximate_pagerank_public_spark.operators.kcore import k_core
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    return k_core(g, 3).subgraph_vertices()
+
+
+def q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreness of every vertex via the H-index iteration (Lü et al.
+    2016; operators/kcore.py) — integer-valued, hash-exact."""
+    from approximate_pagerank_public_spark.operators.kcore import core_numbers
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    return core_numbers(g).core_numbers()
+
+
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient: 2T/(d(d-1)) — T and d exact ints,
+    one IEEE division, bit-identical across engines (no truncation)."""
+    from approximate_pagerank_public_spark.operators.triangles import (
+        clustering_coefficient,
+    )
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    return clustering_coefficient(g)
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors link prediction over non-adjacent pairs
+    (operators/linkpred.py). Oracled columns are exact ints + one IEEE
+    division (jaccard); the Adamic–Adar sum stays engine-side (libm ln
+    is not bit-standardized across engines — tested vs a NumPy golden
+    in tests/test_kcore_linkpred.py instead)."""
+    from approximate_pagerank_public_spark.operators.linkpred import (
+        link_prediction,
+    )
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    return link_prediction(g, min_common=3).select("u", "v", "cn", "jaccard", "pa")
+
+
 def q_topk_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _edges(spark, sf_dir)
     return (
@@ -704,6 +752,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "per_vertex_triangles": q_per_vertex_triangles,
+        "kcore3": q_kcore3,
+        "core_numbers": q_core_numbers,
+        "clustering_coeff": q_clustering_coeff,
+        "link_pred": q_link_prediction,
         "topk_indegree": q_topk_indegree,
         "closeness": q_closeness,
         "minhash_lsh": q_minhash_lsh,
@@ -1004,6 +1056,141 @@ def _mc_ppr_oracle(
         sql + f" SELECT cur AS id, count(*) AS endpoints, "
         f"floor(count(*) / {float(num_walks)!r} * 1000000.0) / 1000000.0 AS ppr_hat "
         f"FROM w{walk_length} GROUP BY cur"
+    )
+
+
+_DUCK_SYM_CTES = (
+    "canon AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, "
+    "greatest(src, dst) AS v FROM e WHERE src <> dst), "
+    "sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM canon "
+    "UNION ALL SELECT v AS src, u AS dst FROM canon), "
+)
+
+
+def _kcore_oracle(k: int = 3) -> str:
+    """Unrolls the simultaneous-removal peel for the replay-computed
+    round count (``peel_kcore_numpy`` over the oracle's own edge table);
+    extra rounds are idempotent, so the unroll is exact."""
+    import numpy as np
+
+    from approximate_pagerank_public_spark.operators.kcore import peel_kcore_numpy
+
+    src, dst, _w, n = _duck_edge_arrays(_oracle_sf_dir())
+    pairs = {(min(s, d), max(s, d)) for s, d in zip(src.tolist(), dst.tolist()) if s != d}
+    if pairs:
+        u, v = map(np.asarray, zip(*sorted(pairs)))
+        _ids, _cd, rounds = peel_kcore_numpy(
+            np.concatenate([u, v]), np.concatenate([v, u]), n, k
+        )
+    else:
+        rounds = 0
+    e_sql = _duck_edges_sql()
+    parts = [f"WITH e AS MATERIALIZED ({e_sql}), ", _DUCK_SYM_CTES, "s0 AS (SELECT * FROM sym), "]
+    for i in range(rounds):
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT src FROM s{i} "
+            f"GROUP BY src HAVING count(*) >= {k}), "
+        )
+        parts.append(
+            f"s{i+1} AS MATERIALIZED (SELECT s.src, s.dst FROM s{i} s "
+            f"JOIN a{i} x ON x.src = s.src JOIN a{i} y ON y.src = s.dst), "
+        )
+    sql = "".join(parts).rstrip(", ")
+    return (
+        sql + f" SELECT src AS id, count(*) AS core_deg FROM s{rounds} GROUP BY src"
+    )
+
+
+def _coreness_oracle() -> str:
+    """Unrolls the H-index iteration (c_{{t+1}}(v) = max over desc-sorted
+    neighbor values of least(row_number, value)) for the replay-computed
+    round count — integer-valued throughout, hash-exact."""
+    import numpy as np
+
+    from approximate_pagerank_public_spark.operators.kcore import (
+        hindex_coreness_numpy,
+    )
+
+    src, dst, _w, n = _duck_edge_arrays(_oracle_sf_dir())
+    pairs = {(min(s, d), max(s, d)) for s, d in zip(src.tolist(), dst.tolist()) if s != d}
+    if pairs:
+        u, v = map(np.asarray, zip(*sorted(pairs)))
+        _c, rounds = hindex_coreness_numpy(
+            np.concatenate([u, v]), np.concatenate([v, u]), n
+        )
+    else:
+        rounds = 1
+    e_sql = _duck_edges_sql()
+    v_sql = _duck_vertices_sql()
+    parts = [
+        f"WITH e AS MATERIALIZED ({e_sql}), ",
+        _DUCK_SYM_CTES,
+        f"verts AS MATERIALIZED (SELECT id FROM ({v_sql})), ",
+        "d0 AS (SELECT src AS id, count(*) AS c FROM sym GROUP BY src), ",
+        "c0 AS MATERIALIZED (SELECT v.id, CAST(coalesce(d0.c, 0) AS BIGINT) AS c "
+        "FROM verts v LEFT JOIN d0 USING (id)), ",
+    ]
+    for t in range(rounds):
+        parts.append(
+            f"h{t} AS MATERIALIZED (SELECT dst AS id, max(least(rn, c)) AS h FROM "
+            f"(SELECT s.dst, cp.c, row_number() OVER "
+            f"(PARTITION BY s.dst ORDER BY cp.c DESC) AS rn "
+            f"FROM sym s JOIN c{t} cp ON cp.id = s.src) GROUP BY dst), "
+        )
+        parts.append(
+            f"c{t+1} AS MATERIALIZED (SELECT v.id, "
+            f"CAST(coalesce(h{t}.h, 0) AS BIGINT) AS c "
+            f"FROM verts v LEFT JOIN h{t} USING (id)), "
+        )
+    sql = "".join(parts).rstrip(", ")
+    return sql + f" SELECT id, c AS core FROM c{rounds}"
+
+
+def _clustering_coeff_oracle() -> str:
+    """Same formula/association as the Spark side: (2.0·T)/(d·(d−1)) —
+    exact ints, one IEEE division, bit-identical across engines."""
+    e_sql = _duck_edges_sql()
+    v_sql = _duck_vertices_sql()
+    return (
+        f"WITH e AS MATERIALIZED ({e_sql}), "
+        + _DUCK_SYM_CTES
+        + f"verts AS MATERIALIZED (SELECT id FROM ({v_sql})), "
+        "deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src), "
+        "ab AS (SELECT u AS a, v AS b FROM canon), "
+        "bc AS (SELECT u AS b, v AS c FROM canon), "
+        "ac AS (SELECT u AS a, v AS c FROM canon), "
+        "tri AS (SELECT a, b, c FROM ab JOIN bc USING (b) "
+        "        WHERE EXISTS (SELECT 1 FROM ac WHERE ac.a = ab.a AND ac.c = bc.c)), "
+        "tv AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri "
+        "       UNION ALL SELECT c FROM tri), "
+        "t AS (SELECT id, count(*) AS triangles FROM tv GROUP BY id) "
+        "SELECT v.id, coalesce(deg.deg, 0) AS deg, "
+        "coalesce(t.triangles, 0) AS triangles, "
+        "CASE WHEN coalesce(deg.deg, 0) >= 2 "
+        "THEN 2.0 * coalesce(t.triangles, 0) / (deg.deg * (deg.deg - 1)) "
+        "ELSE 0.0 END AS lcc "
+        "FROM verts v LEFT JOIN deg USING (id) LEFT JOIN t USING (id)"
+    )
+
+
+def _link_pred_oracle(min_common: int = 3) -> str:
+    """Wedge join on the center vertex, existing-edge anti, exact-int
+    scores + one IEEE division (jaccard) — same association as Spark."""
+    e_sql = _duck_edges_sql()
+    return (
+        f"WITH e AS MATERIALIZED ({e_sql}), "
+        + _DUCK_SYM_CTES
+        + "nb AS (SELECT src AS w, dst AS x FROM sym), "
+        "deg AS (SELECT w, count(*) AS dw FROM nb GROUP BY w), "
+        "sc AS (SELECT a.x AS u, b.x AS v, count(*) AS cn "
+        "       FROM nb a JOIN nb b USING (w) WHERE a.x < b.x "
+        f"       GROUP BY a.x, b.x HAVING count(*) >= {min_common}), "
+        "ne AS (SELECT sc.* FROM sc WHERE NOT EXISTS "
+        "       (SELECT 1 FROM canon WHERE canon.u = sc.u AND canon.v = sc.v)) "
+        "SELECT ne.u, ne.v, ne.cn, "
+        "CAST(ne.cn AS DOUBLE) / CAST(du.dw + dv.dw - ne.cn AS DOUBLE) AS jaccard, "
+        "du.dw * dv.dw AS pa "
+        "FROM ne JOIN deg du ON du.w = ne.u JOIN deg dv ON dv.w = ne.v"
     )
 
 
@@ -1369,6 +1556,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp "
             "FROM documents"
         ),
+        "kcore3": _kcore_oracle(3),
+        "core_numbers": _coreness_oracle(),
+        "clustering_coeff": _clustering_coeff_oracle(),
+        "link_pred": _link_pred_oracle(3),
         "per_vertex_triangles": (
             f"WITH e AS ({e_sql}), "
             "canon AS (SELECT DISTINCT least(src,dst) AS u, greatest(src,dst) AS v "

@@ -105,3 +105,36 @@ def per_vertex_triangles(graph: Graph, orientation: str = "id") -> DataFrame:
         .unionAll(t.select(F.col("c").alias("id")))
     )
     return verts.groupBy("id").agg(F.count("*").alias("triangles"))
+
+
+def clustering_coefficient(graph: Graph, orientation: str = "id") -> DataFrame:
+    """``(id, deg, triangles, lcc)`` for every graph vertex:
+    ``lcc = 2·T(v) / (deg(v)·(deg(v)−1))`` on the undirected simple
+    graph, 0.0 for deg < 2. T and deg are exact integers and the lcc is
+    ONE IEEE division, so the value is bit-identical across engines
+    (the DuckDB oracle hash-checks it without tolerance games)."""
+    e = canonical_edges(graph)
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionAll(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    t = per_vertex_triangles(graph, orientation)
+    return (
+        graph.vertices.join(deg, "id", "left")
+        .join(t, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("deg"), F.lit(0)).alias("deg"),
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+            F.when(
+                F.coalesce(F.col("deg"), F.lit(0)) >= 2,
+                2.0
+                * F.coalesce(F.col("triangles"), F.lit(0)).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )
