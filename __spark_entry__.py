@@ -170,6 +170,31 @@ def _replay_convergent_iters(
     return max_iter
 
 
+def _replay_sssp_rounds(source: int = 0, sf_dir: str | None = None) -> int:
+    """Min-plus Bellman-Ford fixpoint round count over the oracle's own
+    edge table — the unrolled-CTE depth for the sssp oracle. Extra
+    rounds past fixpoint are idempotent, so this K is exact-or-safe."""
+    import numpy as np
+
+    sf = sf_dir or _oracle_sf_dir()
+    key = ("sssp_rounds", sf, source)
+    if key not in _REPLAY_CACHE:
+        src, dst, w, _n = _duck_edge_arrays(sf)
+        n = _n
+        d = np.full(n, np.inf)
+        d[source] = 0.0
+        rounds = 0
+        while True:
+            cand = d.copy()
+            np.minimum.at(cand, dst, d[src] + w)
+            rounds += 1
+            if np.array_equal(cand, d):
+                break
+            d = cand
+        _REPLAY_CACHE[key] = rounds
+    return _REPLAY_CACHE[key]
+
+
 # ------------------------------------------------------------------- entry
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: top-20 PageRank entities of the sf0.001 transcript graph."""
@@ -463,6 +488,18 @@ def q_fbfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filtered_bfs(g, 0).select("id", "dist", "prop")
 
 
+def q_sssp_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted min-plus shortest paths over the 1/outdeg edge weights
+    from source 0 — Bellman-Ford rounds, reached vertices only. Oracle:
+    the same rounds unrolled as min-plus CTEs (min is fp-order-free and
+    each candidate is one IEEE add, so values are bit-identical)."""
+    from approximate_pagerank_public_spark.operators.sssp import sssp
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    return sssp(g, 0).select("id", _stable6("dist").alias("dist"))
+
+
 def q_exact_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup exercised on a column with real collisions (events.props)."""
     from approximate_pagerank_public_spark.operators.dedup import exact_duplicates
@@ -743,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_sizes": q_component_sizes,
         "label_propagation": q_label_propagation,
         "bfs_dist": q_bfs_from_min_conv,
+        "sssp_dist": q_sssp_dist,
         "fbfs": q_fbfs,
         "exact_dedup": q_exact_dedup,
         "exact_dedup_events": q_exact_dedup_events,
@@ -1399,6 +1437,30 @@ def _lpa_oracle(rounds: int = 5) -> str:
     return "".join(parts).rstrip(", ") + f" SELECT id, label FROM l{rounds}"
 
 
+def _sssp_oracle(source: int = 0) -> str:
+    """Unrolled min-plus Bellman-Ford: round k is one CTE computing
+    ``min(d_k(v), min over in-edges d_k(u) + w)`` over the reached-only
+    distance table. ``min`` has no fp rounding and each candidate is a
+    single IEEE add, so the fixpoint is bit-identical to the engine."""
+    k = _replay_sssp_rounds(source)
+    e_sql = _duck_edges_sql()
+    parts = [
+        f"WITH e AS MATERIALIZED ({e_sql}), ",
+        f"d0 AS MATERIALIZED (SELECT CAST({source} AS BIGINT) AS id, "
+        "0.0 AS dist), ",
+    ]
+    for i in range(k):
+        parts.append(
+            f"d{i + 1} AS MATERIALIZED (SELECT id, min(dist) AS dist FROM ("
+            f"SELECT id, dist FROM d{i} UNION ALL "
+            f"SELECT e.dst AS id, d.dist + e.weight AS dist "
+            f"FROM d{i} d JOIN e ON d.id = e.src) GROUP BY id), "
+        )
+    return "".join(parts).rstrip(", ") + (
+        f" SELECT id, floor(dist * 1000000.0) / 1000000.0 AS dist FROM d{k}"
+    )
+
+
 def _lang_id_oracle() -> str:
     """Generated so trigram op order matches the Spark expression exactly."""
     from approximate_pagerank_public_spark.operators.textstats import _LANG_TRIGRAMS
@@ -1534,6 +1596,7 @@ def oracle_sql() -> dict[str, str]:
             "AS prop "
             "FROM verts v LEFT JOIN c ON c.id = v.id"
         ),
+        "sssp_dist": _sssp_oracle(0),
         "lang_id": _lang_id_oracle(),
         "eccentricity": (
             f"WITH RECURSIVE e AS ({e_sql}), "
