@@ -488,6 +488,20 @@ def q_fbfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filtered_bfs(g, 0).select("id", "dist", "prop")
 
 
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components on the DIRECTED transcript graph
+    (conversational feedback loops); label = min vertex id per SCC.
+    Oracle: transitive closure (recursive CTE) — min mutually-reachable
+    id. Integer labels propagated by min ⇒ hash-exact."""
+    from approximate_pagerank_public_spark.operators.scc import (
+        strongly_connected_components,
+    )
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    return strongly_connected_components(g).select("id", "scc")
+
+
 def q_sssp_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted min-plus shortest paths over the 1/outdeg edge weights
     from source 0 — Bellman-Ford rounds, reached vertices only. Oracle:
@@ -780,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_sizes": q_component_sizes,
         "label_propagation": q_label_propagation,
         "bfs_dist": q_bfs_from_min_conv,
+        "scc": q_scc,
         "sssp_dist": q_sssp_dist,
         "fbfs": q_fbfs,
         "exact_dedup": q_exact_dedup,
@@ -1595,6 +1610,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN c.cnt >= 9 THEN 2 * c.cnt + 1 ELSE 0 END AS BIGINT) "
             "AS prop "
             "FROM verts v LEFT JOIN c ON c.id = v.id"
+        ),
+        "scc": (
+            f"WITH RECURSIVE e AS ({e_sql}), "
+            "verts AS (SELECT DISTINCT src AS id FROM "
+            "  (SELECT src FROM e UNION ALL SELECT dst AS src FROM e)), "
+            "r(a, b) AS ("
+            "  SELECT id, id FROM verts "
+            "  UNION "
+            "  SELECT r.a, e.dst FROM r JOIN e ON r.b = e.src) "
+            "SELECT r1.a AS id, min(r1.b) AS scc FROM r r1 "
+            "JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a GROUP BY r1.a"
         ),
         "sssp_dist": _sssp_oracle(0),
         "lang_id": _lang_id_oracle(),
