@@ -514,6 +514,25 @@ def q_sssp_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sssp(g, 0).select("id", _stable6("dist").alias("dist"))
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-text estimate per role next to
+    the exact count — md5-derived registers, exact power-of-two register
+    sum (≤41 mantissa bits), ONE division ⇒ the DuckDB oracle replays it
+    register-for-register, hash-exact."""
+    from approximate_pagerank_public_spark.functions.sketch import (
+        approx_distinct_hll,
+    )
+
+    t = _transcripts(spark, sf_dir)
+    approx = approx_distinct_hll(t, ["role"], "text")
+    exact = t.groupBy("role").agg(
+        F.countDistinct("text").alias("exact_distinct")
+    )
+    return approx.join(exact, "role").select(
+        "role", _stable6("approx_distinct").alias("approx_distinct"), "exact_distinct"
+    )
+
+
 def q_exact_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup exercised on a column with real collisions (events.props)."""
     from approximate_pagerank_public_spark.operators.dedup import exact_duplicates
@@ -799,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fbfs": q_fbfs,
         "exact_dedup": q_exact_dedup,
         "exact_dedup_events": q_exact_dedup_events,
+        "hll_distinct": q_hll_distinct,
         "eccentricity": q_eccentricity,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
@@ -1452,6 +1472,22 @@ def _lpa_oracle(rounds: int = 5) -> str:
     return "".join(parts).rstrip(", ") + f" SELECT id, label FROM l{rounds}"
 
 
+def _hll_distinct_oracle() -> str:
+    from approximate_pagerank_public_spark.functions.sketch import hll_oracle_sql
+
+    t_cte = _duck_transcripts_cte()
+    hll = hll_oracle_sql(f"({t_cte})", ["role"], "text")
+    return (
+        f"WITH hl AS ({hll}), "
+        f"ex AS (SELECT role, count(DISTINCT text) AS exact_distinct "
+        f"FROM ({t_cte}) GROUP BY role) "
+        "SELECT hl.role, "
+        "floor(approx_distinct * 1000000.0) / 1000000.0 AS approx_distinct, "
+        "CAST(exact_distinct AS BIGINT) AS exact_distinct "
+        "FROM hl JOIN ex ON hl.role = ex.role"
+    )
+
+
 def _sssp_oracle(source: int = 0) -> str:
     """Unrolled min-plus Bellman-Ford: round k is one CTE computing
     ``min(d_k(v), min over in-edges d_k(u) + w)`` over the reached-only
@@ -1611,6 +1647,7 @@ def oracle_sql() -> dict[str, str]:
             "AS prop "
             "FROM verts v LEFT JOIN c ON c.id = v.id"
         ),
+        "hll_distinct": _hll_distinct_oracle(),
         "scc": (
             f"WITH RECURSIVE e AS ({e_sql}), "
             "verts AS (SELECT DISTINCT src AS id FROM "
