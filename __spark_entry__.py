@@ -488,6 +488,36 @@ def q_fbfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filtered_bfs(g, 0).select("id", "dist", "prop")
 
 
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-in degree assortativity (Newman 2002) — exact integer sums,
+    final value one sqrt-product division, hash-exact."""
+    from approximate_pagerank_public_spark.operators.graphstats import (
+        degree_assortativity,
+    )
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    return degree_assortativity(g).select(
+        "m", _stable6("assortativity").alias("assortativity")
+    )
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA-5 communities — integer-numerator
+    single-division form, replayed over the same unrolled-LPA oracle."""
+    from approximate_pagerank_public_spark.operators.graphstats import modularity
+    from approximate_pagerank_public_spark.operators.labelprop import (
+        label_propagation,
+    )
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    labels = label_propagation(g, max_iter=5)
+    return modularity(g, labels).select(
+        "n_communities", _stable6("modularity").alias("modularity")
+    )
+
+
 def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly connected components on the DIRECTED transcript graph
     (conversational feedback loops); label = min vertex id per SCC.
@@ -812,6 +842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_star": q_cc_star,
         "component_sizes": q_component_sizes,
         "label_propagation": q_label_propagation,
+        "modularity": q_modularity,
+        "assortativity": q_assortativity,
         "bfs_dist": q_bfs_from_min_conv,
         "scc": q_scc,
         "sssp_dist": q_sssp_dist,
@@ -1437,15 +1469,14 @@ def _ivf_ann_oracle(n_cells: int = 8, n_probe: int = 4, k: int = 5) -> str:
     )
 
 
-def _lpa_oracle(rounds: int = 5) -> str:
-    """Deterministic synchronous label propagation unrolled as chained
-    CTEs: per round, each vertex adopts the incoming label with the
-    greatest summed (symmetrized, 1/outdeg) weight, ties broken by the
-    smallest label — exactly `operators/labelprop.py`. The 1/k weights
-    are exact rationals so per-(dst,label) sums agree across engines."""
+def _lpa_cte_chain(rounds: int = 5) -> str:
+    """The unrolled-LPA CTE chain (no ``WITH`` prefix, trailing comma
+    stripped) — shared by the label_propagation and modularity oracles;
+    the final labels live in ``l{rounds}``, the symmetrized simple edge
+    set in ``symd``."""
     e_sql = _duck_edges_sql()
     parts = [
-        f"WITH e AS MATERIALIZED ({e_sql}), ",
+        f"e AS MATERIALIZED ({e_sql}), ",
         "symd AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
         "(SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e) "
         "WHERE src <> dst), ",
@@ -1469,7 +1500,62 @@ def _lpa_oracle(rounds: int = 5) -> str:
             f"coalesce(b.label, l.label) AS label "
             f"FROM l{k} l LEFT JOIN b{k} b ON b.dst = l.id), "
         )
-    return "".join(parts).rstrip(", ") + f" SELECT id, label FROM l{rounds}"
+    return "".join(parts).rstrip(", ")
+
+
+def _lpa_oracle(rounds: int = 5) -> str:
+    """Deterministic synchronous label propagation unrolled as chained
+    CTEs: per round, each vertex adopts the incoming label with the
+    greatest summed (symmetrized, 1/outdeg) weight, ties broken by the
+    smallest label — exactly `operators/labelprop.py`. The 1/k weights
+    are exact rationals so per-(dst,label) sums agree across engines."""
+    return (
+        f"WITH {_lpa_cte_chain(rounds)} SELECT id, label FROM l{rounds}"
+    )
+
+
+def _modularity_oracle(rounds: int = 5) -> str:
+    """Newman Q of the LPA-5 partition in the single-division integer
+    form (M2·ΣW_c − ΣD_c²) / M2² — exact integer sums, one IEEE
+    division, same as `operators/graphstats.py::modularity`."""
+    return (
+        f"WITH {_lpa_cte_chain(rounds)}, "
+        f"jm AS (SELECT ls.label AS sl, ld.label AS dl FROM symd "
+        f"JOIN l{rounds} ls ON ls.id = symd.src "
+        f"JOIN l{rounds} ld ON ld.id = symd.dst), "
+        "per AS (SELECT sl, CAST(count(*) AS BIGINT) AS d_c, "
+        "CAST(sum(CASE WHEN sl = dl THEN 1 ELSE 0 END) AS BIGINT) AS w_c "
+        "FROM jm GROUP BY sl), "
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS nc, "
+        "CAST(sum(d_c) AS BIGINT) AS m2, CAST(sum(w_c) AS BIGINT) AS sw, "
+        "CAST(sum(d_c * d_c) AS BIGINT) AS sd2 FROM per) "
+        "SELECT nc AS n_communities, "
+        "floor((CAST(m2 * sw - sd2 AS DOUBLE) / CAST(m2 * m2 AS DOUBLE)) "
+        "* 1000000.0) / 1000000.0 AS modularity FROM st"
+    )
+
+
+def _assortativity_oracle() -> str:
+    """Pearson out-in degree correlation over directed edges — exact
+    BIGINT sums, then sqrt/mul/div as single IEEE ops (bit-identical),
+    same as `operators/graphstats.py::degree_assortativity`."""
+    e_sql = _duck_edges_sql()
+    return (
+        f"WITH e AS ({e_sql}), "
+        "od AS (SELECT src, CAST(count(*) AS BIGINT) AS xd FROM e GROUP BY src), "
+        "ind AS (SELECT dst, CAST(count(*) AS BIGINT) AS yd FROM e GROUP BY dst), "
+        "j AS (SELECT xd, yd FROM e JOIN od USING (src) JOIN ind USING (dst)), "
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS m, "
+        "CAST(sum(xd) AS BIGINT) AS sx, CAST(sum(yd) AS BIGINT) AS sy, "
+        "CAST(sum(xd * yd) AS BIGINT) AS sxy, "
+        "CAST(sum(xd * xd) AS BIGINT) AS sxx, "
+        "CAST(sum(yd * yd) AS BIGINT) AS syy FROM j) "
+        "SELECT m, CASE WHEN (m * sxx - sx * sx) = 0 OR (m * syy - sy * sy) = 0 "
+        "THEN 0.0 ELSE floor((CAST(m * sxy - sx * sy AS DOUBLE) / "
+        "(sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) * "
+        "sqrt(CAST(m * syy - sy * sy AS DOUBLE)))) * 1000000.0) / 1000000.0 "
+        "END AS assortativity FROM s"
+    )
 
 
 def _hll_distinct_oracle() -> str:
@@ -1648,6 +1734,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM verts v LEFT JOIN c ON c.id = v.id"
         ),
         "hll_distinct": _hll_distinct_oracle(),
+        "modularity": _modularity_oracle(5),
+        "assortativity": _assortativity_oracle(),
         "scc": (
             f"WITH RECURSIVE e AS ({e_sql}), "
             "verts AS (SELECT DISTINCT src AS id FROM "

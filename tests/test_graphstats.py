@@ -1,0 +1,80 @@
+"""Assortativity/modularity vs pure-Python goldens."""
+
+import math
+from collections import Counter
+
+from approximate_pagerank_public_spark.operators.graphstats import (
+    degree_assortativity,
+    modularity,
+)
+from approximate_pagerank_public_spark.plans.graph import Graph
+
+
+def _golden_assortativity(src, dst):
+    od = Counter(src.tolist())
+    ind = Counter(dst.tolist())
+    xs = [od[u] for u in src.tolist()]
+    ys = [ind[v] for v in dst.tolist()]
+    m = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    num = m * sxy - sx * sy
+    den = math.sqrt(m * sxx - sx * sx) * math.sqrt(m * syy - sy * sy)
+    return num / den
+
+
+def _golden_modularity(edges, labels):
+    und = {(u, v) for u, v in edges if u != v} | {
+        (v, u) for u, v in edges if u != v
+    }
+    rows = list(und)
+    m2 = len(rows)
+    w = Counter()
+    d = Counter()
+    for u, v in rows:
+        d[labels[u]] += 1
+        if labels[u] == labels[v]:
+            w[labels[u]] += 1
+    sw = sum(w.values())
+    sd2 = sum(c * c for c in d.values())
+    return (m2 * sw - sd2) / (m2 * m2), len(d)
+
+
+def test_assortativity_matches_golden(g_rand):
+    src, dst, _ = g_rand.edges_numpy()
+    gold = _golden_assortativity(src, dst)
+    row = degree_assortativity(g_rand).first()
+    assert row["m"] == len(src)
+    assert abs(row["assortativity"] - gold) < 1e-12
+
+
+def test_modularity_two_cliques(spark):
+    # two 4-cliques joined by one bridge edge
+    cl1 = [(u, v) for u in range(4) for v in range(4) if u != v]
+    cl2 = [(u + 4, v + 4) for u, v in cl1]
+    edges = cl1 + cl2 + [(0, 4)]
+    src, dst = zip(*edges)
+    g = Graph.from_edge_arrays(spark, src, dst, num_vertices=8, num_partitions=4)
+    try:
+        labels = spark.createDataFrame(
+            [(i, 0 if i < 4 else 1) for i in range(8)], "id long, label long"
+        )
+        gold_q, gold_n = _golden_modularity(edges, {i: int(i >= 4) for i in range(8)})
+        row = modularity(g, labels).first()
+        assert row["n_communities"] == gold_n
+        assert abs(row["modularity"] - gold_q) < 1e-15
+        assert row["modularity"] > 0.3  # strong community structure
+    finally:
+        g.unpersist()
+
+
+def test_modularity_random_labels_near_zero(g_rand):
+    from pyspark.sql import functions as F
+
+    labels = g_rand.vertices.select(
+        "id", (F.pmod(F.xxhash64("id"), F.lit(2))).alias("label")
+    )
+    row = modularity(g_rand, labels).first()
+    assert abs(row["modularity"]) < 0.1
