@@ -195,6 +195,32 @@ def _replay_sssp_rounds(source: int = 0, sf_dir: str | None = None) -> int:
     return _REPLAY_CACHE[key]
 
 
+def _replay_bfs_levels(source: int, sf_dir: str | None = None) -> int:
+    """Max BFS level from ``source`` over the oracle's own edge table —
+    the unroll depth for the stress-centrality sweeps."""
+    import numpy as np
+
+    sf = sf_dir or _oracle_sf_dir()
+    key = ("bfs_levels", sf, source)
+    if key not in _REPLAY_CACHE:
+        src, dst, _w, n = _duck_edge_arrays(sf)
+        dist = np.full(n, -1, dtype=np.int64)
+        dist[source] = 0
+        lvl = 0
+        frontier = np.array([source], dtype=np.int64)
+        while True:
+            mask = np.isin(src, frontier)
+            nxt = np.unique(dst[mask])
+            nxt = nxt[dist[nxt] == -1]
+            if not len(nxt):
+                break
+            lvl += 1
+            dist[nxt] = lvl
+            frontier = nxt
+        _REPLAY_CACHE[key] = lvl
+    return _REPLAY_CACHE[key]
+
+
 # ------------------------------------------------------------------- entry
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: top-20 PageRank entities of the sf0.001 transcript graph."""
@@ -486,6 +512,22 @@ def q_fbfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = Graph(_edges(spark, sf_dir), num_partitions=16)
     return filtered_bfs(g, 0).select("id", "dist", "prop")
+
+
+STRESS_SOURCES = [0, 1, 2, 3]
+
+
+def q_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stress centrality (# shortest paths through v) from 4 fixed
+    pivot sources (Brandes-Pich sampled protocol) — all-integer
+    two-sweep accumulation, replayed level-for-level in SQL."""
+    from approximate_pagerank_public_spark.operators.centrality import (
+        stress_centrality,
+    )
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    return stress_centrality(g, STRESS_SOURCES).select("id", "stress")
 
 
 def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -844,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "modularity": q_modularity,
         "assortativity": q_assortativity,
+        "stress": q_stress,
         "bfs_dist": q_bfs_from_min_conv,
         "scc": q_scc,
         "sssp_dist": q_sssp_dist,
@@ -1574,6 +1617,62 @@ def _hll_distinct_oracle() -> str:
     )
 
 
+def _stress_oracle(sources: list[int]) -> str:
+    """Stress centrality replayed as unrolled level-synchronous sweeps
+    per source: ``g{l}`` = vertices first reached at level l with their
+    shortest-path counts σ (sum over level-(l−1) DAG parents), then
+    backward continuation counts ``c{l}(v) = Σ out-DAG (c{l+1}+1)``.
+    Everything is integer ⇒ hash-exact. Unroll depth per source =
+    replayed BFS eccentricity."""
+    e_sql = _duck_edges_sql()
+    parts = [f"WITH e AS MATERIALIZED ({e_sql}), "]
+    terms = []
+    for si, s in enumerate(sources):
+        lvls = _replay_bfs_levels(s)
+        parts.append(
+            f"s{si}g0 AS (SELECT CAST({s} AS BIGINT) AS id, "
+            "CAST(1 AS BIGINT) AS sigma), "
+            f"s{si}v0 AS (SELECT id FROM s{si}g0), "
+        )
+        for l in range(1, lvls + 1):
+            parts.append(
+                f"s{si}g{l} AS MATERIALIZED (SELECT e.dst AS id, "
+                f"CAST(sum(g.sigma) AS BIGINT) AS sigma "
+                f"FROM s{si}g{l - 1} g JOIN e ON g.id = e.src "
+                f"WHERE e.dst NOT IN (SELECT id FROM s{si}v{l - 1}) "
+                "GROUP BY e.dst), "
+                f"s{si}v{l} AS (SELECT id FROM s{si}v{l - 1} "
+                f"UNION ALL SELECT id FROM s{si}g{l}), "
+            )
+        parts.append(
+            f"s{si}c{lvls} AS (SELECT id, CAST(0 AS BIGINT) AS cont "
+            f"FROM s{si}g{lvls}), "
+        )
+        for l in range(lvls - 1, -1, -1):
+            parts.append(
+                f"s{si}c{l} AS MATERIALIZED (SELECT g.id, "
+                "CAST(coalesce(sum(c.cont + 1), 0) AS BIGINT) AS cont "
+                f"FROM s{si}g{l} g LEFT JOIN e ON e.src = g.id "
+                f"LEFT JOIN s{si}c{l + 1} c ON c.id = e.dst GROUP BY g.id), "
+            )
+        terms.extend(
+            f"SELECT g.id, g.sigma * c.cont AS st "
+            f"FROM s{si}g{l} g JOIN s{si}c{l} c USING (id)"
+            for l in range(1, lvls + 1)
+        )
+    parts.append(
+        "verts AS (SELECT DISTINCT src AS id FROM "
+        "(SELECT src FROM e UNION ALL SELECT dst AS src FROM e)), "
+        "allt AS (" + " UNION ALL ".join(terms) + "), "
+        "tot AS (SELECT id, CAST(sum(st) AS BIGINT) AS stress "
+        "FROM allt GROUP BY id) "
+    )
+    return "".join(parts) + (
+        "SELECT v.id, coalesce(t.stress, 0) AS stress "
+        "FROM verts v LEFT JOIN tot t ON t.id = v.id"
+    )
+
+
 def _sssp_oracle(source: int = 0) -> str:
     """Unrolled min-plus Bellman-Ford: round k is one CTE computing
     ``min(d_k(v), min over in-edges d_k(u) + w)`` over the reached-only
@@ -1736,6 +1835,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_distinct_oracle(),
         "modularity": _modularity_oracle(5),
         "assortativity": _assortativity_oracle(),
+        "stress": _stress_oracle(STRESS_SOURCES),
         "scc": (
             f"WITH RECURSIVE e AS ({e_sql}), "
             "verts AS (SELECT DISTINCT src AS id FROM "
