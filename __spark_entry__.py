@@ -629,6 +629,15 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count(docs)
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus vocabulary (lowercased whitespace tokens) —
+    explode + hash agg; shuffle volume = distinct tokens."""
+    from approximate_pagerank_public_spark.operators.textstats import vocab_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_topk(docs, k=50)
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from approximate_pagerank_public_spark.operators.textstats import quality_score
 
@@ -896,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "eccentricity": q_eccentricity,
         "token_count": q_token_count,
+        "vocab_topk": q_vocab_topk,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1915,6 +1925,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(length(string_split_regex(trim(text), '\\s+')) "
             "     + ceil(CAST(length(text) AS DOUBLE) / 8) AS BIGINT) AS n_subword_est "
             "FROM documents"
+        ),
+        "vocab_topk": (
+            "WITH toks AS (SELECT unnest(string_split_regex("
+            "lower(trim(text)), '\\s+')) AS token FROM documents), "
+            "c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks "
+            "WHERE token <> '' GROUP BY token) "
+            "SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT 50"
         ),
         "quality_score": (
             "WITH t AS (SELECT doc_id, text, length(text) AS len, "

@@ -108,3 +108,27 @@ def fingerprint(
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     fp = F.xxhash64(norm) if method == "xxhash64" else F.md5(F.encode(norm, "UTF-8"))
     return docs.select(F.col(id_col).alias("doc_id"), fp.alias("fp"))
+
+
+def vocab_topk(
+    docs: DataFrame, k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """``(token, n)`` — the k most frequent whitespace tokens across the
+    corpus (lowercased), ties broken lexicographically.
+
+    The vocabulary-builder staple of a training-data pipeline: explode +
+    hash-aggregate, map-side combinable, shuffle volume = distinct
+    tokens (not corpus size). At 100 TB the same plan holds; cap the
+    explode's skew with the default shuffle partitioning — no windows,
+    no collects."""
+    toks = F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+        "token"
+    )
+    return (
+        docs.select(toks)
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+    )

@@ -138,3 +138,23 @@ def test_fingerprint_deterministic_and_normalizing(spark):
     fp = textstats.fingerprint(d).toPandas().set_index("doc_id")["fp"]
     assert fp[1] == fp[2]
     assert fp[1] != fp[3]
+
+
+def test_vocab_topk_counts_and_tiebreak(spark):
+    from approximate_pagerank_public_spark.operators.textstats import vocab_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "The dog  sat"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = vocab_topk(docs, k=3).collect()
+    # 'the' x3 (case-folded), then count-2 tie 'sat' before... only 'sat' has 2
+    assert [(r["token"], r["n"]) for r in rows] == [
+        ("the", 3),
+        ("sat", 2),
+        ("cat", 1),  # count-1 ties resolve lexicographically
+    ]
