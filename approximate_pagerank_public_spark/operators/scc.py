@@ -109,6 +109,23 @@ def _claim_round_broadcast(
     from approximate_pagerank_public_spark.operators.spmv import _RankShip
 
     colors = np.where(active, ids, _HUGE)
+    if active.all() and edges is graph.edges and graph.blocks is not None:
+        # all-active forward claim (the dominant cost: the giant SCC's
+        # coloring) takes the frontier-sparse CSR-block relax — post-peak
+        # rounds touch only improved-src edges instead of a full edge
+        # pass per round (14 s → ~4 s at sf-bench scale)
+        from approximate_pagerank_public_spark.operators.traversal import (
+            frontier_min_relax,
+        )
+
+        state = colors[:, None].copy()
+        out, _rounds, converged = frontier_min_relax(
+            graph, state, np.ones(len(colors), dtype=bool), plus_one=False
+        )
+        if converged:
+            colors = out[:, 0]
+        # else: fall through to the streaming fixpoint below (colors
+        # unchanged — correctness over speed on pathological inputs)
     while True:
         ship = _RankShip(graph.spark, colors)
         try:

@@ -9,6 +9,9 @@ on local[$SPARK_GRAFT_CPUS]):
 - q_cc               connected components (exact)
 - q_lpa5             label propagation, 5 rounds
 - q_triangles        triangle count
+- q_scc              strongly connected components (directed)
+- q_sssp             weighted SSSP (min-plus over 1/outdeg weights)
+- q_stress4          stress centrality, 4 pivot sources (Brandes sweeps)
 - q_triangles_pc     triangle count on the powerlaw-cluster (pc) family
 - q_spmv_throughput  20 supersteps × 8 sources (multi-PPR, fixed
                      budget) on a synthetic G(n,m) graph (|V|=1e6,
@@ -130,7 +133,16 @@ def main() -> None:
     run("q_etl_build", build, n=min(REPEATS, 3))
     g = graph_box.get("g")
     if g is None:  # subset run that still needs the graph
-        need_graph = not ONLY or ONLY & {"q_pagerank", "q_multi_ppr8", "q_cc", "q_lpa5", "q_triangles"}
+        need_graph = not ONLY or ONLY & {
+            "q_pagerank",
+            "q_multi_ppr8",
+            "q_cc",
+            "q_lpa5",
+            "q_triangles",
+            "q_scc",
+            "q_sssp",
+            "q_stress4",
+        }
         if need_graph:
             g = build()
 
@@ -162,6 +174,29 @@ def main() -> None:
         run("q_cc", lambda _rep: connected_components(g).count())
         run("q_lpa5", lambda _rep: label_propagation(g, max_iter=5).count())
         run("q_triangles", lambda _rep: triangle_count(g))
+
+        def _scc(_rep):
+            from approximate_pagerank_public_spark.operators.scc import (
+                strongly_connected_components,
+            )
+
+            return strongly_connected_components(g).count()
+
+        def _sssp(rep):
+            from approximate_pagerank_public_spark.operators.sssp import sssp
+
+            return sssp(g, _rand_sources(rep, 1, g.num_vertices)[0]).count()
+
+        def _stress(rep):
+            from approximate_pagerank_public_spark.operators.centrality import (
+                stress_centrality,
+            )
+
+            return stress_centrality(g, _rand_sources(rep, 4, g.num_vertices)).count()
+
+        run("q_scc", _scc)
+        run("q_sssp", _sssp)
+        run("q_stress4", _stress)
 
     # ---- triangle count on the reference-shaped pc family ----------------
     pc_box = {}
