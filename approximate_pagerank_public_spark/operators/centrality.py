@@ -113,11 +113,14 @@ def _reversed_view(edges: DataFrame) -> DataFrame:
     )
 
 
-def _sweeps_broadcast(
+def _forward_sweep(
     graph: Graph, sources: list[int], max_levels: int
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(dist, sigma, cont) (S, N) arrays: BFS distances, shortest-path
-    counts, and integer continuation counts c(v) = Σ_succ (c(w)+1)."""
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """(dist, sigma, levels): BFS distances + shortest-path counts.
+
+    With shm CSR blocks each level is one L2-tiled ``usum``
+    block-kernel superstep; otherwise the streaming mapInArrow kernel
+    over the edge scan."""
     n = graph.num_vertices
     s = len(sources)
     src_idx = np.asarray(sources, dtype=np.int64)
@@ -125,26 +128,80 @@ def _sweeps_broadcast(
     sigma = np.zeros((s, n), dtype=np.float64)  # exact ints ≤ 2^53
     dist[np.arange(s), src_idx] = 0
     sigma[np.arange(s), src_idx] = 1.0
+    blocks = graph.blocks
     levels = 0
     for lvl in range(max_levels):
         frontier_sigma = np.where(dist == lvl, sigma, 0.0)
         if not frontier_sigma.any():
             break
-        incoming = _adj_gather(graph, graph.edges, frontier_sigma)
+        if blocks is not None:
+            incoming = blocks.gather(frontier_sigma, op="usum")
+        else:
+            incoming = _adj_gather(graph, graph.edges, frontier_sigma)
         newly = (incoming > 0) & (dist == _UNSET)
         if not newly.any():
             break
         dist[newly] = lvl + 1
         sigma[newly] = incoming[newly]
         levels = lvl + 1
-    cont = np.zeros((s, n), dtype=np.float64)
-    rev = _reversed_view(graph.edges)
-    for lvl in range(levels - 1, -1, -1):
-        # ship (c(w) + 1) masked to level lvl+1; reversed view groups by src
-        y = np.where(dist == lvl + 1, cont + 1.0, 0.0)
-        back = _adj_gather(graph, rev, y)
-        at = dist == lvl
-        cont[at] = back[at]
+    return dist, sigma, levels
+
+
+class _BackwardSweep:
+    """Per-level backward gathers grouped by original src.
+
+    With shm CSR blocks, builds a REVERSED-graph BlockStore lazily (one
+    extra dst-hash shuffle + block build, amortized over all ``levels``
+    backward gathers — measured ~10× faster than the streaming scan at
+    2·10⁷ edges); call :meth:`close` to release it."""
+
+    def __init__(self, graph: Graph, levels: int):
+        from approximate_pagerank_public_spark.plans.blocks import (
+            REV_BLOCKS_MIN_EDGES,
+        )
+
+        self._graph = graph
+        self._rev_view = _reversed_view(graph.edges)
+        self._rev_graph: Graph | None = None
+        if (
+            graph.blocks is not None
+            and levels > 1
+            and graph.num_edges >= REV_BLOCKS_MIN_EDGES
+        ):
+            self._rev_graph = Graph(
+                self._rev_view,
+                num_vertices=graph.num_vertices,
+                num_partitions=graph.num_partitions,
+            )
+
+    def gather(self, y: np.ndarray) -> np.ndarray:
+        if self._rev_graph is not None and self._rev_graph.blocks is not None:
+            return self._rev_graph.blocks.gather(y, op="usum")
+        return _adj_gather(self._graph, self._rev_view, y)
+
+    def close(self) -> None:
+        if self._rev_graph is not None:
+            self._rev_graph.unpersist()
+            self._rev_graph = None
+
+
+def _sweeps_broadcast(
+    graph: Graph, sources: list[int], max_levels: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(dist, sigma, cont) (S, N) arrays: BFS distances, shortest-path
+    counts, and integer continuation counts c(v) = Σ_succ (c(w)+1)."""
+    dist, sigma, levels = _forward_sweep(graph, sources, max_levels)
+    cont = np.zeros_like(sigma)
+    bwd = _BackwardSweep(graph, levels)
+    try:
+        for lvl in range(levels - 1, -1, -1):
+            # ship (c(w) + 1) masked to level lvl+1, grouped by orig src
+            y = np.where(dist == lvl + 1, cont + 1.0, 0.0)
+            back = bwd.gather(y)
+            at = dist == lvl
+            cont[at] = back[at]
+    finally:
+        bwd.close()
     return dist, sigma, cont
 
 
@@ -178,25 +235,27 @@ def betweenness_centrality(
     estimate). Float divisions per DAG edge ⇒ engine-side only."""
     n = graph.num_vertices
     s = len(sources)
-    dist, sigma, _ = _sweeps_broadcast(graph, sources, max_levels)
+    dist, sigma, levels = _forward_sweep(graph, sources, max_levels)
     delta = np.zeros((s, n), dtype=np.float64)
-    rev = _reversed_view(graph.edges)
-    levels = int(dist.max()) if (dist != _UNSET).any() else 0
-    for lvl in range(levels - 1, -1, -1):
-        with np.errstate(divide="ignore", invalid="ignore"):
-            y = np.where(
-                dist == lvl + 1,
-                np.divide(
-                    1.0 + delta,
-                    sigma,
-                    out=np.zeros_like(delta),
-                    where=sigma > 0,
-                ),
-                0.0,
-            )
-        back = _adj_gather(graph, rev, y)
-        at = dist == lvl
-        delta[at] = (sigma * back)[at]
+    bwd = _BackwardSweep(graph, levels)
+    try:
+        for lvl in range(levels - 1, -1, -1):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                y = np.where(
+                    dist == lvl + 1,
+                    np.divide(
+                        1.0 + delta,
+                        sigma,
+                        out=np.zeros_like(delta),
+                        where=sigma > 0,
+                    ),
+                    0.0,
+                )
+            back = bwd.gather(y)
+            at = dist == lvl
+            delta[at] = (sigma * back)[at]
+    finally:
+        bwd.close()
     delta[np.arange(s), np.asarray(sources, dtype=np.int64)] = 0.0
     bc = delta.sum(axis=0)
     import pandas as pd

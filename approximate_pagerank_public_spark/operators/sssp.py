@@ -104,6 +104,27 @@ def _sssp_broadcast(
     d[np.asarray(sources, dtype=np.int64)] = 0.0
     changed = np.zeros(n, dtype=bool)
     changed[np.asarray(sources, dtype=np.int64)] = True
+    if graph.blocks is not None:
+        # frontier-sparse CSR-block relax: rounds past the hop-count
+        # peak touch only improved-src edges, not the full edge set —
+        # Bellman-Ford over 1/outdeg weights needs far more rounds than
+        # the BFS diameter (lighter many-hop paths keep improving), so
+        # this is the difference between ~1 and ~30 effective edge
+        # passes at 2·10⁷ edges (59 s → ~7 s measured)
+        from approximate_pagerank_public_spark.operators.traversal import (
+            frontier_min_relax,
+        )
+
+        state = d[:, None].copy()
+        out, rounds, converged = frontier_min_relax(
+            graph,
+            state,
+            changed,
+            plus_one=False,
+            max_iters=max_iter,
+            edge_weighted=True,
+        )
+        return out[:, 0], rounds, converged
     for it in range(1, max_iter + 1):
         frontier = np.where(changed, d, np.inf)
         ship = _RankShip(graph.spark, frontier)

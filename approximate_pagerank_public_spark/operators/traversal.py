@@ -322,6 +322,7 @@ def frontier_min_relax(
     changed: np.ndarray,
     plus_one: bool,
     max_iters: int = 10_000,
+    edge_weighted: bool = False,
 ) -> np.ndarray:
     """Generic frontier-sparse min-relaxation over the CSR blocks.
 
@@ -329,7 +330,11 @@ def frontier_min_relax(
     in-neighbors u of state[u] (+1 if plus_one))`` until no row
     improves, touching only edges whose src improved in the previous
     round. ``plus_one=True`` is level-synchronous BFS (min-plus);
-    ``plus_one=False`` is min-label propagation (connected components).
+    ``plus_one=False`` is min-label propagation (connected components);
+    ``edge_weighted=True`` adds the block's per-edge weight BEFORE the
+    segmented min (weighted SSSP — ``state`` must then be float64, and
+    the per-candidate ``d[src] + w`` single add keeps the fixpoint
+    bit-identical to the streaming/DataFrame paths).
     ``state`` is an (N, S) integer array (mutated in place and
     returned); ``changed`` is the initial frontier mask.
 
@@ -447,10 +452,15 @@ def frontier_min_relax(
                             os.rename(tmp, ed_path)
                         d_sel = np.asarray(edge_dst)[sel]
                         cand = state[src_b[sel]]  # (k, S)
+                        if edge_weighted:
+                            # per-edge weight BEFORE the segmented min
+                            cand = cand + np.asarray(_w)[sel][:, None]
                         order = np.argsort(d_sel, kind="stable")
                         d_sel, cand = d_sel[order], cand[order]
                         rst = np.flatnonzero(np.r_[True, d_sel[1:] != d_sel[:-1]])
-                        m = np.minimum.reduceat(cand, rst, axis=0) + one
+                        m = np.minimum.reduceat(cand, rst, axis=0)
+                        if not edge_weighted:
+                            m = m + one
                         gd = np.asarray(udst)[d_sel[rst]]  # global dst ids
                         cur = state[gd]
                         new = np.minimum(cur, m)

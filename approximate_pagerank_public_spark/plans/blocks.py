@@ -98,6 +98,22 @@ def tiled_spmv(state: np.ndarray, blk: tuple) -> np.ndarray:
     return p
 
 
+def tiled_usum(state: np.ndarray, blk: tuple) -> np.ndarray:
+    """Unweighted-adjacency variant of :func:`tiled_spmv` —
+    ``p[k] = Σ_{(u,v)∈seg k} state[u]`` (no weight multiply). Used by
+    the Brandes sweeps (σ path counts / continuation counts), whose
+    values are exact integers in f64, so tile order is association-free."""
+    src, _w, u_dst, starts, seg_map, tb, sb = blk
+    p = np.zeros((len(u_dst), state.shape[1]), dtype=np.float64)
+    for ti in range(len(tb) - 1):
+        e0, e1 = int(tb[ti]), int(tb[ti + 1])
+        s0, s1 = int(sb[ti]), int(sb[ti + 1])
+        contrib = state[src[e0:e1], :]
+        tp = np.add.reduceat(contrib, np.asarray(starts[s0:s1]) - e0, axis=0)
+        p[np.asarray(seg_map[s0:s1])] += tp
+    return p
+
+
 def tiled_min(state: np.ndarray, blk: tuple) -> np.ndarray:
     """min-aggregation variant (connected components / label prop)."""
     src, _w, u_dst, starts, seg_map, tb, sb = blk
@@ -115,6 +131,12 @@ def tiled_min(state: np.ndarray, blk: tuple) -> np.ndarray:
         idx = np.asarray(seg_map[s0:s1])
         p[idx] = np.minimum(p[idx], tp)
     return p
+
+
+# edge count below which building a REVERSED-graph BlockStore (for
+# frontier-sparse backward passes: SCC reach, Brandes backward sweeps)
+# costs more than the streaming full-scan rounds it replaces
+REV_BLOCKS_MIN_EDGES = 5_000_000
 
 
 def shm_available(spark: SparkSession) -> bool:
@@ -183,8 +205,9 @@ class BlockStore:
 
     # ----------------------------------------------------------- supersteps
     def gather(self, rank2d: np.ndarray, op: str = "sum") -> np.ndarray:
-        """One superstep over all blocks; ``op`` is 'sum' (weighted SpMV)
-        or 'min' (label propagation on int64 labels)."""
+        """One superstep over all blocks; ``op`` is 'sum' (weighted SpMV),
+        'usum' (unweighted adjacency sum — Brandes sweeps), or 'min'
+        (label propagation on int64 labels)."""
         n = rank2d.shape[-1]
         is_min = op == "min"
         if self.num_partitions == 0:  # empty graph
@@ -206,7 +229,12 @@ class BlockStore:
                     pid = pids[task_i]
                     blk = load_block(block_dir, pid)
                     state = np.load(rank_path, mmap_mode="r")
-                    p = tiled_min(state, blk) if is_min else tiled_spmv(state, blk)
+                    if is_min:
+                        p = tiled_min(state, blk)
+                    elif op == "usum":
+                        p = tiled_usum(state, blk)
+                    else:
+                        p = tiled_spmv(state, blk)
                     np.save(os.path.join(out_dir, f"p_{pid}.npy"), p)
                     done.append(pid)
             yield pa.RecordBatch.from_arrays(
