@@ -38,6 +38,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "pagerank", "ppr", "multi_ppr", "cc", "lpa", "triangles",
             "bfs", "bfs_stats", "fbfs",
+            "scc", "sssp", "stress", "betweenness", "hits", "kcore",
         ],
     )
     p.add_argument("--alpha", type=float, default=0.8)
@@ -153,6 +154,44 @@ def main(argv: list[str] | None = None) -> int:
         label_propagation(graph, max_iter=args.max_iter).write.mode("overwrite").parquet(
             args.output
         )
+    elif args.algorithm == "scc":
+        from approximate_pagerank_public_spark.operators.scc import (
+            strongly_connected_components,
+        )
+
+        strongly_connected_components(graph, mode=args.mode).write.mode(
+            "overwrite"
+        ).parquet(args.output)
+    elif args.algorithm == "sssp":
+        from approximate_pagerank_public_spark.operators.sssp import sssp
+
+        sssp(graph, sources or [0], mode=args.mode).write.mode("overwrite").parquet(
+            args.output
+        )
+    elif args.algorithm in ("stress", "betweenness"):
+        from approximate_pagerank_public_spark.operators.centrality import (
+            betweenness_centrality,
+            stress_centrality,
+        )
+
+        fn = (
+            stress_centrality
+            if args.algorithm == "stress"
+            else betweenness_centrality
+        )
+        fn(graph, sources or [0]).write.mode("overwrite").parquet(args.output)
+    elif args.algorithm == "hits":
+        from approximate_pagerank_public_spark.operators.hits import hits
+
+        res = hits(graph, max_iter=args.max_iter)
+        res.scores().write.mode("overwrite").parquet(args.output)
+        summary.update(iterations=res.iterations)
+    elif args.algorithm == "kcore":
+        from approximate_pagerank_public_spark.operators.kcore import core_numbers
+
+        res = core_numbers(graph)
+        res.core_numbers().write.mode("overwrite").parquet(args.output)
+        summary.update(rounds=res.rounds)
     else:
         from approximate_pagerank_public_spark.operators.triangles import triangle_df
 
