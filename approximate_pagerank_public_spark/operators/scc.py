@@ -307,32 +307,29 @@ def _scc_broadcast(graph: Graph, max_outer: int = 1000) -> np.ndarray:
     if graph.blocks is not None and graph.num_edges >= REV_BLOCKS_MIN_EDGES:
         # below the threshold the extra shuffle + CSR build costs more
         # than the streaming reach rounds it replaces (measured: sf-bench
-        # 240k edges 5.3 s → 7.0 s with, 2·10⁷ edges 42 s → 33 s with)
-        rev_graph = Graph(rev, num_vertices=n, num_partitions=graph.num_partitions)
-    try:
-        for _outer in range(max_outer):
-            if not active.any():
-                return scc
-            # claim in BOTH directions per round: forward coloring stalls
-            # on id-increasing SCC chains (one root per round), its
-            # transposed twin retires every local id-minimum at once —
-            # together a DAG chain resolves in ~log rounds instead of
-            # #SCCs
+        # 240k edges 5.3 s → 7.0 s with, 2·10⁷ edges 42 s → 33 s with);
+        # memoized on the Graph so repeated calls reuse the build
+        rev_graph = graph.reversed_graph()
+    for _outer in range(max_outer):
+        if not active.any():
+            return scc
+        # claim in BOTH directions per round: forward coloring stalls
+        # on id-increasing SCC chains (one root per round), its
+        # transposed twin retires every local id-minimum at once —
+        # together a DAG chain resolves in ~log rounds instead of
+        # #SCCs
+        _claim_round_broadcast(
+            graph, graph.edges, active, scc, ids, back_graph=rev_graph
+        )
+        if active.any():
             _claim_round_broadcast(
-                graph, graph.edges, active, scc, ids, back_graph=rev_graph
+                graph,
+                rev,
+                active,
+                scc,
+                ids,
+                back_graph=graph if graph.blocks is not None else None,
             )
-            if active.any():
-                _claim_round_broadcast(
-                    graph,
-                    rev,
-                    active,
-                    scc,
-                    ids,
-                    back_graph=graph if graph.blocks is not None else None,
-                )
-    finally:
-        if rev_graph is not None:
-            rev_graph.unpersist()
     raise RuntimeError(
         f"scc exceeded max_outer={max_outer} rounds"
     )  # pragma: no cover — dual-direction rounds « 1000 on any real graph

@@ -105,6 +105,22 @@ class Graph:
         self._dangling_mask: np.ndarray | None = None
         self._blocks = None
         self._dist_blocks = None
+        self._rev_graph: "Graph | None" = None
+
+    def reversed_graph(self) -> "Graph":
+        """Memoized transposed Graph (dst-hash layout + CSR blocks of
+        the reversed edges). Backward passes — SCC masked reach, Brandes
+        backward sweeps — reuse it across calls instead of paying the
+        shuffle + block build each time; released by :meth:`unpersist`."""
+        if self._rev_graph is None:
+            self._rev_graph = Graph(
+                self.edges.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+                ),
+                num_vertices=self.num_vertices,
+                num_partitions=self.num_partitions,
+            )
+        return self._rev_graph
 
     @property
     def blocks(self):
@@ -213,6 +229,9 @@ class Graph:
         if self._dist_blocks is not None:
             self._dist_blocks.cleanup()
             self._dist_blocks = None
+        if self._rev_graph is not None:
+            self._rev_graph.unpersist()
+            self._rev_graph = None
 
     # -------------------------------------------------------- constructors
     @classmethod
