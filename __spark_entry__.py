@@ -504,6 +504,18 @@ def q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eccentricity(g, [0]).select("source", F.col("ecc").cast("long").alias("ecc"))
 
 
+def q_approx_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep diameter lower bound from vertex 0 (farthest-vertex
+    tie-break = smallest id, so the oracle replays the pick exactly)."""
+    from approximate_pagerank_public_spark.operators.traversal import (
+        approx_diameter,
+    )
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    return approx_diameter(g, 0)
+
+
 def q_fbfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference fbfs (fbfs.gm): visit-counter-gated prop/dist writes,
     deterministic (level, id) visit order — fully oracle-checked."""
@@ -897,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "stress": q_stress,
         "bfs_dist": q_bfs_from_min_conv,
+        "approx_diameter": q_approx_diameter,
         "scc": q_scc,
         "sssp_dist": q_sssp_dist,
         "fbfs": q_fbfs,
@@ -1841,6 +1854,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN c.cnt >= 9 THEN 2 * c.cnt + 1 ELSE 0 END AS BIGINT) "
             "AS prop "
             "FROM verts v LEFT JOIN c ON c.id = v.id"
+        ),
+        "approx_diameter": (
+            f"WITH RECURSIVE e AS ({e_sql}), "
+            "r1(id, dist) AS ("
+            "  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
+            "  UNION "
+            "  SELECT e.dst, r1.dist + 1 FROM r1 JOIN e ON r1.id = e.src "
+            "  WHERE r1.dist < 100), "
+            "d1 AS (SELECT id, min(dist) AS dist FROM r1 GROUP BY id), "
+            "pk AS (SELECT id FROM d1 ORDER BY dist DESC, id ASC LIMIT 1), "
+            "r2(id, dist) AS ("
+            "  SELECT id, CAST(0 AS BIGINT) FROM pk "
+            "  UNION "
+            "  SELECT e.dst, r2.dist + 1 FROM r2 JOIN e ON r2.id = e.src "
+            "  WHERE r2.dist < 100), "
+            "d2 AS (SELECT id, min(dist) AS dist FROM r2 GROUP BY id) "
+            "SELECT CAST(0 AS BIGINT) AS start, (SELECT id FROM pk) AS peak, "
+            "(SELECT max(dist) FROM d2) AS diameter_lb"
         ),
         "hll_distinct": _hll_distinct_oracle(),
         "modularity": _modularity_oracle(5),

@@ -227,6 +227,30 @@ def eccentricity(graph: Graph, sources: list[int]) -> DataFrame:
     return bfs_stats(graph, sources).select("source", "ecc")
 
 
+def approx_diameter(graph: Graph, start: int = 0) -> DataFrame:
+    """Double-sweep diameter lower bound (Magnien–Latapy–Habib): BFS
+    from ``start``, hop to the farthest reached vertex (ties → smallest
+    id, so the pick is deterministic and oracle-replayable), BFS again;
+    the second eccentricity lower-bounds the directed diameter. One row
+    ``(start, peak, diameter_lb)`` — two frontier-sparse BFS runs, no
+    new machinery."""
+    far = (
+        bfs(graph, start)
+        .orderBy(F.col("dist").desc(), F.col("id").asc())
+        .first()  # top-1 reduces executor-side; |reached| never collects
+    )
+    peak = int(far["id"])
+    ecc2 = bfs_stats(graph, [peak]).first()["ecc"]
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"start": [start], "peak": [peak], "diameter_lb": [int(ecc2)]}
+    )
+    return graph.spark.createDataFrame(
+        pdf, "start long, peak long, diameter_lb long"
+    )
+
+
 
 
 def multi_source_bfs_block(

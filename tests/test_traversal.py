@@ -149,3 +149,16 @@ def test_block_bfs_dense_frontier_path_matches_sparse(g_rand, monkeypatch):
     assert sorted(map(tuple, sparse[key].values)) == sorted(
         map(tuple, dense[key].values)
     )
+
+
+def test_approx_diameter_double_sweep(g_rand):
+    from approximate_pagerank_public_spark.operators.traversal import approx_diameter
+
+    src, dst, _ = g_rand.edges_numpy()
+    d0 = _golden_bfs(src, dst, 300, 0)
+    peak = min(v for v in d0 if d0[v] == max(d0.values()))
+    d1 = _golden_bfs(src, dst, 300, peak)
+    row = approx_diameter(g_rand, 0).first()
+    assert row["start"] == 0
+    assert row["peak"] == peak
+    assert row["diameter_lb"] == max(d1.values())
