@@ -504,6 +504,18 @@ def q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eccentricity(g, [0]).select("source", F.col("ecc").cast("long").alias("ecc"))
 
 
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style fixed-length walk corpus (1 walk/vertex, 4 hops),
+    md5-derandomized — every hop replayed verbatim by the SQL oracle."""
+    from approximate_pagerank_public_spark.operators.randomwalk import (
+        random_walk_corpus,
+    )
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    return random_walk_corpus(g, walks_per_vertex=1, walk_length=4, seed="rw")
+
+
 def q_approx_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Double-sweep diameter lower bound from vertex 0 (farthest-vertex
     tie-break = smallest id, so the oracle replays the pick exactly)."""
@@ -910,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stress": q_stress,
         "bfs_dist": q_bfs_from_min_conv,
         "approx_diameter": q_approx_diameter,
+        "random_walks": q_random_walks,
         "scc": q_scc,
         "sssp_dist": q_sssp_dist,
         "fbfs": q_fbfs,
@@ -1696,6 +1709,35 @@ def _stress_oracle(sources: list[int]) -> str:
     )
 
 
+def _random_walks_oracle(length: int = 4, seed: str = "rw") -> str:
+    """Hop-for-hop replay of ``random_walk_corpus`` (K=1 ⇒ walk = start
+    id): ranked dst-sorted adjacency, 60-bit md5 draw per (walk, step),
+    dangling pads in place. All integers ⇒ hash-exact."""
+    e_sql = _duck_edges_sql()
+    parts = [
+        f"WITH e AS MATERIALIZED ({e_sql}), ",
+        "adj AS MATERIALIZED (SELECT src, dst, "
+        "row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk, "
+        "count(*) OVER (PARTITION BY src) AS deg FROM e), ",
+        "verts AS (SELECT DISTINCT src AS id FROM "
+        "(SELECT src FROM e UNION ALL SELECT dst AS src FROM e)), ",
+        "w0 AS (SELECT id AS walk, id AS cur FROM verts), ",
+    ]
+    for t in range(length):
+        parts.append(
+            f"w{t + 1} AS MATERIALIZED (SELECT w.walk, "
+            "coalesce(a.dst, w.cur) AS cur "
+            f"FROM w{t} w LEFT JOIN adj a ON a.src = w.cur AND "
+            f"(CAST('0x' || substr(md5('{seed}:' || CAST(w.walk AS VARCHAR) "
+            f"|| ':{t}'), 1, 15) AS BIGINT) % a.deg) = a.rnk), "
+        )
+    selects = [
+        f"SELECT walk, CAST({t} AS BIGINT) AS step, cur AS vertex FROM w{t}"
+        for t in range(length + 1)
+    ]
+    return "".join(parts).rstrip(", ") + " " + " UNION ALL ".join(selects)
+
+
 def _sssp_oracle(source: int = 0) -> str:
     """Unrolled min-plus Bellman-Ford: round k is one CTE computing
     ``min(d_k(v), min over in-edges d_k(u) + w)`` over the reached-only
@@ -1855,6 +1897,7 @@ def oracle_sql() -> dict[str, str]:
             "AS prop "
             "FROM verts v LEFT JOIN c ON c.id = v.id"
         ),
+        "random_walks": _random_walks_oracle(4, "rw"),
         "approx_diameter": (
             f"WITH RECURSIVE e AS ({e_sql}), "
             "r1(id, dist) AS ("

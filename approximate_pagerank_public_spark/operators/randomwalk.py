@@ -142,3 +142,59 @@ def random_walk_ppr(
         )
     )
     return RandomWalkResult(num_walks=num_walks, walk_length=walk_length, _df=out)
+
+
+def random_walk_corpus(
+    g: Graph,
+    walks_per_vertex: int = 1,
+    walk_length: int = 8,
+    seed: str = "rw",
+) -> DataFrame:
+    """``(walk, step, vertex)`` — fixed-length random-walk trajectories
+    from EVERY vertex (DeepWalk/node2vec-style corpus for embedding
+    training, minus the p/q bias). Walk ``w = start · K + k`` hops to
+    out-neighbor ``md5(seed:w:t) % outdeg`` in dst-sorted adjacency
+    order; a dangling vertex pads the remaining steps in place (the
+    trajectory keeps its fixed length — documented, SQL-replayable).
+
+    Scale shape: state is ``(walk, cur)`` of V·K rows; each step one
+    equi-join against the ranked adjacency (shuffle O(V·K), independent
+    of |E|), lineage truncated via ``local_ckpt``; the corpus is the
+    union of the L+1 per-step snapshots. md5 derandomization makes the
+    corpus bit-reproducible across engines — the DuckDB oracle replays
+    every hop.
+    """
+    spark = g.spark
+    k = int(walks_per_vertex)
+    adj = ranked_adjacency(g)
+    state = (
+        g.vertices.select(F.col("id").alias("cur"))
+        .crossJoin(spark.range(k).select(F.col("id").alias("k")))
+        .select((F.col("cur") * k + F.col("k")).alias("walk"), "cur")
+    )
+    steps = [state.withColumn("step", F.lit(0).cast("long"))]
+    for t in range(walk_length):
+        s = state.withColumn("hv", _step_hash(seed, "walk", t))
+        nxt = (
+            s.alias("w")
+            .join(
+                adj.alias("a"),
+                (F.col("w.cur") == F.col("a.src"))
+                & ((F.col("w.hv") % F.col("a.deg")) == F.col("a.rnk")),
+                "left",
+            )
+            .select(
+                F.col("w.walk").alias("walk"),
+                F.coalesce(F.col("a.dst"), F.col("w.cur")).alias("cur"),
+            )
+        )
+        # every per-step snapshot IS part of the corpus, so NO step
+        # checkpoint is ever superseded — none may be freed (the blocks
+        # are the only copy once lineage is truncated)
+        nxt, _ids = local_ckpt(nxt)
+        state = nxt
+        steps.append(state.withColumn("step", F.lit(t + 1).cast("long")))
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionAll(s)
+    return out.select("walk", "step", F.col("cur").alias("vertex"))

@@ -85,3 +85,35 @@ def test_mc_ppr_estimator_tracks_exact_ppr(g_rand):
     top_mc = int(got.loc[got["endpoints"].idxmax(), "id"])
     top_exact = set(exact.nlargest(3, col)["id"].astype(int))
     assert top_mc in top_exact
+
+
+def test_random_walk_corpus_replays_hops(g5):
+    import hashlib
+    from collections import defaultdict
+
+    from approximate_pagerank_public_spark.operators.randomwalk import (
+        random_walk_corpus,
+    )
+
+    src, dst, _ = g5.edges_numpy()
+    adj = defaultdict(list)
+    for u, v in zip(src.tolist(), dst.tolist()):
+        adj[u].append(v)
+    for u in adj:
+        adj[u].sort()
+    K, L, seed = 2, 5, "rw"
+    gold = {}
+    for start in range(5):
+        for k in range(K):
+            walk = start * K + k
+            cur = start
+            gold[(walk, 0)] = cur
+            for t in range(L):
+                hv = int(hashlib.md5(f"{seed}:{walk}:{t}".encode()).hexdigest()[:15], 16)
+                nbrs = adj.get(cur, [])
+                if nbrs:
+                    cur = nbrs[hv % len(nbrs)]
+                gold[(walk, t + 1)] = cur
+    rows = random_walk_corpus(g5, walks_per_vertex=K, walk_length=L, seed=seed).collect()
+    got = {(r["walk"], r["step"]): r["vertex"] for r in rows}
+    assert got == gold
