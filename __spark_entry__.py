@@ -488,6 +488,21 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(g, max_iter=5).select("id", "label")
 
 
+def q_community_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community-level multigraph contraction of the LPA-5 partition —
+    the multilevel coarsening step; replayed over the unrolled-LPA
+    oracle chain (all integers ⇒ hash-exact)."""
+    from approximate_pagerank_public_spark.operators.labelprop import (
+        contract_communities,
+        label_propagation,
+    )
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    labels = label_propagation(g, max_iter=5)
+    return contract_communities(g, labels)
+
+
 def q_bfs_from_min_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from approximate_pagerank_public_spark.operators.traversal import bfs
     from approximate_pagerank_public_spark.plans.graph import Graph
@@ -918,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_sizes": q_component_sizes,
         "label_propagation": q_label_propagation,
         "modularity": q_modularity,
+        "community_graph": q_community_graph,
         "assortativity": q_assortativity,
         "stress": q_stress,
         "bfs_dist": q_bfs_from_min_conv,
@@ -1918,6 +1934,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hll_distinct": _hll_distinct_oracle(),
         "modularity": _modularity_oracle(5),
+        "community_graph": (
+            f"WITH {_lpa_cte_chain(5)} "
+            "SELECT ls.label AS src_comm, ld.label AS dst_comm, "
+            "CAST(count(*) AS BIGINT) AS n_edges "
+            "FROM e JOIN l5 ls ON ls.id = e.src JOIN l5 ld ON ld.id = e.dst "
+            "GROUP BY ls.label, ld.label"
+        ),
         "assortativity": _assortativity_oracle(),
         "stress": _stress_oracle(STRESS_SOURCES),
         "scc": (

@@ -207,3 +207,25 @@ def golden_label_propagation(
             return labels
         labels = new
     return labels
+
+
+def contract_communities(graph: Graph, labels: DataFrame) -> DataFrame:
+    """``(src_comm, dst_comm, n_edges)`` — the community-level
+    multigraph induced by a vertex partition (the coarsening step of
+    multilevel pipelines, Louvain-style): every directed edge maps to
+    its endpoints' labels, parallel edges aggregate to a count.
+    Self-community edges are KEPT (they carry the internal-mass signal).
+
+    Scale shape: two broadcastable vertex-sized joins into one edge pass
+    + a hash aggregate keyed by community pairs — map-side combinable,
+    output is |communities|²-bounded but community-graph sparse in
+    practice."""
+    ls = labels.select(F.col("id").alias("src"), F.col("label").alias("src_comm"))
+    ld = labels.select(F.col("id").alias("dst"), F.col("label").alias("dst_comm"))
+    return (
+        graph.edges.select("src", "dst")
+        .join(F.broadcast(ls), "src")
+        .join(F.broadcast(ld), "dst")
+        .groupBy("src_comm", "dst_comm")
+        .agg(F.count("*").alias("n_edges"))
+    )

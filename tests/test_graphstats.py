@@ -78,3 +78,25 @@ def test_modularity_random_labels_near_zero(g_rand):
     )
     row = modularity(g_rand, labels).first()
     assert abs(row["modularity"]) < 0.1
+
+
+def test_contract_communities_counts(spark):
+    from approximate_pagerank_public_spark.operators.labelprop import (
+        contract_communities,
+    )
+
+    # 0→1, 1→0 inside comm A; 2→3 inside comm B; 0→2, 3→1 across
+    edges = [(0, 1), (1, 0), (2, 3), (0, 2), (3, 1)]
+    src, dst = zip(*edges)
+    g = Graph.from_edge_arrays(spark, src, dst, num_vertices=4, num_partitions=4)
+    try:
+        labels = spark.createDataFrame(
+            [(0, 0), (1, 0), (2, 2), (3, 2)], "id long, label long"
+        )
+        got = {
+            (r["src_comm"], r["dst_comm"]): r["n_edges"]
+            for r in contract_communities(g, labels).collect()
+        }
+        assert got == {(0, 0): 2, (2, 2): 1, (0, 2): 1, (2, 0): 1}
+    finally:
+        g.unpersist()
