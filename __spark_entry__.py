@@ -910,6 +910,69 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("a", "b", _stable6("jaccard").alias("jaccard"))
 
 
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (4h idle gap) —
+    per-session integer aggregates, hash-exact."""
+    from approximate_pagerank_public_spark.operators.events import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(ev, gap_seconds=14400).select(
+        "user_id", "session_seq", "n_events", "duration_us", "first_event", "last_event"
+    )
+
+
+def q_event_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS OF join: each click event gains the latest prior-or-same-ts
+    purchase (id + value) of the same user — union+window formulation,
+    oracle = independent correlated-subquery semantics in DuckDB."""
+    from approximate_pagerank_public_spark.operators.events import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.where(F.col("event_type") == "click")
+    right = ev.where(F.col("event_type") == "purchase")
+    out = asof_join(left, right, payload_cols=("event_id", "value"))
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id"),
+        _stable6("asof_value").alias("asof_value"),
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (md5 MinHash+LSH) resolved into transitive
+    clusters with a min-id keeper — star-CC over the pair list only."""
+    from approximate_pagerank_public_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_candidates(docs, num_hashes=16, bands=4, hash_method="md5")
+    return duplicate_clusters(docs, pairs).select("doc_id", "rep_id", "keep")
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket train/val/test assignment per document —
+    growth-invariant (adding docs never reassigns old ones)."""
+    from approximate_pagerank_public_spark.operators.sampling import dataset_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dataset_split(docs, seed="split").select("doc_id", "split")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smallest-k-by-md5 per language — a deterministic reservoir sample."""
+    from approximate_pagerank_public_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(docs, strata_col="lang", k=10, seed="strat").select(
+        "doc_id", "lang", "sample_rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcript_etl": q_transcript_etl,
@@ -965,6 +1028,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_ann_topk": q_ivf_ann_topk,
         "ngram_jaccard": q_ngram_jaccard,
+        "session_stats": q_session_stats,
+        "event_asof": q_event_asof,
+        "dedup_clusters": q_dedup_clusters,
+        "dataset_split": q_dataset_split,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1081,6 +1149,24 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
         "SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM banded x "
         "JOIN banded y ON x.band = y.band AND x.bucket = y.bucket "
         "AND x.doc_id < y.doc_id"
+    )
+
+
+def _dedup_clusters_oracle() -> str:
+    """Transitive closure over the md5-MinHash candidate pairs: rep_id =
+    min mutually-reachable doc id (recursive CTE), keep = is-rep. The
+    pair CTE is the verbatim ``_minhash_oracle`` query nested as a
+    derived table, so both checks share one pair definition."""
+    pairs_sql = _minhash_oracle()
+    return (
+        "WITH RECURSIVE "
+        f"pairs AS MATERIALIZED (SELECT * FROM ({pairs_sql}) t), "
+        "sym AS (SELECT a, b FROM pairs UNION "
+        "SELECT b AS a, a AS b FROM pairs), "
+        "reach(id, lbl) AS (SELECT doc_id, doc_id FROM documents "
+        "UNION SELECT s.a AS id, r.lbl FROM sym s JOIN reach r ON r.id = s.b) "
+        "SELECT id AS doc_id, min(lbl) AS rep_id, id = min(lbl) AS keep "
+        "FROM reach GROUP BY id"
     )
 
 
@@ -2062,6 +2148,51 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_oracle(),
         "embedding_near_dup": _embedding_near_dup_oracle(),
         "ngram_jaccard": _ngram_jaccard_oracle(),
+        "session_stats": (
+            "WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS us, "
+            "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL "
+            "     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 14400000000 "
+            "THEN 1 ELSE 0 END AS is_new FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s2 AS (SELECT user_id, event_id, us, "
+            "sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_seq "
+            "FROM s) "
+            "SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, "
+            "count(*) AS n_events, max(us) - min(us) AS duration_us, "
+            "min(event_id) AS first_event, max(event_id) AS last_event "
+            "FROM s2 GROUP BY user_id, session_seq"
+        ),
+        "dedup_clusters": _dedup_clusters_oracle(),
+        "dataset_split": (
+            "WITH b AS (SELECT doc_id, "
+            "CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) "
+            "AS BIGINT) % 1000000 AS bk FROM documents) "
+            "SELECT doc_id, CASE WHEN bk < 800000 THEN 'train' "
+            "WHEN bk < 900000 THEN 'val' ELSE 'test' END AS split FROM b"
+        ),
+        "stratified_sample": (
+            "WITH b AS (SELECT doc_id, lang, "
+            "CAST('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15) "
+            "AS BIGINT) AS hv FROM documents), "
+            "r AS (SELECT doc_id, lang, CAST(row_number() OVER ("
+            "PARTITION BY lang ORDER BY hv ASC, doc_id ASC) AS INTEGER) "
+            "AS sample_rank FROM b) "
+            "SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 10"
+        ),
+        "event_asof": (
+            # independent formulation (correlated subqueries), NOT the
+            # engine's union+window program — a genuinely adversarial check
+            "SELECT l.event_id, l.user_id, "
+            "(SELECT r.event_id FROM events r WHERE r.event_type = 'purchase' "
+            " AND r.user_id = l.user_id AND r.ts <= l.ts "
+            " ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS asof_event_id, "
+            "floor((SELECT r.value FROM events r WHERE r.event_type = 'purchase' "
+            " AND r.user_id = l.user_id AND r.ts <= l.ts "
+            " ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) * 1000000.0) / 1000000.0 "
+            "AS asof_value "
+            "FROM events l WHERE l.event_type = 'click'"
+        ),
     }
 
 

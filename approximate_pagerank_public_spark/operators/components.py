@@ -173,6 +173,31 @@ def _cc_star_distributed(graph: Graph, max_rounds: int = 60) -> tuple[DataFrame,
     spark = graph.spark
     p = graph.num_partitions
     e = graph.edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    roots, rounds = star_components_edges(spark, e, p, max_rounds)
+    verts = graph.vertices
+    labels = verts.join(roots, verts["id"] == roots["a"], "left").select(
+        "id",
+        F.least(F.col("id"), F.coalesce("r", F.col("id"))).alias("component"),
+    )
+    return labels, rounds
+
+
+def star_components_edges(
+    spark, pair_edges: DataFrame, num_partitions: int, max_rounds: int = 60
+) -> tuple[DataFrame, int]:
+    """Large-star/small-star alternation over an arbitrary undirected
+    pair list ``(a, b)`` — the :func:`_cc_star_distributed` core, shared
+    with non-graph callers (duplicate-cluster resolution runs it over
+    near-dup DOC pairs, ``operators/dedup.py::duplicate_clusters``).
+
+    Returns ``(roots, rounds)``: ``roots`` maps every NON-ROOT member to
+    its component minimum; component minima and ids absent from the
+    pairs are unmapped — callers resolve with
+    ``least(id, coalesce(r, id))`` exactly as ``_cc_star_distributed``
+    does. The per-round symmetrize makes edge orientation irrelevant
+    (``a < b`` canonical pairs are fine)."""
+    p = num_partitions
+    e = pair_edges.select(F.col("a").cast("long"), F.col("b").cast("long"))
     e, e_ids = local_ckpt(e.repartition(p, "a"))
 
     def _sig(df: DataFrame) -> tuple[int, int]:
@@ -231,12 +256,7 @@ def _cc_star_distributed(graph: Graph, max_rounds: int = 60) -> tuple[DataFrame,
             stacklevel=2,
         )
     roots = e.groupBy("a").agg(F.min("b").alias("r"))
-    verts = graph.vertices
-    labels = verts.join(roots, verts["id"] == roots["a"], "left").select(
-        "id",
-        F.least(F.col("id"), F.coalesce("r", F.col("id"))).alias("component"),
-    )
-    return labels, rounds
+    return roots, rounds
 
 
 def connected_components(

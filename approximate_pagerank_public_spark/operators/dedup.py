@@ -290,3 +290,40 @@ def ngram_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+def duplicate_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into CLUSTERS and pick one keeper.
+
+    ``pairs`` is any ``(a, b)`` near-dup pair set (exact, MinHash+LSH,
+    SimHash, or embedding near-dup output); transitively connected docs form
+    one cluster (A~B, B~C ⇒ {A,B,C} even if A and C were never compared
+    — the semantics every production dedup pass needs before dropping
+    rows). Returns every doc with ``(doc_id, rep_id, keep)`` where
+    ``rep_id`` is the cluster minimum and ``keep = (doc_id == rep_id)``.
+
+    Scale shape: clustering runs large-star/small-star over the PAIR
+    list only (``components.py::star_components_edges`` — O(log n)
+    rounds, no collect, diameter-safe for chained near-dup runs), then
+    ONE broadcast-size left join back onto the corpus: pair volume is
+    LSH-bucket bounded and vastly smaller than the corpus, so the
+    corpus itself is never shuffled.
+    """
+    spark = docs.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    from approximate_pagerank_public_spark.operators.components import (
+        star_components_edges,
+    )
+
+    roots, _rounds = star_components_edges(spark, pairs, p)
+    d = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    out = d.join(roots, d["doc_id"] == roots["a"], "left").select(
+        "doc_id",
+        F.least(F.col("doc_id"), F.coalesce("r", F.col("doc_id"))).alias("rep_id"),
+    )
+    return out.withColumn("keep", F.col("doc_id") == F.col("rep_id"))

@@ -1,0 +1,159 @@
+"""Event-stream relational operators: sessionization and as-of join.
+
+The reference engine's input is a static edge list; the engine's own
+primary input is an event stream (``events`` → transcripts → edges,
+``sources/transcripts.py``), and a production deployment of the same
+pipeline needs the two classic stream-shaping operators on that table:
+
+- :func:`sessionize` — gap-based session assignment (a new session
+  starts when the idle gap from the previous event of the same user
+  exceeds a threshold). The standard web/agent-analytics primitive;
+  also the batch twin of the stateful-streaming operator family in
+  ``streaming/edge_stream.py``.
+- :func:`asof_join` — for every left row, the most recent right row at
+  or before it (per key). Spark has no built-in AS OF join; the naive
+  formulation is an inequality range join (O(n·m) expansion). This
+  implements the union+window trick instead: tag both sides, sort once
+  within each key partition, carry the last-seen right payload forward
+  with ``last(..., ignorenulls=True)``.
+
+Scale shape: both operators are ONE hash shuffle on the key column and
+a within-partition sort — no range join, no cross product, no driver
+state. Per-key row counts (events per user) are the only skew axis, the
+same axis the rest of the engine already handles, and the window never
+needs more than the current partition. This is the formulation
+kdb/Flink/QuestDB use for as-of semantics at scale.
+
+Determinism: every window order is a TOTAL order — ``(ts, side, id)``
+— so outputs are reproducible across engines; the DuckDB oracles in
+``__spark_entry__.py`` replay the identical window programs. Gap
+arithmetic uses integer MICROSECONDS (``unix_micros`` / ``epoch_us``),
+never float seconds, so session boundaries are hash-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 14400,
+) -> DataFrame:
+    """Assign gap-based sessions: input columns plus ``session_seq``
+    (0-based per key, in time order).
+
+    A new session starts at the first event of a key and whenever
+    ``ts - prev_ts > gap_seconds``. Ordering ties are broken by
+    ``id_col`` so the assignment is total-order deterministic.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    # timestampdiff is tz-free and accepts TIMESTAMP and TIMESTAMP_NTZ
+    # alike (parquet event times are NTZ); only DIFFERENCES enter the
+    # gap rule, so the session assignment never depends on a zone.
+    with_prev = events.withColumn("_prev_ts", F.lag(F.col(ts_col)).over(w))
+    gap_us = F.expr(f"timestampdiff(MICROSECOND, _prev_ts, {ts_col})")
+    is_new = F.when(
+        F.col("_prev_ts").isNull()
+        | (gap_us > F.lit(int(gap_seconds) * 1_000_000)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    cum = Window.partitionBy(key_col).orderBy(ts_col, id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return with_prev.withColumn(
+        "session_seq", (F.sum(is_new).over(cum) - 1).cast("long")
+    ).drop("_prev_ts")
+
+
+def session_stats(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 14400,
+) -> DataFrame:
+    """Per-session aggregates: ``(key, session_seq, n_events,
+    duration_us, first_event, last_event)`` — all integers, hash-exact.
+    """
+    s = sessionize(events, key_col, ts_col, id_col, gap_seconds)
+    return (
+        s.groupBy(F.col(key_col), F.col("session_seq"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(ts_col).alias("_min_ts"),
+            F.max(ts_col).alias("_max_ts"),
+            F.min(id_col).alias("first_event"),
+            F.max(id_col).alias("last_event"),
+        )
+        .withColumn(
+            "duration_us", F.expr("timestampdiff(MICROSECOND, _min_ts, _max_ts)")
+        )
+        .select(
+            key_col, "session_seq", "n_events", "duration_us",
+            "first_event", "last_event",
+        )
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    payload_cols: tuple[str, ...] = ("value",),
+    strict: bool = False,
+) -> DataFrame:
+    """AS OF join: each ``left`` row gains ``asof_<c>`` for every payload
+    column — taken from the latest ``right`` row of the same key with
+    ``right.ts <= left.ts`` (``< left.ts`` when ``strict``), ties at
+    equal ``ts`` resolved toward the highest right ``id_col``.
+
+    Union + single within-key sort; no inequality join. Payloads pass
+    through untouched (no float arithmetic), so results are bit-exact.
+    """
+    l_cols = left.columns
+    lt = left.select(
+        *l_cols,
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}")
+            for c in payload_cols
+        ],
+        F.lit(1).alias("_side"),
+    )
+    # right rows carry only key/ts/id + payloads
+    rt = right.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(id_col),
+        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+    )
+    for c in l_cols:
+        if c not in (key_col, ts_col, id_col):
+            rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    rt = rt.select(*l_cols, *[f"_p_{c}" for c in payload_cols], F.lit(0).alias("_side"))
+
+    u = lt.unionByName(rt)
+    # Total order: ts, then right-before-left at equal ts (side 0 < 1;
+    # strict mode flips so right at equal ts is NOT visible), then id.
+    side_order = F.col("_side").asc() if not strict else F.col("_side").desc()
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), side_order, F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        *l_cols,
+        F.col("_side"),
+        *[
+            F.last(F.col(f"_p_{c}"), ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in payload_cols
+        ],
+    )
+    return carried.where(F.col("_side") == 1).drop("_side")

@@ -158,3 +158,34 @@ def test_vocab_topk_counts_and_tiebreak(spark):
         ("sat", 2),
         ("cat", 1),  # count-1 ties resolve lexicographically
     ]
+
+
+def test_duplicate_clusters_transitive_chain(spark):
+    from approximate_pagerank_public_spark.operators.dedup import duplicate_clusters
+
+    docs = spark.range(10).select(F.col("id").alias("doc_id"))
+    # chain 1~2~3, pair 7~9, singletons elsewhere; 3~1 adds a cycle
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (1, 3)], "a long, b long"
+    )
+    out = {r["doc_id"]: (r["rep_id"], r["keep"]) for r in duplicate_clusters(docs, pairs).collect()}
+    assert out[1] == (1, True)
+    assert out[2] == (1, False)
+    assert out[3] == (1, False)
+    assert out[7] == (7, True)
+    assert out[9] == (7, False)
+    assert out[0] == (0, True)
+    assert out[5] == (5, True)
+    # exactly one keeper per cluster
+    kept = [d for d, (rep, k) in out.items() if k]
+    assert sorted(kept) == [0, 1, 4, 5, 6, 7, 8]
+
+
+def test_duplicate_clusters_empty_pairs(spark):
+    from approximate_pagerank_public_spark.operators.dedup import duplicate_clusters
+
+    docs = spark.range(5).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame([], "a long, b long")
+    out = duplicate_clusters(docs, pairs).collect()
+    assert all(r["keep"] and r["rep_id"] == r["doc_id"] for r in out)
+    assert len(out) == 5

@@ -1,0 +1,126 @@
+"""Sessionization and as-of join (operators/events.py)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from approximate_pagerank_public_spark.operators.events import (
+    asof_join,
+    session_stats,
+    sessionize,
+)
+
+
+def _ts(minute, sec=0, us=0):
+    return dt.datetime(2024, 1, 1, 0, minute, sec, us)
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    rows = [
+        # user 1: events at 0, 1, 2 min (one session with 60s gap),
+        # then 20 min (new session), 21 min
+        (0, _ts(0), 1, "view", 1.0),
+        (1, _ts(1), 1, "click", 2.0),
+        (2, _ts(2), 1, "purchase", 3.0),
+        (3, _ts(20), 1, "view", 4.0),
+        (4, _ts(21), 1, "purchase", 5.0),
+        # user 2: single event
+        (5, _ts(5), 2, "view", 6.0),
+        # user 3: two events at the SAME timestamp (tie -> id order)
+        (6, _ts(7), 3, "click", 7.0),
+        (7, _ts(7), 3, "purchase", 8.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_sessionize_gap_boundaries(ev):
+    out = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(ev, gap_seconds=120).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 0, 6: 0, 7: 0}
+
+
+def test_session_stats_integers(ev):
+    stats = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["duration_us"])
+        for r in session_stats(ev, gap_seconds=120).collect()
+    }
+    assert stats[(1, 0)] == (3, 120_000_000)
+    assert stats[(1, 1)] == (2, 60_000_000)
+    assert stats[(2, 0)] == (1, 0)
+    assert stats[(3, 0)] == (2, 0)
+
+
+def test_asof_join_latest_prior_value(ev):
+    left = ev.where(F.col("event_type") == "view")
+    right = ev.where(F.col("event_type") == "purchase")
+    out = {
+        r["event_id"]: r["asof_value"]
+        for r in asof_join(left, right, payload_cols=("value",)).collect()
+    }
+    # user 1: view@0 has no prior purchase; view@20 sees purchase@2 (3.0)
+    assert out[0] is None
+    assert out[3] == 3.0
+    # user 2 has no purchases at all
+    assert out[5] is None
+
+
+def test_asof_join_equal_ts_tie(ev):
+    left = ev.where(F.col("event_type") == "click")
+    right = ev.where(F.col("event_type") == "purchase")
+    non_strict = {
+        r["event_id"]: r["asof_value"]
+        for r in asof_join(left, right).collect()
+    }
+    # user 3: click@7min and purchase@7min share a timestamp — visible
+    assert non_strict[6] == 8.0
+    strict = {
+        r["event_id"]: r["asof_value"]
+        for r in asof_join(left, right, strict=True).collect()
+    }
+    assert strict[6] is None
+
+
+def test_asof_join_multiple_rights_same_ts(spark):
+    left = spark.createDataFrame(
+        [(10, _ts(9), 1)], "event_id long, ts timestamp, user_id long"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(9), 1, 100.0), (2, _ts(9), 1, 200.0), (0, _ts(8), 1, 50.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    out = asof_join(left, right).collect()
+    # at equal ts the highest right id wins
+    assert out[0]["asof_value"] == 200.0
+
+
+def test_asof_join_matches_naive_sql(spark, sf_dir_smoke="/root/testdata/sf0.001"):
+    """Union+window formulation == per-row correlated max (semantics check)."""
+    ev = spark.read.parquet(f"{sf_dir_smoke}/events.parquet")
+    left = ev.where(F.col("event_type") == "click").limit(200)
+    right = ev.where(F.col("event_type") == "purchase")
+    got = {
+        r["event_id"]: r["asof_value"]
+        for r in asof_join(left, right).collect()
+    }
+    left.createOrReplaceTempView("_aj_left")
+    right.createOrReplaceTempView("_aj_right")
+    want = {
+        r["event_id"]: r["asof_value"]
+        for r in left.sparkSession.sql(
+            """
+            SELECT l.event_id, (
+              SELECT r.value FROM _aj_right r
+              WHERE r.user_id = l.user_id AND r.ts <= l.ts
+              ORDER BY r.ts DESC, r.event_id DESC LIMIT 1
+            ) AS asof_value
+            FROM _aj_left l
+            """
+        ).collect()
+    }
+    assert got == want

@@ -1,0 +1,66 @@
+"""Deterministic split / stratified sample (operators/sampling.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from approximate_pagerank_public_spark.operators.sampling import (
+    dataset_split,
+    split_thresholds,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).cast("string").alias("lang"),
+    )
+
+
+def test_split_fractions_and_determinism(docs):
+    out = dataset_split(docs, fractions={"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    # 2000 rows: expect roughly 1600/200/200 (binomial, generous bounds)
+    assert 1480 <= counts["train"] <= 1720
+    assert 120 <= counts["val"] <= 280
+    assert 120 <= counts["test"] <= 280
+    again = {r["doc_id"]: r["split"] for r in dataset_split(docs).collect()}
+    first = {r["doc_id"]: r["split"] for r in dataset_split(docs).collect()}
+    assert again == first
+
+
+def test_split_growth_invariance(docs, spark):
+    """Adding rows never reassigns existing ones (randomSplit can't do this)."""
+    small = {r["doc_id"]: r["split"] for r in dataset_split(docs.where("doc_id < 500")).collect()}
+    big = {r["doc_id"]: r["split"] for r in dataset_split(docs).collect()}
+    assert all(big[k] == v for k, v in small.items())
+
+
+def test_split_thresholds_match_assignment(docs):
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    th = split_thresholds(fr)
+    assert th == [("train", 800000), ("val", 900000), ("test", 1000000)]
+
+
+def test_split_bad_fractions_raises(docs):
+    with pytest.raises(ValueError):
+        dataset_split(docs, fractions={"a": 0.5, "b": 0.4})
+
+
+def test_stratified_sample_k_per_group_and_uniformity(docs):
+    out = stratified_sample(docs, k=7)
+    per = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per == {str(i): 7 for i in range(5)}
+    ranks = [r["sample_rank"] for r in out.where("lang = '0'").collect()]
+    assert sorted(ranks) == list(range(1, 8))
+
+
+def test_stratified_sample_partitioning_invariant(docs):
+    a = {(r["lang"], r["doc_id"]) for r in stratified_sample(docs, k=5).collect()}
+    b = {
+        (r["lang"], r["doc_id"])
+        for r in stratified_sample(docs.repartition(13), k=5).collect()
+    }
+    assert a == b
