@@ -939,6 +939,42 @@ def q_event_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ktruss4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss edge set via simultaneous peeling; the oracle unrolls the
+    replayed peel rounds (idempotent past fixpoint)."""
+    from approximate_pagerank_public_spark.operators.triangles import k_truss
+
+    g = _graph(spark, sf_dir)
+    edges, _rounds = k_truss(g, k=4)
+    return edges
+
+
+def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby maximal independent set, md5-derandomized — the oracle
+    unrolls the identical rounds in SQL (round count replayed in pure
+    Python over the oracle's own edge table)."""
+    from approximate_pagerank_public_spark.operators.mis import (
+        maximal_independent_set,
+    )
+
+    g = _graph(spark, sf_dir)
+    return maximal_independent_set(g, seed="mis").labels
+
+
+def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality for sources 0-3 off ONE multi-source BFS;
+    float sum folded over the integer distance histogram in ascending-d
+    order on both sides (pinned association ⇒ hash-exact after 6dp)."""
+    from approximate_pagerank_public_spark.operators.traversal import (
+        harmonic_centrality,
+    )
+
+    g = _graph(spark, sf_dir)
+    return harmonic_centrality(g, [0, 1, 2, 3]).select(
+        "source", _stable6("harmonic").alias("harmonic")
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs (md5 MinHash+LSH) resolved into transitive
     clusters with a min-id keeper — star-CC over the pair list only."""
@@ -1030,6 +1066,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "session_stats": q_session_stats,
         "event_asof": q_event_asof,
+        "ktruss4": q_ktruss4,
+        "mis": q_mis,
+        "harmonic": q_harmonic,
         "dedup_clusters": q_dedup_clusters,
         "dataset_split": q_dataset_split,
         "stratified_sample": q_stratified_sample,
@@ -1149,6 +1188,145 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
         "SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM banded x "
         "JOIN banded y ON x.band = y.band AND x.bucket = y.bucket "
         "AND x.doc_id < y.doc_id"
+    )
+
+
+def _replay_mis_rounds(seed: str = "mis", sf_dir: str | None = None) -> int:
+    """Replay Luby MIS over the oracle's own DuckDB edge table (pure
+    Python + hashlib md5 — the identical priority strings) and return
+    the number of rounds until no vertex is active, so the unrolled SQL
+    oracle runs exactly the engine's rounds."""
+    import hashlib
+
+    sf_dir = sf_dir or _oracle_sf_dir()
+    key = ("mis_rounds", sf_dir, seed)
+    if key in _REPLAY_CACHE:
+        return _REPLAY_CACHE[key]
+    src, dst, _w, n = _duck_edge_arrays(sf_dir)
+    nbrs: dict[int, set[int]] = {}
+    for a, b in zip(src.tolist(), dst.tolist()):
+        if a != b:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+    active = set(range(n))
+    rnd = 0
+    while active:
+        rnd += 1
+        pr = {
+            v: hashlib.md5(f"{seed}:{rnd}:{v}".encode()).hexdigest()
+            + str(v).zfill(12)
+            for v in active
+        }
+        sel = {
+            v
+            for v in active
+            if all(pr[v] < pr[u] for u in nbrs.get(v, ()) if u in active)
+        }
+        rm = set(sel)
+        for v in sel:
+            rm |= nbrs.get(v, set()) & active
+        active -= rm
+    _REPLAY_CACHE[key] = rnd
+    return rnd
+
+
+def _replay_ktruss_rounds(k: int, sf_dir: str | None = None) -> int:
+    """Peel k-truss in pure Python over the oracle's own edge table;
+    returns rounds-until-fixpoint (extra unrolled rounds are idempotent,
+    so this only needs to be ≥ the engine's changed-round count)."""
+    sf_dir = sf_dir or _oracle_sf_dir()
+    key = ("ktruss_rounds", sf_dir, k)
+    if key in _REPLAY_CACHE:
+        return _REPLAY_CACHE[key]
+    src, dst, _w, _n = _duck_edge_arrays(sf_dir)
+    edges = {
+        (min(a, b), max(a, b))
+        for a, b in zip(src.tolist(), dst.tolist())
+        if a != b
+    }
+    thr = k - 2
+    rounds = 0
+    while True:
+        rounds += 1
+        adj: dict[int, set[int]] = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        nxt = {(u, v) for u, v in edges if len(adj[u] & adj[v]) >= thr}
+        if nxt == edges:
+            break
+        edges = nxt
+    _REPLAY_CACHE[key] = rounds
+    return rounds
+
+
+def _ktruss_oracle(k: int = 4) -> str:
+    """Unrolled simultaneous-peel rounds — triangle support per round is
+    the same EXISTS wedge join as the per_vertex_triangles oracle; all
+    integers ⇒ hash-exact."""
+    rounds = _replay_ktruss_rounds(k)
+    thr = k - 2
+    e_sql = _duck_edges_sql()
+    parts = [
+        f"WITH e AS MATERIALIZED ({e_sql}), ",
+        "e1 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, "
+        "greatest(src, dst) AS v FROM e WHERE src <> dst), ",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"t{r} AS (SELECT ab.a, ab.b, bc.c FROM "
+            f"(SELECT u AS a, v AS b FROM e{r}) ab JOIN "
+            f"(SELECT u AS b, v AS c FROM e{r}) bc USING (b) "
+            f"WHERE EXISTS (SELECT 1 FROM e{r} x "
+            "WHERE x.u = ab.a AND x.v = bc.c)), "
+            f"s{r} AS (SELECT u, v, count(*) AS sup FROM ("
+            f"SELECT a AS u, b AS v FROM t{r} UNION ALL "
+            f"SELECT b, c FROM t{r} UNION ALL "
+            f"SELECT a, c FROM t{r}) GROUP BY u, v), "
+            f"e{r + 1} AS MATERIALIZED (SELECT x.u, x.v FROM e{r} x "
+            f"JOIN s{r} s ON s.u = x.u AND s.v = x.v AND s.sup >= {thr}), "
+        )
+    return "".join(parts).rstrip(", ") + f" SELECT u, v FROM e{rounds + 1}"
+
+
+def _mis_oracle(seed: str = "mis") -> str:
+    """Unrolled Luby rounds (count replayed by :func:`_replay_mis_rounds`)
+    — md5-string priorities compare identically in both engines, all
+    other steps are joins/min/anti-join on integers ⇒ hash-exact."""
+    rounds = _replay_mis_rounds(seed)
+    e_sql = _duck_edges_sql()
+    parts = [
+        f"WITH e AS MATERIALIZED ({e_sql}), ",
+        "sym AS MATERIALIZED (SELECT DISTINCT a, b FROM ("
+        "SELECT src AS a, dst AS b FROM e WHERE src <> dst "
+        "UNION ALL SELECT dst, src FROM e WHERE src <> dst)), ",
+        "verts AS (SELECT DISTINCT src AS id FROM "
+        "(SELECT src FROM e UNION ALL SELECT dst AS src FROM e)), ",
+        "a1 AS MATERIALIZED (SELECT id FROM verts), ",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"p{r} AS MATERIALIZED (SELECT id, "
+            f"md5('{seed}:{r}:' || CAST(id AS VARCHAR)) || "
+            "lpad(CAST(id AS VARCHAR), 12, '0') AS pr "
+            f"FROM a{r}), "
+            f"n{r} AS (SELECT s.a AS id, min(p.pr) AS npr FROM sym s "
+            f"JOIN a{r} x ON x.id = s.a JOIN p{r} p ON p.id = s.b "
+            "GROUP BY s.a), "
+            f"s{r} AS MATERIALIZED (SELECT p.id FROM p{r} p "
+            f"LEFT JOIN n{r} n USING (id) "
+            "WHERE p.pr < coalesce(n.npr, '~')), "
+            f"rm{r} AS (SELECT id FROM s{r} UNION "
+            f"SELECT s.b AS id FROM sym s JOIN s{r} k ON k.id = s.a), "
+            f"a{r + 1} AS MATERIALIZED (SELECT id FROM a{r} "
+            f"WHERE id NOT IN (SELECT id FROM rm{r})), "
+        )
+    mis_union = " UNION ALL ".join(
+        f"SELECT id FROM s{r}" for r in range(1, rounds + 1)
+    )
+    parts.append(f"mis AS ({mis_union}) ")
+    return "".join(parts) + (
+        "SELECT v.id, v.id IN (SELECT id FROM mis) AS in_mis FROM verts v"
     )
 
 
@@ -2162,6 +2340,28 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_events, max(us) - min(us) AS duration_us, "
             "min(event_id) AS first_event, max(event_id) AS last_event "
             "FROM s2 GROUP BY user_id, session_seq"
+        ),
+        "ktruss4": _ktruss_oracle(4),
+        "mis": _mis_oracle(),
+        "harmonic": (
+            f"WITH RECURSIVE e AS ({e_sql}), "
+            "srcs(source) AS (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT)), "
+            "(CAST(2 AS BIGINT)), (CAST(3 AS BIGINT))), "
+            "r(source, id, dist) AS ("
+            "  SELECT source, source, CAST(0 AS BIGINT) FROM srcs "
+            "  UNION "
+            "  SELECT r.source, e.dst, r.dist + 1 FROM r JOIN e ON r.id = e.src "
+            "  WHERE r.dist < 100), "
+            "d AS (SELECT source, id, min(dist) AS dist FROM r GROUP BY source, id), "
+            "h AS (SELECT source, dist, count(*) AS cnt FROM d WHERE dist > 0 "
+            "      GROUP BY source, dist), "
+            # left fold over ascending-d terms, 0.0-seeded — the engine's
+            # exact association
+            "agg AS (SELECT source, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list(CAST(cnt AS DOUBLE) / CAST(dist AS DOUBLE) ORDER BY dist ASC)), "
+            "(acc, x) -> acc + x) AS harmonic FROM h GROUP BY source) "
+            "SELECT s.source, floor(coalesce(a.harmonic, 0.0) * 1000000.0) / 1000000.0 "
+            "AS harmonic FROM srcs s LEFT JOIN agg a USING (source)"
         ),
         "dedup_clusters": _dedup_clusters_oracle(),
         "dataset_split": (

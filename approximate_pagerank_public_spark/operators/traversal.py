@@ -227,6 +227,56 @@ def eccentricity(graph: Graph, sources: list[int]) -> DataFrame:
     return bfs_stats(graph, sources).select("source", "ecc")
 
 
+def harmonic_centrality(graph: Graph, sources: list[int]) -> DataFrame:
+    """``(source, harmonic)``: ``Σ 1/d(source, u)`` over reached
+    ``u ≠ source`` (Marchiori–Latora; the disconnected-robust variant of
+    closeness — unreachable vertices contribute 0 instead of poisoning
+    the sum, so no reachability special-case is needed).
+
+    Cross-engine bit parity: the float sum is folded over the integer
+    distance HISTOGRAM in ascending-d order — ``h = Σ_d count_d / d``
+    with an explicit left fold — the same pinned-association discipline
+    as the engine's dot products. Per source the histogram has ≤
+    eccentricity entries, so the fold state is trivially small at any
+    graph size; the distance pass itself is the shared frontier-sparse
+    multi-source BFS (one pass for ALL sources).
+    """
+    if graph.blocks is not None:
+        import pandas as pd
+
+        dist, inf = _block_bfs_distances(graph, sources)
+        rows = []
+        for j, s in enumerate(sources):
+            col = dist[:, j].astype(np.int64)
+            reached = (col > 0) & (col < int(inf) - 1000)
+            ds, cnts = np.unique(col[reached], return_counts=True)
+            h = np.float64(0.0)
+            for d, c in zip(ds, cnts):  # ascending d — pinned fold order
+                h = h + np.float64(int(c)) / np.float64(int(d))
+            rows.append((int(s), float(h)))
+        pdf = pd.DataFrame(rows, columns=["source", "harmonic"])
+        return graph.spark.createDataFrame(pdf, "source long, harmonic double")
+    dists = multi_source_bfs(graph, sources)
+    hist = (
+        dists.where(F.col("dist") > 0)
+        .groupBy("source", "dist")
+        .agg(F.count("*").alias("cnt"))
+    )
+    agg = hist.groupBy("source").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("dist").alias("d"), "cnt"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["cnt"].cast("double") / x["d"].cast("double"),
+        ).alias("harmonic")
+    )
+    srcs = graph.spark.createDataFrame(
+        [(int(s),) for s in sources], "source long"
+    )
+    return srcs.join(agg, "source", "left").select(
+        "source", F.coalesce("harmonic", F.lit(0.0)).alias("harmonic")
+    )
+
+
 def approx_diameter(graph: Graph, start: int = 0) -> DataFrame:
     """Double-sweep diameter lower bound (Magnien–Latapy–Habib): BFS
     from ``start``, hop to the farthest reached vertex (ties → smallest

@@ -138,3 +138,74 @@ def clustering_coefficient(graph: Graph, orientation: str = "id") -> DataFrame:
             .alias("lcc"),
         )
     )
+
+
+def _triangles_of(e: DataFrame) -> DataFrame:
+    """``(a, b, c)`` with ``a<b<c`` over an explicit canonical edge set."""
+    ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    return ab.join(bc, "b").join(ac, ["a", "c"], "left_semi").select("a", "b", "c")
+
+
+def k_truss(graph: Graph, k: int = 4, max_rounds: int = 100) -> tuple[DataFrame, int]:
+    """Edges of the k-truss: the maximal subgraph in which every edge
+    sits in ≥ k-2 triangles OF THE SUBGRAPH (Cohen 2008) — the standard
+    cohesion filter one notch stronger than k-core.
+
+    Simultaneous peeling: each round recomputes per-edge support over
+    the surviving canonical edges (same wedge-join shape as
+    :func:`triangle_df`) and drops every under-supported edge at once;
+    fixpoint when the edge count stops shrinking. Rounds are bounded by
+    the peel depth (small in practice); every step is joins + a
+    map-side-combinable count — no driver state beyond the count scalar,
+    lineage truncated per round via ``local_ckpt``. Returns
+    ``((u, v) DataFrame, rounds)``; ``rounds`` counts support passes
+    including the final no-change verification pass.
+    """
+    from approximate_pagerank_public_spark.plans.checkpoint import (
+        free_local_ckpt,
+        local_ckpt,
+    )
+
+    spark = graph.spark
+    p = graph.num_partitions
+    thr = int(k) - 2
+    e = canonical_edges(graph)
+    if thr <= 0:
+        return e, 0
+    e, e_ids = local_ckpt(e.repartition(p, "u"))
+    prev_n = e.count()
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        tri = _triangles_of(e)
+        sup_rows = (
+            tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+            .unionAll(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+        )
+        strong = (
+            sup_rows.groupBy("u", "v")
+            .agg(F.count("*").alias("sup"))
+            .where(F.col("sup") >= F.lit(thr))
+            .select("u", "v")
+        )
+        kept, kept_ids = local_ckpt(
+            e.join(strong, ["u", "v"], "left_semi").repartition(p, "u")
+        )
+        n = kept.count()
+        free_local_ckpt(spark, e_ids)
+        e, e_ids = kept, kept_ids
+        if n == prev_n:
+            break
+        prev_n = n
+    else:  # pragma: no cover — peel depth << 100 on any real graph
+        import warnings
+
+        warnings.warn(
+            f"k-truss peel hit max_rounds={max_rounds} before fixpoint",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return e, rounds

@@ -145,3 +145,62 @@ def test_link_prediction_excludes_existing_edges(g_rand):
     assert not (pairs & existing)
     assert (got["u"] < got["v"]).all()
     assert (got["cn"] >= 3).all()
+
+
+def _py_ktruss(pairs, k):
+    """Brute-force peel on a set of canonical (u<v) pairs."""
+    edges = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    thr = k - 2
+    while True:
+        adj = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        sup = {
+            (u, v): len(adj[u] & adj[v])
+            for u, v in edges
+        }
+        nxt = {e for e in edges if sup[e] >= thr}
+        if nxt == edges:
+            return edges
+        edges = nxt
+
+
+def test_k_truss_matches_bruteforce(g_rand):
+    from approximate_pagerank_public_spark.operators.triangles import k_truss
+
+    src, dst, _ = g_rand.edges_numpy()
+    pairs = list(zip(src.tolist(), dst.tolist()))
+    for k in (3, 4):
+        got_df, rounds = k_truss(g_rand, k=k)
+        got = {(r["u"], r["v"]) for r in got_df.collect()}
+        assert got == _py_ktruss(pairs, k), k
+        assert rounds >= 1
+
+
+def test_k_truss_two_cliques_bridge(spark):
+    """Two 4-cliques joined by a bridge: 4-truss keeps both cliques,
+    drops the bridge."""
+    from approximate_pagerank_public_spark.operators.triangles import k_truss
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    c1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    c2 = [(a, b) for a in range(4, 8) for b in range(a + 1, 8)]
+    edges = c1 + c2 + [(3, 4)]
+    src, dst = zip(*edges)
+    g = Graph.from_edge_arrays(spark, src, dst, num_vertices=8, num_partitions=2)
+    got_df, _ = k_truss(g, k=4)
+    got = {(r["u"], r["v"]) for r in got_df.collect()}
+    assert got == set(c1) | set(c2)
+    g.unpersist()
+
+
+def test_k_truss_k2_is_all_edges(g5):
+    from approximate_pagerank_public_spark.operators.triangles import (
+        canonical_edges,
+        k_truss,
+    )
+
+    got_df, rounds = k_truss(g5, k=2)
+    assert rounds == 0
+    assert got_df.count() == canonical_edges(g5).count()

@@ -162,3 +162,34 @@ def test_approx_diameter_double_sweep(g_rand):
     assert row["start"] == 0
     assert row["peak"] == peak
     assert row["diameter_lb"] == max(d1.values())
+
+
+def test_harmonic_centrality_golden_and_path_parity(g_rand, spark, monkeypatch):
+    from approximate_pagerank_public_spark.operators.traversal import (
+        harmonic_centrality,
+    )
+
+    src, dst, _ = g_rand.edges_numpy()
+    sources = [17, 42, 295]  # 295 is dangling (reaches nothing)
+    hc = harmonic_centrality(g_rand, sources).toPandas().set_index("source")["harmonic"]
+    for s in sources:
+        gold = _golden_bfs(src, dst, 300, s)
+        # same pinned fold: histogram, ascending-d
+        from collections import Counter
+
+        hist = Counter(d for v, d in gold.items() if d > 0)
+        want = 0.0
+        for d in sorted(hist):
+            want += hist[d] / d
+        assert abs(hc[s] - want) < 1e-12, s
+    # distributed DataFrame twin must agree bit-for-bit
+    import approximate_pagerank_public_spark.plans.graph as graphmod
+
+    monkeypatch.setattr(
+        type(g_rand), "blocks", property(lambda self: None), raising=True
+    )
+    hc2 = (
+        harmonic_centrality(g_rand, sources).toPandas().set_index("source")["harmonic"]
+    )
+    for s in sources:
+        assert hc2[s] == hc[s], s
