@@ -939,6 +939,41 @@ def q_event_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 TF-IDF terms (linear idf: exact-integer numerator,
+    one IEEE division ⇒ hash-exact)."""
+    from approximate_pagerank_public_spark.operators.textstats import tfidf_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_topk(docs, k=5, idf="linear").select(
+        "doc_id", "token", "tf", _stable6("score").alias("score"), "rank"
+    )
+
+
+def q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order (p/q-biased) walk corpus, integer class weights —
+    every hop SQL-replayable."""
+    from approximate_pagerank_public_spark.operators.randomwalk import (
+        node2vec_corpus,
+    )
+
+    g = _graph(spark, sf_dir)
+    return node2vec_corpus(g, walk_length=4, w_return=1, w_in=4, w_out=2, seed="n2v")
+
+
+def q_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) training pairs over the DeepWalk
+    corpus — the embedding-training data generator."""
+    from approximate_pagerank_public_spark.operators.randomwalk import (
+        random_walk_corpus,
+        skipgram_pairs,
+    )
+
+    g = _graph(spark, sf_dir)
+    corpus = random_walk_corpus(g, walks_per_vertex=1, walk_length=4, seed="rw")
+    return skipgram_pairs(corpus, window=2)
+
+
 def q_ktruss4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-truss edge set via simultaneous peeling; the oracle unrolls the
     replayed peel rounds (idempotent past fixpoint)."""
@@ -1066,6 +1101,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "session_stats": q_session_stats,
         "event_asof": q_event_asof,
+        "tfidf_topk": q_tfidf_topk,
+        "node2vec": q_node2vec,
+        "skipgram": q_skipgram,
         "ktruss4": q_ktruss4,
         "mis": q_mis,
         "harmonic": q_harmonic,
@@ -2018,6 +2056,68 @@ def _random_walks_oracle(length: int = 4, seed: str = "rw") -> str:
     return "".join(parts).rstrip(", ") + " " + " UNION ALL ".join(selects)
 
 
+def _node2vec_oracle(
+    length: int = 4,
+    w_return: int = 1,
+    w_in: int = 4,
+    w_out: int = 2,
+    seed: str = "n2v",
+) -> str:
+    """Hop-for-hop replay of ``node2vec_corpus``: per step the candidate
+    set expands from the ranked adjacency, integer class weights
+    (return / distance-1 / out) cumsum in rank order, and the 60-bit md5
+    draw picks its cumulative bracket. All integers ⇒ hash-exact."""
+    e_sql = _duck_edges_sql()
+    draw = (
+        f"(CAST('0x' || substr(md5('{seed}:' || CAST(m.walk AS VARCHAR) "
+        "|| ':{t}'), 1, 15) AS BIGINT) % m.tot)"
+    )
+    parts = [
+        f"WITH e AS MATERIALIZED ({e_sql}), ",
+        "adj AS MATERIALIZED (SELECT src, dst, "
+        "row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk FROM e), ",
+        "verts AS (SELECT DISTINCT src AS id FROM "
+        "(SELECT src FROM e UNION ALL SELECT dst AS src FROM e)), ",
+        "w0 AS (SELECT id AS walk, id AS prev, id AS cur FROM verts), ",
+    ]
+    for t in range(length):
+        d = draw.replace("{t}", str(t))
+        parts.append(
+            f"c{t} AS (SELECT w.walk, a.dst, a.rnk, CAST(CASE "
+            f"WHEN a.dst = w.prev THEN {int(w_return)} "
+            "WHEN EXISTS (SELECT 1 FROM e x WHERE x.src = w.prev "
+            f"AND x.dst = a.dst) THEN {int(w_in)} "
+            f"ELSE {int(w_out)} END AS BIGINT) AS wt "
+            f"FROM w{t} w JOIN adj a ON a.src = w.cur), "
+            f"m{t} AS (SELECT walk, dst, wt, "
+            "sum(wt) OVER (PARTITION BY walk ORDER BY rnk) AS cw, "
+            f"sum(wt) OVER (PARTITION BY walk) AS tot FROM c{t}), "
+            f"p{t} AS (SELECT m.walk, m.dst FROM m{t} m "
+            f"WHERE {d} >= m.cw - m.wt AND {d} < m.cw), "
+            f"w{t + 1} AS MATERIALIZED (SELECT w.walk, w.cur AS prev, "
+            f"coalesce(p.dst, w.cur) AS cur "
+            f"FROM w{t} w LEFT JOIN p{t} p ON p.walk = w.walk), "
+        )
+    selects = [
+        f"SELECT walk, CAST({t} AS BIGINT) AS step, cur AS vertex FROM w{t}"
+        for t in range(length + 1)
+    ]
+    return "".join(parts).rstrip(", ") + " " + " UNION ALL ".join(selects)
+
+
+def _skipgram_oracle(length: int = 4, window: int = 2, seed: str = "rw") -> str:
+    """Skip-gram pairs over the DeepWalk corpus oracle (shared walk
+    definition) — ordered within-window pairs, counted."""
+    corpus = _random_walks_oracle(length, seed)
+    return (
+        f"WITH corpus AS MATERIALIZED (SELECT * FROM ({corpus}) t) "
+        "SELECT a.vertex AS center, b.vertex AS context, count(*) AS n "
+        "FROM corpus a JOIN corpus b ON a.walk = b.walk "
+        f"AND abs(b.step - a.step) <= {int(window)} AND a.step <> b.step "
+        "GROUP BY a.vertex, b.vertex"
+    )
+
+
 def _sssp_oracle(source: int = 0) -> str:
     """Unrolled min-plus Bellman-Ford: round k is one CTE computing
     ``min(d_k(v), min over in-edges d_k(u) + w)`` over the reached-only
@@ -2341,6 +2441,23 @@ def oracle_sql() -> dict[str, str]:
             "min(event_id) AS first_event, max(event_id) AS last_event "
             "FROM s2 GROUP BY user_id, session_seq"
         ),
+        "tfidf_topk": (
+            "WITH toks AS (SELECT doc_id, unnest(string_split_regex("
+            "lower(trim(text)), '\\s+')) AS token FROM documents), "
+            "t2 AS (SELECT doc_id, token FROM toks WHERE token <> ''), "
+            "tf AS (SELECT doc_id, token, count(*) AS tf FROM t2 "
+            "GROUP BY doc_id, token), "
+            "dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token), "
+            "s AS (SELECT tf.doc_id, tf.token, tf.tf, "
+            "CAST(tf.tf * (SELECT count(*) FROM documents) AS DOUBLE) "
+            "/ CAST(df AS DOUBLE) AS score FROM tf JOIN dfreq USING (token)), "
+            'r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id '
+            'ORDER BY score DESC, token ASC) AS INTEGER) AS "rank" FROM s) '
+            'SELECT doc_id, token, tf, floor(score * 1000000.0) / 1000000.0 '
+            'AS score, "rank" FROM r WHERE "rank" <= 5'
+        ),
+        "node2vec": _node2vec_oracle(4, 1, 4, 2, "n2v"),
+        "skipgram": _skipgram_oracle(4, 2, "rw"),
         "ktruss4": _ktruss_oracle(4),
         "mis": _mis_oracle(),
         "harmonic": (

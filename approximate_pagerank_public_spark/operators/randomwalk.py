@@ -198,3 +198,122 @@ def random_walk_corpus(
     for s in steps[1:]:
         out = out.unionAll(s)
     return out.select("walk", "step", F.col("cur").alias("vertex"))
+
+
+def node2vec_corpus(
+    g: Graph,
+    walk_length: int = 8,
+    w_return: int = 1,
+    w_in: int = 4,
+    w_out: int = 2,
+    seed: str = "n2v",
+) -> DataFrame:
+    """``(walk, step, vertex)`` — SECOND-ORDER biased walks from every
+    vertex (node2vec, Grover & Leskovec 2016), md5-derandomized.
+
+    The p/q bias is expressed as INTEGER weights over the three
+    candidate classes relative to the previous vertex ``prev``:
+    ``w_return`` for ``next == prev`` (node2vec weight 1/p),
+    ``w_in`` for ``next`` with a directed edge ``prev → next``
+    (distance-1 class, weight 1), ``w_out`` otherwise (1/q). Integer
+    weights make the inverse-CDF draw exact: candidates are laid out in
+    dst-ranked order, the 60-bit md5 draw reduces mod the weight total,
+    and the picked candidate is the cumulative-weight bracket containing
+    the draw — every step replays verbatim in DuckDB SQL (no floats
+    anywhere). The distance-1 test uses the DIRECTED edge set (the walk
+    itself follows out-edges); defaults (1, 4, 2) ≡ p=4, q=2 at L=4.
+
+    Step 0 sets ``prev = start``: every out-neighbor of the start is
+    then distance-1 (edge ``start → next`` exists by construction), so
+    the first hop is uniform — the standard node2vec convention.
+    Dangling vertices pad in place, keeping trajectories fixed-length
+    like :func:`random_walk_corpus`.
+
+    Scale shape: per step ONE equi-join expands the frontier to
+    candidate rows (O(W·avg_deg)), a per-walk window cumsums the integer
+    weights (partitioned by walk — never wider than one vertex's
+    out-degree), one more hash join tags the distance-1 class. State is
+    (walk, prev, cur); lineage is checkpointed per step because every
+    per-step snapshot IS corpus output.
+    """
+    spark = g.spark
+    adj = ranked_adjacency(g)
+    e2 = g.edges.select(F.col("src").alias("p_src"), F.col("dst").alias("p_dst"))
+    state = g.vertices.select(
+        F.col("id").alias("walk"), F.col("id").alias("prev"), F.col("id").alias("cur")
+    )
+    steps = [state.select("walk", F.lit(0).cast("long").alias("step"), F.col("cur"))]
+    for t in range(walk_length):
+        cand = (
+            state.alias("w")
+            .join(adj.alias("a"), F.col("w.cur") == F.col("a.src"))
+            .join(
+                e2,
+                (F.col("p_src") == F.col("w.prev"))
+                & (F.col("p_dst") == F.col("a.dst")),
+                "left",
+            )
+            .select(
+                F.col("w.walk").alias("walk"),
+                F.col("a.dst").alias("dst"),
+                F.col("a.rnk").alias("rnk"),
+                F.when(F.col("a.dst") == F.col("w.prev"), F.lit(int(w_return)))
+                .when(F.col("p_src").isNotNull(), F.lit(int(w_in)))
+                .otherwise(F.lit(int(w_out)))
+                .cast("long")
+                .alias("wt"),
+            )
+        )
+        win = Window.partitionBy("walk").orderBy("rnk")
+        cum = cand.select(
+            "walk",
+            "dst",
+            "wt",
+            F.sum("wt").over(win).alias("cw"),
+            F.sum("wt").over(Window.partitionBy("walk")).alias("tot"),
+        )
+        draw = _step_hash(seed, "walk", t) % F.col("tot")
+        pick = cum.where(
+            ((F.col("cw") - F.col("wt")) <= draw) & (draw < F.col("cw"))
+        ).select("walk", F.col("dst").alias("nxt"))
+        nxt = (
+            state.alias("w")
+            .join(pick.alias("p"), "walk", "left")
+            .select(
+                F.col("walk"),
+                F.col("w.cur").alias("prev"),
+                F.coalesce(F.col("p.nxt"), F.col("w.cur")).alias("cur"),
+            )
+        )
+        nxt, _ids = local_ckpt(nxt)
+        state = nxt
+        steps.append(
+            state.select("walk", F.lit(t + 1).cast("long").alias("step"), F.col("cur"))
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionAll(s)
+    return out.select("walk", "step", F.col("cur").alias("vertex"))
+
+
+def skipgram_pairs(corpus: DataFrame, window: int = 2) -> DataFrame:
+    """``(center, context, n)`` — word2vec-style training pairs from a
+    walk corpus ``(walk, step, vertex)``: every ordered pair of vertices
+    within ``window`` steps of each other on the same walk, counted.
+    One self-equi-join on ``walk`` (bounded expansion ≤ 2·window rows
+    per position) and a map-side-combinable count."""
+    a = corpus.select(
+        F.col("walk"), F.col("step").alias("s1"), F.col("vertex").alias("center")
+    )
+    b = corpus.select(
+        F.col("walk"), F.col("step").alias("s2"), F.col("vertex").alias("context")
+    )
+    return (
+        a.join(b, "walk")
+        .where(
+            (F.abs(F.col("s2") - F.col("s1")) <= F.lit(int(window)))
+            & (F.col("s1") != F.col("s2"))
+        )
+        .groupBy("center", "context")
+        .agg(F.count("*").alias("n"))
+    )

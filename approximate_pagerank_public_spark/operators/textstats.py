@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _STOPWORDS = (
     "the,a,an,and,or,of,to,in,is,it,that,for,on,with,as,was,at,by,be,this,"
@@ -131,4 +132,56 @@ def vocab_topk(
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), F.col("token").asc())
         .limit(k)
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    idf: str = "linear",
+) -> DataFrame:
+    """``(doc_id, token, tf, score, rank)`` — each document's top-k
+    terms by TF-IDF, the keyword-extraction staple.
+
+    ``idf='linear'`` (default) scores ``tf · N / df``: the numerator is
+    an exact integer and the single IEEE division is bit-identical
+    across engines, so the DuckDB oracle hash-matches (same discipline
+    as the link-prediction scores). ``idf='log'`` scores the classic
+    ``tf · ln(N / df)`` — engine-side only (libm ``ln`` is not
+    bit-standardized across engines; same declared scope as Adamic-Adar).
+    Ranking ties break lexicographically by token.
+
+    Scale shape: explode → (doc, token) count (map-side combinable),
+    token-keyed df join (df table size = vocabulary, broadcastable),
+    per-doc top-k window (never wider than one document's distinct
+    tokens). N is one count scalar.
+    """
+    if idf not in ("linear", "log"):
+        raise ValueError(f"unknown idf {idf!r}")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(dfreq, "token")
+    if idf == "linear":
+        score = (F.col("tf") * F.lit(int(n_docs))).cast("double") / F.col(
+            "df"
+        ).cast("double")
+    else:
+        score = F.col("tf").cast("double") * F.log(
+            F.lit(float(n_docs)) / F.col("df").cast("double")
+        )
+    scored = scored.withColumn("score", score)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(int(k)))
+        .select("doc_id", "token", "tf", "score", "rank")
     )

@@ -189,3 +189,42 @@ def test_duplicate_clusters_empty_pairs(spark):
     out = duplicate_clusters(docs, pairs).collect()
     assert all(r["keep"] and r["rep_id"] == r["doc_id"] for r in out)
     assert len(out) == 5
+
+
+def test_tfidf_topk_linear_golden(spark):
+    from approximate_pagerank_public_spark.operators.textstats import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana apple"),
+            (1, "banana cherry"),
+            (2, "cherry cherry durian"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(docs, k=2).collect()
+    got = {(r["doc_id"], r["rank"]): (r["token"], r["tf"], r["score"]) for r in out}
+    # N=3; df: apple 1, banana 2, cherry 2, durian 1
+    assert got[(0, 1)] == ("apple", 2, 2 * 3 / 1)
+    assert got[(0, 2)] == ("banana", 1, 1 * 3 / 2)
+    assert got[(2, 1)] == ("cherry", 2, 2 * 3 / 2)
+    assert got[(2, 2)] == ("durian", 1, 1 * 3 / 1)
+    # doc 1: banana and cherry tie at 1.5 -> lexicographic
+    assert got[(1, 1)][0] == "banana" and got[(1, 2)][0] == "cherry"
+
+
+def test_tfidf_log_monotone_and_validation(spark):
+    import math
+
+    import pytest as _pytest
+
+    from approximate_pagerank_public_spark.operators.textstats import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c")], "doc_id long, text string"
+    )
+    out = {(r["doc_id"], r["token"]): r["score"] for r in tfidf_topk(docs, k=3, idf="log").collect()}
+    assert abs(out[(0, "a")] - 2 * math.log(2 / 1)) < 1e-12
+    assert out[(0, "b")] == 0.0  # df == N
+    with _pytest.raises(ValueError):
+        tfidf_topk(docs, idf="bogus")

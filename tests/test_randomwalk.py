@@ -117,3 +117,87 @@ def test_random_walk_corpus_replays_hops(g5):
     rows = random_walk_corpus(g5, walks_per_vertex=K, walk_length=L, seed=seed).collect()
     got = {(r["walk"], r["step"]): r["vertex"] for r in rows}
     assert got == gold
+
+
+def test_node2vec_corpus_replays_hops(g_rand):
+    """Hop-for-hop golden: pure-Python second-order replay on 300 verts."""
+    import hashlib
+    from collections import defaultdict
+
+    from approximate_pagerank_public_spark.operators.randomwalk import (
+        node2vec_corpus,
+    )
+
+    src, dst, _ = g_rand.edges_numpy()
+    adj = defaultdict(list)
+    eset = set()
+    for u, v in zip(src.tolist(), dst.tolist()):
+        adj[u].append(v)
+        eset.add((u, v))
+    for u in adj:
+        adj[u] = sorted(set(adj[u]))
+    L, wr, wi, wo, seed = 5, 1, 4, 2, "n2v"
+    gold = {}
+    for start in range(300):
+        prev = cur = start
+        gold[(start, 0)] = cur
+        for t in range(L):
+            nbrs = adj.get(cur, [])
+            if nbrs:
+                wts = [
+                    wr if d == prev else (wi if (prev, d) in eset else wo)
+                    for d in nbrs
+                ]
+                tot = sum(wts)
+                hv = int(
+                    hashlib.md5(f"{seed}:{start}:{t}".encode()).hexdigest()[:15], 16
+                )
+                draw = hv % tot
+                acc = 0
+                for d, w in zip(nbrs, wts):
+                    acc += w
+                    if draw < acc:
+                        prev, cur = cur, d
+                        break
+            # dangling: prev/cur unchanged (pad in place)
+            gold[(start, t + 1)] = cur
+    rows = node2vec_corpus(
+        g_rand, walk_length=L, w_return=wr, w_in=wi, w_out=wo, seed=seed
+    ).collect()
+    got = {(r["walk"], r["step"]): r["vertex"] for r in rows}
+    assert got == gold
+
+
+def test_node2vec_dangling_pads_and_dedup_adjacency(spark):
+    """A dangling tail pads in place; duplicate raw edges collapse."""
+    from approximate_pagerank_public_spark.operators.randomwalk import (
+        node2vec_corpus,
+    )
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    g = Graph.from_edge_arrays(
+        spark, [0, 0, 1], [1, 1, 2], num_vertices=3, num_partitions=2
+    )
+    rows = node2vec_corpus(g, walk_length=4).collect()
+    got = {(r["walk"], r["step"]): r["vertex"] for r in rows}
+    # walk from 0: 0 -> 1 -> 2 -> 2 -> 2 (2 is dangling)
+    assert got[(0, 1)] == 1 and got[(0, 2)] == 2 and got[(0, 4)] == 2
+    g.unpersist()
+
+
+def test_skipgram_pairs_window_counts(spark):
+    from approximate_pagerank_public_spark.operators.randomwalk import skipgram_pairs
+
+    corpus = spark.createDataFrame(
+        [(0, 0, 10), (0, 1, 11), (0, 2, 12), (1, 0, 10), (1, 1, 12)],
+        "walk long, step long, vertex long",
+    )
+    out = {
+        (r["center"], r["context"]): r["n"]
+        for r in skipgram_pairs(corpus, window=1).collect()
+    }
+    # walk 0: (10,11),(11,10),(11,12),(12,11); walk 1: (10,12),(12,10)
+    assert out == {
+        (10, 11): 1, (11, 10): 1, (11, 12): 1, (12, 11): 1,
+        (10, 12): 1, (12, 10): 1,
+    }
