@@ -229,63 +229,201 @@ def node2vec_corpus(
     Dangling vertices pad in place, keeping trajectories fixed-length
     like :func:`random_walk_corpus`.
 
-    Scale shape: per step ONE equi-join expands the frontier to
-    candidate rows (O(W·avg_deg)), a per-walk window cumsums the integer
-    weights (partitioned by walk — never wider than one vertex's
-    out-degree), one more hash join tags the distance-1 class. State is
-    (walk, prev, cur); lineage is checkpointed per step because every
-    per-step snapshot IS corpus output.
+    Scale shape — the naive exact sampler is hub-quadratic, this one is
+    not. Expanding every (walk, neighbor) candidate costs
+    Σ walks_at(v)·outdeg(v), which detonates when walks concentrate on
+    hubs (measured 40-60 s/step on the sf0.1 Zipf graph). Three
+    collapses fix it without changing a single pick:
+
+    1. The layout depends only on the distinct state PAIR (prev, cur),
+       so everything is computed per pair, never per walk.
+    2. Only SPECIAL candidates (the return slot + the in-class slots =
+       common out-neighbors of prev and cur) are materialized, via the
+       degree-oriented wedge trick: each pair expands its SMALLER side
+       (prev's or cur's adjacency) and equi-joins the other — a hub
+       adjacency is only scanned for hub-hub pairs.
+    3. Between special slots the cumulative weight is LINEAR with slope
+       ``w_out``, so an out-class draw resolves by integer division over
+       a per-pair SEGMENT table (≤ specials+1 rows) and one equi-join
+       into the ranked adjacency at the computed rank. The full
+       out-class fan of a hub never exists anywhere.
+
+    Per step: a handful of hash joins + windows over the special rows
+    only; walk state streams through one bracket join. State is
+    (walk, prev, cur), checkpointed per step (snapshots ARE the corpus).
     """
     spark = g.spark
+    wr, wi, wo = int(w_return), int(w_in), int(w_out)
     adj = ranked_adjacency(g)
     e2 = g.edges.select(F.col("src").alias("p_src"), F.col("dst").alias("p_dst"))
+    degt = adj.groupBy("src").agg(F.max("deg").alias("deg"))
     state = g.vertices.select(
         F.col("id").alias("walk"), F.col("id").alias("prev"), F.col("id").alias("cur")
     )
     steps = [state.select("walk", F.lit(0).cast("long").alias("step"), F.col("cur"))]
+    pair_w = Window.partitionBy("prev", "cur")
+    rnk_w = pair_w.orderBy("rnk")
     for t in range(walk_length):
-        cand = (
-            state.alias("w")
-            .join(adj.alias("a"), F.col("w.cur") == F.col("a.src"))
+        prs = (
+            state.select("prev", "cur")
+            .distinct()
+            .join(
+                degt.select(F.col("src").alias("prev"), F.col("deg").alias("dp")),
+                "prev",
+                "left",
+            )
+            .join(
+                degt.select(F.col("src").alias("cur"), F.col("deg").alias("dc")),
+                "cur",
+                "left",
+            )
+            .where(F.col("dc").isNotNull())  # dangling cur pads in place
+        )
+        # prs and spec fan out into 4-5 consumers each (in-class joins,
+        # return slot, decision rows, totals) — materialize once per
+        # step or every consumer recomputes the distinct + joins
+        prs, prs_ids = local_ckpt(prs)
+        # ---- in-class slots: d in N_out(prev) ∩ N_out(cur), d != prev.
+        # Expand the smaller adjacency, equi-join the other (wedge trick).
+        live = F.col("dp").isNotNull()
+        via_prev = (
+            prs.where(live & (F.col("dp") <= F.col("dc")))
+            .join(e2, F.col("p_src") == F.col("prev"))
+            .join(
+                adj.select(
+                    F.col("src").alias("cur"),
+                    F.col("dst").alias("p_dst"),
+                    "rnk",
+                ),
+                ["cur", "p_dst"],
+            )
+            .select("prev", "cur", "dc", F.col("p_dst").alias("dst"), "rnk")
+        )
+        via_cur = (
+            prs.where(live & (F.col("dp") > F.col("dc")))
+            .join(adj.select(F.col("src").alias("cur"), "dst", "rnk"), "cur")
             .join(
                 e2,
-                (F.col("p_src") == F.col("w.prev"))
-                & (F.col("p_dst") == F.col("a.dst")),
+                (F.col("p_src") == F.col("prev"))
+                & (F.col("p_dst") == F.col("dst")),
+            )
+            .select("prev", "cur", "dc", "dst", "rnk")
+        )
+        in_class = (
+            via_prev.unionAll(via_cur)
+            .where(F.col("dst") != F.col("prev"))
+            .withColumn("wt", F.lit(wi).cast("long"))
+        )
+        # ---- return slot: cur -> prev edge, weight w_return
+        ret = (
+            prs.join(
+                adj.select(
+                    F.col("src").alias("cur"), F.col("dst").alias("prev"), "rnk"
+                ),
+                ["cur", "prev"],
+            )
+            .select(
+                "prev", "cur", "dc", F.col("prev").alias("dst"), "rnk",
+                F.lit(wr).cast("long").alias("wt"),
+            )
+        )
+        spec = in_class.unionAll(ret)
+        # piecewise-linear cumsum: Ci = Σ_{special j ≤ i} (wt_j - w_out);
+        # cw(k) = w_out·(k+1) + C(k) reproduces the flat mixed-rank layout
+        spec = spec.select(
+            "prev", "cur", "dc", "dst", "rnk", "wt",
+            F.sum(F.col("wt") - F.lit(wo)).over(rnk_w).alias("ci"),
+        ).select(
+            "*",
+            (F.lit(wo) * (F.col("rnk") + 1) + F.col("ci")).alias("cw"),
+            # C_last = Σ(wt - w_out) over ALL specials — NOT max(ci): ci
+            # is non-monotone whenever a class weight is below w_out
+            # (e.g. the return slot at w_return < w_out)
+            F.sum(F.col("wt") - F.lit(wo)).over(pair_w).alias("cm"),
+        )
+        spec, spec_ids = local_ckpt(spec)
+        # decision rows: special brackets carry dst directly; segment
+        # rows carry the linear offset c for k = (draw - c) div w_out
+        dec_special = spec.select(
+            "prev", "cur",
+            (F.col("cw") - F.col("wt")).alias("lo"),
+            F.col("cw").alias("hi"),
+            "dst",
+            F.lit(None).cast("long").alias("c"),
+        )
+        tot_expr = (F.lit(wo) * F.col("dc") + F.coalesce("cm", F.lit(0))).alias("tot")
+        dec_seg_mid = spec.select(
+            "prev", "cur",
+            F.col("cw").alias("lo"),
+            F.coalesce(
+                F.lead(F.col("cw") - F.col("wt")).over(rnk_w),
+                F.lit(wo) * F.col("dc") + F.col("cm"),
+            ).alias("hi"),
+            F.lit(None).cast("long").alias("dst"),
+            F.col("ci").alias("c"),
+        )
+        first_lo = prs.join(
+            spec.groupBy("prev", "cur").agg(
+                F.min(F.col("cw") - F.col("wt")).alias("flo")
+            ),
+            ["prev", "cur"],
+            "left",
+        )
+        dec_seg_lead = first_lo.select(
+            "prev", "cur",
+            F.lit(0).cast("long").alias("lo"),
+            F.coalesce("flo", F.lit(wo) * F.col("dc")).alias("hi"),
+            F.lit(None).cast("long").alias("dst"),
+            F.lit(0).cast("long").alias("c"),
+        )
+        decision = dec_special.unionAll(dec_seg_mid).unionAll(dec_seg_lead)
+        totals = prs.join(
+            spec.groupBy("prev", "cur").agg(F.max("cm").alias("cm")),
+            ["prev", "cur"],
+            "left",
+        ).select("prev", "cur", tot_expr)
+        st = state.join(totals, ["prev", "cur"], "left").withColumn(
+            "draw", _step_hash(seed, "walk", t) % F.col("tot")
+        )
+        hit = (
+            st.alias("w")
+            .join(
+                decision.alias("d"),
+                (F.col("w.prev") == F.col("d.prev"))
+                & (F.col("w.cur") == F.col("d.cur"))
+                & (F.col("w.draw") >= F.col("d.lo"))
+                & (F.col("w.draw") < F.col("d.hi")),
                 "left",
             )
             .select(
                 F.col("w.walk").alias("walk"),
-                F.col("a.dst").alias("dst"),
-                F.col("a.rnk").alias("rnk"),
-                F.when(F.col("a.dst") == F.col("w.prev"), F.lit(int(w_return)))
-                .when(F.col("p_src").isNotNull(), F.lit(int(w_in)))
-                .otherwise(F.lit(int(w_out)))
-                .cast("long")
-                .alias("wt"),
+                F.col("w.cur").alias("scur"),
+                F.col("d.dst").alias("sdst"),
+                F.when(
+                    F.col("d.dst").isNull() & F.col("d.c").isNotNull(),
+                    ((F.col("w.draw") - F.col("d.c")) / F.lit(wo)).cast("long"),
+                ).alias("k"),
             )
         )
-        win = Window.partitionBy("walk").orderBy("rnk")
-        cum = cand.select(
-            "walk",
-            "dst",
-            "wt",
-            F.sum("wt").over(win).alias("cw"),
-            F.sum("wt").over(Window.partitionBy("walk")).alias("tot"),
-        )
-        draw = _step_hash(seed, "walk", t) % F.col("tot")
-        pick = cum.where(
-            ((F.col("cw") - F.col("wt")) <= draw) & (draw < F.col("cw"))
-        ).select("walk", F.col("dst").alias("nxt"))
         nxt = (
-            state.alias("w")
-            .join(pick.alias("p"), "walk", "left")
+            hit.alias("h")
+            .join(
+                adj.alias("a2"),
+                (F.col("h.scur") == F.col("a2.src"))
+                & (F.col("h.k") == F.col("a2.rnk")),
+                "left",
+            )
             .select(
-                F.col("walk"),
-                F.col("w.cur").alias("prev"),
-                F.coalesce(F.col("p.nxt"), F.col("w.cur")).alias("cur"),
+                F.col("h.walk").alias("walk"),
+                F.col("h.scur").alias("prev"),
+                F.coalesce(
+                    F.col("h.sdst"), F.col("a2.dst"), F.col("h.scur")
+                ).alias("cur"),
             )
         )
         nxt, _ids = local_ckpt(nxt)
+        free_local_ckpt(spark, prs_ids)
+        free_local_ckpt(spark, spec_ids)
         state = nxt
         steps.append(
             state.select("walk", F.lit(t + 1).cast("long").alias("step"), F.col("cur"))

@@ -12,7 +12,11 @@ on local[$SPARK_GRAFT_CPUS]):
 - q_scc              strongly connected components (directed)
 - q_sssp             weighted SSSP (min-plus over 1/outdeg weights)
 - q_stress4          stress centrality, 4 pivot sources (Brandes sweeps)
+- q_node2vec_sg      node2vec 8-hop corpus + skip-gram pairs (embedding
+                     training-data generation over the transcript graph)
 - q_triangles_pc     triangle count on the powerlaw-cluster (pc) family
+- q_text_pipeline    tfidf + minhash dedup-clusters + split + sessionize
+                     (the training-data curation pass over docs/events)
 - q_spmv_throughput  20 supersteps × 8 sources (multi-PPR, fixed
                      budget) on a synthetic G(n,m) graph (|V|=1e6,
                      |E|=2e7, reference-protocol analogue) through the
@@ -142,6 +146,7 @@ def main() -> None:
             "q_scc",
             "q_sssp",
             "q_stress4",
+            "q_node2vec_sg",
         }
         if need_graph:
             g = build()
@@ -194,9 +199,19 @@ def main() -> None:
 
             return stress_centrality(g, _rand_sources(rep, 4, g.num_vertices)).count()
 
+        def _node2vec(_rep):
+            from approximate_pagerank_public_spark.operators.randomwalk import (
+                node2vec_corpus,
+                skipgram_pairs,
+            )
+
+            corpus = node2vec_corpus(g, walk_length=8, seed="n2v")
+            return skipgram_pairs(corpus, window=2).count()
+
         run("q_scc", _scc)
         run("q_sssp", _sssp)
         run("q_stress4", _stress)
+        run("q_node2vec_sg", _node2vec)
 
     # ---- triangle count on the reference-shaped pc family ----------------
     pc_box = {}
@@ -237,8 +252,27 @@ def main() -> None:
         )
         return lsh_ann_topk(emb, q, dim=dim, k=10, bits=4, tables=8).count()
 
+    def text_pipeline(_rep):
+        from approximate_pagerank_public_spark.operators.dedup import (
+            duplicate_clusters,
+            minhash_lsh_candidates,
+        )
+        from approximate_pagerank_public_spark.operators.events import session_stats
+        from approximate_pagerank_public_spark.operators.sampling import dataset_split
+        from approximate_pagerank_public_spark.operators.textstats import tfidf_topk
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        n = tfidf_topk(docs, k=5).count()
+        pairs = minhash_lsh_candidates(docs, num_hashes=16, bands=4)
+        n += duplicate_clusters(docs, pairs).where("NOT keep").count()
+        n += dataset_split(docs).where("split = 'train'").count()
+        n += session_stats(ev).count()
+        return n
+
     run("q_dedup_minhash", dedup_minhash)
     run("q_ann_lsh", ann_lsh)
+    run("q_text_pipeline", text_pipeline)
 
     # ---- synthetic SpMV throughput (scaling workload) --------------------
     spmv_rep_medians: list[float] = []

@@ -228,3 +228,23 @@ def test_tfidf_log_monotone_and_validation(spark):
     assert out[(0, "b")] == 0.0  # df == N
     with _pytest.raises(ValueError):
         tfidf_topk(docs, idf="bogus")
+
+
+def test_duplicate_clusters_broadcast_star_parity(spark):
+    from approximate_pagerank_public_spark.operators.dedup import duplicate_clusters
+
+    docs = spark.range(40).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 30), (30, 20), (7, 8)], "a long, b long"
+    )
+    a = sorted(
+        (r["doc_id"], r["rep_id"], r["keep"])
+        for r in duplicate_clusters(docs, pairs, mode="broadcast").collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["rep_id"], r["keep"])
+        for r in duplicate_clusters(docs, pairs, mode="star").collect()
+    )
+    assert a == b
+    got = {d: rep for d, rep, _ in a}
+    assert got[4] == 1 and got[20] == 10 and got[30] == 10
