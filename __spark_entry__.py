@@ -939,6 +939,34 @@ def q_event_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality, 8 unrolled attenuated-path iterations."""
+    from approximate_pagerank_public_spark.operators.hits import katz_centrality
+
+    g = _graph(spark, sf_dir)
+    return katz_centrality(g, beta=0.05, max_iter=8).select(
+        "id", _stable6("katz").alias("katz")
+    )
+
+
+def q_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch of corpus token frequencies probed at the top-20
+    vocabulary — integer registers, cell-for-cell SQL replay."""
+    from approximate_pagerank_public_spark.functions.sketch import (
+        count_min_build,
+        count_min_estimate,
+    )
+    from approximate_pagerank_public_spark.operators.textstats import vocab_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("value")
+    ).where(F.col("value") != "")
+    sk = count_min_build(toks, "value", width=512, depth=4)
+    q = vocab_topk(docs, k=20).select(F.col("token").alias("value"))
+    return count_min_estimate(sk, q, "value", width=512, depth=4)
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-5 TF-IDF terms (linear idf: exact-integer numerator,
     one IEEE division ⇒ hash-exact)."""
@@ -1101,6 +1129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "session_stats": q_session_stats,
         "event_asof": q_event_asof,
+        "katz": q_katz,
+        "cms_tokens": q_cms_tokens,
         "tfidf_topk": q_tfidf_topk,
         "node2vec": q_node2vec,
         "skipgram": q_skipgram,
@@ -1366,6 +1396,49 @@ def _mis_oracle(seed: str = "mis") -> str:
     return "".join(parts) + (
         "SELECT v.id, v.id IN (SELECT id FROM mis) AS in_mis FROM verts v"
     )
+
+
+def _katz_oracle(beta: float = 0.05, iters: int = 8) -> str:
+    """Unrolled Katz power series — same association as the engine
+    (``1 + β·Σ``); 1e-6 truncation absorbs per-dst sum-order drift
+    (the pagerank_fixed8 discipline)."""
+    e_sql = _duck_edges_sql()
+    b = repr(float(beta))
+    parts = [
+        f"WITH e AS MATERIALIZED ({e_sql}), ",
+        "verts AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM e UNION ALL SELECT dst FROM e)), ",
+        "x0 AS (SELECT id, 1.0 AS x FROM verts), ",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"x{t + 1} AS MATERIALIZED (SELECT v.id, "
+            f"1.0 + {b} * coalesce(s.s, 0.0) AS x FROM verts v "
+            "LEFT JOIN (SELECT e.dst AS id, sum(x.x) AS s "
+            f"FROM x{t} x JOIN e ON e.src = x.id GROUP BY e.dst) s "
+            "ON s.id = v.id), "
+        )
+    return "".join(parts).rstrip(", ") + (
+        f" SELECT id, floor(x * 1000000.0) / 1000000.0 AS katz FROM x{iters}"
+    )
+
+
+def _cms_tokens_oracle(width: int = 512, depth: int = 4) -> str:
+    """Count-min registers + min-probe replayed cell-for-cell."""
+    from approximate_pagerank_public_spark.functions.sketch import cms_oracle_sql
+
+    relation = (
+        "(SELECT token AS value FROM (SELECT unnest(string_split_regex("
+        "lower(trim(text)), '\\s+')) AS token FROM documents) "
+        "WHERE token <> '') tk"
+    )
+    query_sql = (
+        "SELECT token AS value FROM (SELECT token, count(*) AS n FROM "
+        "(SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token "
+        "FROM documents) WHERE token <> '' GROUP BY token "
+        "ORDER BY n DESC, token ASC LIMIT 20)"
+    )
+    return cms_oracle_sql(relation, "value", width, depth, query_sql)
 
 
 def _dedup_clusters_oracle() -> str:
@@ -2441,6 +2514,8 @@ def oracle_sql() -> dict[str, str]:
             "min(event_id) AS first_event, max(event_id) AS last_event "
             "FROM s2 GROUP BY user_id, session_seq"
         ),
+        "katz": _katz_oracle(0.05, 8),
+        "cms_tokens": _cms_tokens_oracle(),
         "tfidf_topk": (
             "WITH toks AS (SELECT doc_id, unnest(string_split_regex("
             "lower(trim(text)), '\\s+')) AS token FROM documents), "

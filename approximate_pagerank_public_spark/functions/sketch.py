@@ -98,3 +98,104 @@ def hll_oracle_sql(relation: str, group_cols: list[str], value_expr: str) -> str
         f"SELECT {g}, {ALPHA_M2} / (s_present + CAST({M} - n_present AS DOUBLE)) "
         "AS approx_distinct FROM pg"
     )
+
+
+# --------------------------------------------------------------- count-min
+def _cms_hash(value_col, d: int, width: int):
+    """Row ``d``'s bucket for a value: 60-bit md5 of ``d:value`` mod
+    width — the same derivation family as every other oracle hash here."""
+    payload = F.concat_ws(":", F.lit(str(d)), F.col(value_col).cast("string"))
+    h = F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(int(width)))
+
+
+def count_min_build(
+    df: DataFrame, value_col: str, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """``(d, w, cnt)`` — a count-min sketch (Cormode & Muthukrishnan
+    2005) of the value column's frequency distribution: ``depth``
+    independent md5 hash rows, each ``width`` integer counters.
+
+    The streaming/sharded frequency primitive of a corpus pipeline
+    (heavy-hitter tokens, hot URLs, per-shard frequency merge: sketches
+    ADD cell-wise). All integers ⇒ the DuckDB oracle replays it
+    cell-for-cell and estimates are hash-exact.
+
+    Scale: one explode to ``depth`` rows per value and one
+    map-side-combinable count; sketch size ``depth × width`` regardless
+    of input. Merging shards = cell-wise sum of their sketches.
+    """
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_hash(value_col, d, width).alias("w"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("dw")
+    ).select("dw.d", "dw.w")
+    return rows.groupBy("d", "w").agg(F.count("*").alias("cnt"))
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """``(value, est)`` — min over the sketch's depth rows at each
+    query's buckets; ``est ≥ true count`` always (one-sided error)."""
+    q = queries.select(F.col(value_col).alias("value")).distinct()
+    probes = q.select(
+        "value",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_hash("value", d, width).alias("w"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("dw"),
+    ).select("value", "dw.d", "dw.w")
+    return (
+        probes.join(sketch, ["d", "w"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+    )
+
+
+def cms_oracle_sql(
+    relation: str, value_expr: str, width: int, depth: int, query_sql: str
+) -> str:
+    """DuckDB replay: identical registers, identical min-probe. The
+    ``query_sql`` relation must yield a ``value`` column."""
+    hash_d = (
+        "CAST('0x' || substr(md5(CAST({d} AS VARCHAR) || ':' || {v}), 1, 15) "
+        f"AS BIGINT) % {width}"
+    )
+    row_selects = " UNION ALL ".join(
+        f"SELECT {d} AS d, {hash_d.format(d=d, v=value_expr)} AS w "
+        f"FROM {relation}"
+        for d in range(depth)
+    )
+    probe_selects = " UNION ALL ".join(
+        f"SELECT value, {d} AS d, "
+        f"{hash_d.format(d=d, v='CAST(value AS VARCHAR)')} AS w FROM q"
+        for d in range(depth)
+    )
+    return (
+        f"WITH rows_ AS ({row_selects}), "
+        "sk AS (SELECT d, w, count(*) AS cnt FROM rows_ GROUP BY d, w), "
+        f"q AS ({query_sql}), "
+        f"probes AS ({probe_selects}) "
+        "SELECT p.value, min(coalesce(sk.cnt, 0)) AS est FROM probes p "
+        "LEFT JOIN sk ON sk.d = p.d AND sk.w = p.w GROUP BY p.value"
+    )

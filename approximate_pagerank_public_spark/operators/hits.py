@@ -149,3 +149,73 @@ def hits(g: Graph, max_iter: int = 8, mode: str = "auto") -> HitsResult:
     else:
         raise ValueError(f"unknown mode {mode!r}")
     return HitsResult(iterations=max_iter, _df=df)
+
+
+def katz_centrality(
+    g: Graph, beta: float = 0.05, max_iter: int = 8, mode: str = "auto"
+) -> DataFrame:
+    """``(id, katz)`` — Katz (1953) centrality by truncated power
+    iteration: ``x_{t+1}(v) = 1 + β · Σ_{u→v} x_t(u)``, ``x_0 = 1`` —
+    after k iterations ``x = Σ_{j≤k} β^j · paths_j`` (the attenuated
+    path-count series PGX's spectral family exposes alongside
+    pagerank/HITS). Fixed iteration budget like the reference's
+    ``pagerank_fixed8`` protocol; the DuckDB oracle unrolls the same
+    CTE chain and 1e-6 truncation absorbs per-dst sum-order drift (the
+    ``pagerank_fixed8`` discipline).
+
+    ``broadcast`` runs the NumPy COO loop on the driver below
+    ``BROADCAST_MAX_VERTICES``; ``distributed`` is the per-iteration
+    join + hash-agg twin with ``local_ckpt`` rotation (bit-parity
+    tested). β must stay below 1/λ_max for the series to mean anything;
+    the truncated iteration is defined (and replayable) for any β.
+    """
+    from approximate_pagerank_public_spark.operators.pagerank import (
+        BROADCAST_MAX_VERTICES,
+    )
+    from approximate_pagerank_public_spark.plans.checkpoint import (
+        free_local_ckpt,
+        local_ckpt,
+    )
+
+    spark = g.spark
+    if mode == "auto":
+        mode = (
+            "broadcast" if g.num_vertices <= BROADCAST_MAX_VERTICES else "distributed"
+        )
+    if mode == "broadcast":
+        src, dst, _w = g.edges_numpy()
+        n = g.num_vertices
+        x = np.ones(n, dtype=np.float64)
+        for _ in range(max_iter):
+            # same association as the distributed twin: 1 + β·(Σ x_u)
+            s = np.zeros(n, dtype=np.float64)
+            np.add.at(s, dst, x[src])
+            x = 1.0 + beta * s
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame({"id": np.arange(n, dtype=np.int64), "katz": x}),
+            "id long, katz double",
+        )
+    if mode != "distributed":
+        raise ValueError(f"unknown mode {mode!r}")
+    verts = g.vertices.select("id")
+    x = verts.select("id", F.lit(1.0).alias("x"))
+    ckpt_ids: set[int] = set()
+    for t in range(max_iter):
+        contrib = (
+            g.edges.select("src", "dst")
+            .join(x.select(F.col("id").alias("src"), "x"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("x").alias("s"))
+        )
+        nxt = verts.join(contrib, "id", "left").select(
+            "id",
+            (F.lit(1.0) + F.lit(float(beta)) * F.coalesce("s", F.lit(0.0))).alias("x"),
+        )
+        nxt, new_ids = local_ckpt(nxt)
+        if ckpt_ids:
+            free_local_ckpt(spark, ckpt_ids)
+        ckpt_ids = new_ids
+        x = nxt
+    return x.select("id", F.col("x").alias("katz"))

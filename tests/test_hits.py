@@ -57,3 +57,37 @@ def test_hits_hub_vertex_dominates_authority(g_rand):
     # g_rand wires vertices 1..199 -> 0, so 0 is the clear top authority
     got = _scores(hits(g_rand, max_iter=8))
     assert int(got.loc[got["authority"].idxmax(), "id"]) == 0
+
+
+def test_katz_matches_numpy_golden_and_path_parity(g_rand):
+    import numpy as np
+
+    from approximate_pagerank_public_spark.operators.hits import katz_centrality
+
+    src, dst, _ = g_rand.edges_numpy()
+    beta, iters, n = 0.05, 8, 300
+    x = np.ones(n)
+    for _ in range(iters):
+        s = np.zeros(n)
+        np.add.at(s, dst, x[src])
+        x = 1.0 + beta * s
+    got_b = (
+        katz_centrality(g_rand, beta=beta, max_iter=iters, mode="broadcast")
+        .toPandas()
+        .set_index("id")["katz"]
+    )
+    got_d = (
+        katz_centrality(g_rand, beta=beta, max_iter=iters, mode="distributed")
+        .toPandas()
+        .set_index("id")["katz"]
+    )
+    for v in range(n):
+        assert abs(got_b[v] - x[v]) < 1e-12
+        assert abs(got_d[v] - x[v]) < 1e-9  # agg order differs, tiny drift
+
+
+def test_katz_beta_zero_is_all_ones(g5):
+    from approximate_pagerank_public_spark.operators.hits import katz_centrality
+
+    out = katz_centrality(g5, beta=0.0, max_iter=3, mode="distributed").collect()
+    assert all(r["katz"] == 1.0 for r in out)

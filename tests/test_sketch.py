@@ -50,3 +50,54 @@ def test_hll_groups_independent(spark):
     assert got["a"] == _golden_hll([f"x-{i}" for i in range(800)])
     assert got["b"] == _golden_hll([f"x-{i}" for i in range(50)])
     assert got["a"] > got["b"]
+
+
+def test_cms_never_underestimates_and_exact_when_wide(spark):
+    from collections import Counter
+
+    from approximate_pagerank_public_spark.functions.sketch import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    vals = [f"tok{i % 37}" for i in range(2000)] + ["hot"] * 500
+    true = Counter(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "value string")
+    # narrow sketch: one-sided error only
+    sk = count_min_build(df, "value", width=64, depth=4)
+    q = spark.createDataFrame([(v,) for v in true], "value string")
+    est = {
+        r["value"]: r["est"]
+        for r in count_min_estimate(sk, q, "value", width=64, depth=4).collect()
+    }
+    assert all(est[v] >= c for v, c in true.items())
+    # wide sketch: exact (38 distinct values, 4096 cells)
+    sk2 = count_min_build(df, "value", width=4096, depth=4)
+    est2 = {
+        r["value"]: r["est"]
+        for r in count_min_estimate(sk2, q, "value", width=4096, depth=4).collect()
+    }
+    assert est2 == dict(true)
+
+
+def test_cms_shard_merge_additive(spark):
+    from pyspark.sql import functions as F
+
+    from approximate_pagerank_public_spark.functions.sketch import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    a = spark.createDataFrame([("x",)] * 10 + [("y",)] * 3, "value string")
+    b = spark.createDataFrame([("x",)] * 5, "value string")
+    ska = count_min_build(a, "value", width=256, depth=2)
+    skb = count_min_build(b, "value", width=256, depth=2)
+    merged = (
+        ska.unionAll(skb).groupBy("d", "w").agg(F.sum("cnt").alias("cnt"))
+    )
+    q = spark.createDataFrame([("x",), ("y",)], "value string")
+    est = {
+        r["value"]: r["est"]
+        for r in count_min_estimate(merged, q, "value", width=256, depth=2).collect()
+    }
+    assert est == {"x": 15, "y": 3}
