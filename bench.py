@@ -211,7 +211,9 @@ def main() -> None:
         run("q_scc", _scc)
         run("q_sssp", _sssp)
         run("q_stress4", _stress)
-        run("q_node2vec_sg", _node2vec)
+        # deterministic corpus (no sources to re-randomize) and the
+        # suite's longest query — extra reps only measure host noise
+        run("q_node2vec_sg", _node2vec, n=min(REPEATS, 2))
 
     # ---- triangle count on the reference-shaped pc family ----------------
     pc_box = {}
@@ -272,7 +274,7 @@ def main() -> None:
 
     run("q_dedup_minhash", dedup_minhash)
     run("q_ann_lsh", ann_lsh)
-    run("q_text_pipeline", text_pipeline)
+    run("q_text_pipeline", text_pipeline, n=min(REPEATS, 3))
 
     # ---- synthetic SpMV throughput (scaling workload) --------------------
     spmv_rep_medians: list[float] = []

@@ -39,9 +39,11 @@ def main(argv: list[str] | None = None) -> int:
             "pagerank", "ppr", "multi_ppr", "cc", "lpa", "triangles",
             "bfs", "bfs_stats", "fbfs",
             "scc", "sssp", "stress", "betweenness", "hits", "kcore",
+            "katz", "harmonic", "mis", "ktruss", "node2vec", "diameter",
         ],
     )
     p.add_argument("--alpha", type=float, default=0.8)
+    p.add_argument("--k", type=int, default=4, help="k for ktruss")
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--max-iter", type=int, default=100)
     p.add_argument("--sources", default="", help="comma-separated vertex ids (ppr/multi_ppr/bfs)")
@@ -192,6 +194,47 @@ def main(argv: list[str] | None = None) -> int:
         res = core_numbers(graph)
         res.core_numbers().write.mode("overwrite").parquet(args.output)
         summary.update(rounds=res.rounds)
+    elif args.algorithm == "katz":
+        from approximate_pagerank_public_spark.operators.hits import katz_centrality
+
+        katz_centrality(graph, beta=args.alpha, max_iter=args.max_iter).write.mode(
+            "overwrite"
+        ).parquet(args.output)
+    elif args.algorithm == "harmonic":
+        from approximate_pagerank_public_spark.operators.traversal import (
+            harmonic_centrality,
+        )
+
+        srcs = [int(x) for x in args.sources.split(",") if x] or [0]
+        harmonic_centrality(graph, srcs).write.mode("overwrite").parquet(args.output)
+    elif args.algorithm == "mis":
+        from approximate_pagerank_public_spark.operators.mis import (
+            maximal_independent_set,
+        )
+
+        res = maximal_independent_set(graph)
+        res.labels.write.mode("overwrite").parquet(args.output)
+        summary.update(rounds=res.rounds)
+    elif args.algorithm == "ktruss":
+        from approximate_pagerank_public_spark.operators.triangles import k_truss
+
+        edges, rounds = k_truss(graph, k=args.k)
+        edges.write.mode("overwrite").parquet(args.output)
+        summary.update(rounds=rounds)
+    elif args.algorithm == "node2vec":
+        from approximate_pagerank_public_spark.operators.randomwalk import (
+            node2vec_corpus,
+        )
+
+        node2vec_corpus(graph, walk_length=args.max_iter).write.mode(
+            "overwrite"
+        ).parquet(args.output)
+    elif args.algorithm == "diameter":
+        from approximate_pagerank_public_spark.operators.traversal import (
+            approx_diameter,
+        )
+
+        approx_diameter(graph).write.mode("overwrite").parquet(args.output)
     else:
         from approximate_pagerank_public_spark.operators.triangles import triangle_df
 
