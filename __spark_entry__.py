@@ -170,6 +170,45 @@ def _replay_convergent_iters(
     return max_iter
 
 
+def _replay_push_rounds(
+    source: int = 0,
+    alpha: float = 0.8,
+    eps: float = 1e-5,
+    max_rounds: int = 200,
+    sf_dir: str | None = None,
+) -> int:
+    """Synchronous forward-push round count over the oracle's own edge
+    table (``operators/push.py`` semantics, NumPy replay — the rounds
+    are deterministic because every above-threshold vertex pushes
+    simultaneously)."""
+    import numpy as np
+
+    sf = sf_dir or _oracle_sf_dir()
+    key = ("push_rounds", sf, source, alpha, eps)
+    if key not in _REPLAY_CACHE:
+        src, dst, w, n = _duck_edge_arrays(sf)
+        outdeg = np.zeros(n, dtype=np.int64)
+        np.add.at(outdeg, src, 1)
+        thresh = eps * np.maximum(outdeg, 1)
+        dangling = outdeg == 0
+        r = np.zeros(n)
+        r[source] = 1.0
+        rounds = 0
+        for rounds in range(1, max_rounds + 1):
+            mask = r > thresh
+            if not mask.any():
+                rounds -= 1
+                break
+            sel = mask[src]
+            pushed = np.zeros(n)
+            np.add.at(pushed, dst[sel], alpha * r[src[sel]] * w[sel])
+            r_new = pushed + r * ~mask
+            r_new[source] += alpha * float(r[mask & dangling].sum())
+            r = r_new
+        _REPLAY_CACHE[key] = rounds
+    return _REPLAY_CACHE[key]
+
+
 def _replay_sssp_rounds(source: int = 0, sf_dir: str | None = None) -> int:
     """Min-plus Bellman-Ford fixpoint round count over the oracle's own
     edge table — the unrolled-CTE depth for the sssp oracle. Extra
@@ -388,6 +427,20 @@ def q_mc_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return res.endpoints().select(
         "id", "endpoints", _stable6("ppr_hat").alias("ppr_hat")
+    )
+
+
+def q_ppr_push(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-push approximate PPR from vertex 0 (Andersen–Chung–Lang,
+    synchronous rounds; operators/push.py) — the oracle replays the
+    round count over its own edge table and unrolls every push round
+    in SQL, checking approximation AND residual per vertex."""
+    from approximate_pagerank_public_spark.operators.push import approx_ppr_push
+
+    g = _graph(spark, sf_dir)
+    res = approx_ppr_push(g, 0, alpha=0.8, eps=1e-5, max_rounds=200)
+    return res.state().select(
+        "id", _stable6("p").alias("p_hat"), _stable6("r").alias("residual")
     )
 
 
@@ -949,6 +1002,20 @@ def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality, 8 fixed L2-normalized power iterations
+    (HITS's authority chain without the hub interleave;
+    operators/hits.py) — oracle replays the exact fp association."""
+    from approximate_pagerank_public_spark.operators.hits import (
+        eigenvector_centrality,
+    )
+
+    g = _graph(spark, sf_dir)
+    return eigenvector_centrality(g, max_iter=8).select(
+        "id", _stable6("eig").alias("eig")
+    )
+
+
 def q_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch of corpus token frequencies probed at the top-20
     vocabulary — integer registers, cell-for-cell SQL replay."""
@@ -1088,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "mc_ppr": q_mc_ppr,
         "ppr_fixed8": q_ppr_fixed8,
+        "ppr_push": q_ppr_push,
         "ppr_norm_off": q_ppr_norm_off,
         "multi_ppr_top10": q_multi_ppr_top10,
         "connected_components": q_connected_components,
@@ -1130,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "event_asof": q_event_asof,
         "katz": q_katz,
+        "eigenvector": q_eigenvector,
         "cms_tokens": q_cms_tokens,
         "tfidf_topk": q_tfidf_topk,
         "node2vec": q_node2vec,
@@ -1420,6 +1489,87 @@ def _katz_oracle(beta: float = 0.05, iters: int = 8) -> str:
         )
     return "".join(parts).rstrip(", ") + (
         f" SELECT id, floor(x * 1000000.0) / 1000000.0 AS katz FROM x{iters}"
+    )
+
+
+def _ppr_push_oracle(
+    source: int = 0, alpha: float = 0.8, eps: float = 1e-5
+) -> str:
+    """Unrolled synchronous forward-push rounds (operators/push.py) —
+    round count replayed by ``_replay_push_rounds`` over the oracle's
+    own edge table; association matches the engine: p-take is one
+    multiply, residual = (pushed-sum + kept) + source-dangling-return."""
+    rounds = _replay_push_rounds(source, alpha, eps)
+    e_sql = _duck_edges_sql()
+    a = repr(float(alpha))
+    take = repr(float(1.0 - alpha))
+    parts = [
+        f"WITH e AS MATERIALIZED ({e_sql}), ",
+        "verts AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM e UNION ALL SELECT dst FROM e)), ",
+        "deg AS MATERIALIZED (SELECT src AS id, count(*) AS outdeg "
+        "FROM e GROUP BY src), ",
+        f"v0 AS MATERIALIZED (SELECT v.id, 0.0 AS p, "
+        f"CASE WHEN v.id = {source} THEN 1.0 ELSE 0.0 END AS r, "
+        f"{eps!r} * greatest(coalesce(d.outdeg, 0), 1) AS thresh, "
+        "d.outdeg IS NULL AS dangling "
+        "FROM verts v LEFT JOIN deg d ON d.id = v.id), ",
+    ]
+    for t in range(rounds):
+        parts.append(
+            f"push{t} AS MATERIALIZED (SELECT e.dst AS id, "
+            f"sum({a} * s.r * e.weight) AS m "
+            f"FROM e JOIN v{t} s ON s.id = e.src AND s.r > s.thresh "
+            "GROUP BY e.dst), "
+        )
+        parts.append(
+            f"dang{t} AS MATERIALIZED (SELECT coalesce(sum({a} * r), 0.0) AS m "
+            f"FROM v{t} WHERE dangling AND r > thresh), "
+        )
+        parts.append(
+            f"v{t + 1} AS MATERIALIZED (SELECT s.id, "
+            f"s.p + CASE WHEN s.r > s.thresh THEN {take} * s.r ELSE 0.0 END AS p, "
+            "(coalesce(pu.m, 0.0) "
+            "+ CASE WHEN s.r > s.thresh THEN 0.0 ELSE s.r END) "
+            f"+ CASE WHEN s.id = {source} THEN (SELECT m FROM dang{t}) "
+            "ELSE 0.0 END AS r, "
+            "s.thresh, s.dangling "
+            f"FROM v{t} s LEFT JOIN push{t} pu ON pu.id = s.id), "
+        )
+    return "".join(parts).rstrip(", ") + (
+        f" SELECT id, floor(p * 1000000.0) / 1000000.0 AS p_hat, "
+        f"floor(r * 1000000.0) / 1000000.0 AS residual FROM v{rounds}"
+    )
+
+
+def _eigenvector_oracle(iters: int = 8) -> str:
+    """Unrolled L2-normalized power iteration — HITS's authority chain
+    without the hub interleave; same association as the engine (raw
+    per-vertex sums → ONE global sqrt(sum(raw²)) → divide, zero/empty
+    norm → 1.0 like ``_l2``)."""
+    e_sql = _duck_edges_sql()
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT src, dst FROM ({e_sql})), ",
+        "verts AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM e UNION ALL SELECT dst FROM e)), ",
+        "x0 AS MATERIALIZED (SELECT id, 1.0 AS s FROM verts), ",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT e.dst AS gid, sum(x{k}.s) AS raw "
+            f"FROM e JOIN x{k} ON x{k}.id = e.src GROUP BY e.dst), "
+        )
+        parts.append(
+            f"n{k} AS MATERIALIZED (SELECT coalesce(nullif("
+            f"sqrt(sum(raw * raw)), 0.0), 1.0) AS n FROM r{k}), "
+        )
+        parts.append(
+            f"x{k + 1} AS MATERIALIZED (SELECT v.id, "
+            f"coalesce(r.raw, 0.0) / (SELECT n FROM n{k}) AS s "
+            f"FROM verts v LEFT JOIN r{k} r ON r.gid = v.id), "
+        )
+    return "".join(parts).rstrip(", ") + (
+        f" SELECT id, floor(s * 1000000.0) / 1000000.0 AS eig FROM x{iters}"
     )
 
 
@@ -2492,6 +2642,7 @@ def oracle_sql() -> dict[str, str]:
         "hits": _hits_oracle(8),
         "mc_ppr": _mc_ppr_oracle(0, 256, 12, 0.8, "mc"),
         "ppr_fixed8": _pagerank_fixed_oracle(8, 0.8, source=0),
+        "ppr_push": _ppr_push_oracle(0, 0.8, 1e-5),
         "ppr_norm_off": _pagerank_fixed_oracle(8, 0.8, source=0, dangling_norm=False),
         "label_propagation": _lpa_oracle(5),
         "minhash_lsh": _minhash_oracle(),
@@ -2515,6 +2666,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM s2 GROUP BY user_id, session_seq"
         ),
         "katz": _katz_oracle(0.05, 8),
+        "eigenvector": _eigenvector_oracle(8),
         "cms_tokens": _cms_tokens_oracle(),
         "tfidf_topk": (
             "WITH toks AS (SELECT doc_id, unnest(string_split_regex("

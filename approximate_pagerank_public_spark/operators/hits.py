@@ -151,6 +151,56 @@ def hits(g: Graph, max_iter: int = 8, mode: str = "auto") -> HitsResult:
     return HitsResult(iterations=max_iter, _df=df)
 
 
+def eigenvector_centrality(
+    g: Graph, max_iter: int = 8, mode: str = "auto"
+) -> DataFrame:
+    """``(id, eig)`` — principal-eigenvector centrality of the in-edge
+    adjacency by truncated power iteration: ``x_{t+1} = A^T x_t``,
+    L2-normalized each step, ``x_0 = 1`` (PGX exposes it alongside
+    pagerank/HITS; it is HITS's authority chain without the hub
+    interleave). Fixed iteration budget like ``pagerank_fixed8``; fp
+    association pinned exactly as ``hits`` (raw per-vertex sums → ONE
+    global ``sqrt(sum(raw²))`` → divide, zero norm → 1.0) so the DuckDB
+    unrolled-CTE oracle replays it after 1e-6 truncation.
+
+    ``broadcast`` = driver NumPy COO loop below ``BROADCAST_MAX_EDGES``;
+    ``distributed`` = the per-iteration join + hash-agg twin
+    (``_half_step``) with ``local_ckpt`` rotation — state never leaves
+    the cluster, both half-step shuffles are map-side-combinable.
+    """
+    spark = g.spark
+    if mode == "auto":
+        mode = "broadcast" if g.num_edges <= BROADCAST_MAX_EDGES else "distributed"
+    if mode == "broadcast":
+        src, dst, _w = g.edges_numpy()
+        n = g.num_vertices
+        x = np.ones(n, dtype=np.float64)
+        for _ in range(max_iter):
+            s = np.zeros(n, dtype=np.float64)
+            np.add.at(s, dst, x[src])
+            s /= _l2(s)
+            x = s
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame({"id": np.arange(n, dtype=np.int64), "eig": x}),
+            "id long, eig double",
+        )
+    if mode != "distributed":
+        raise ValueError(f"unknown mode {mode!r}")
+    edges = g.edges.select("src", "dst")
+    verts = g.vertices
+    x = verts.select("id", F.lit(1.0).alias("s"))
+    x, ckpt_ids = local_ckpt(x)
+    for _ in range(max_iter):
+        nxt = _half_step(edges, verts, x, "src", "dst")
+        nxt, new_ids = local_ckpt(nxt)
+        free_local_ckpt(spark, ckpt_ids)
+        x, ckpt_ids = nxt, new_ids
+    # final state stays checkpointed (plans/checkpoint.py contract)
+    return x.select("id", F.col("s").alias("eig"))
+
+
 def katz_centrality(
     g: Graph, beta: float = 0.05, max_iter: int = 8, mode: str = "auto"
 ) -> DataFrame:

@@ -91,3 +91,50 @@ def test_katz_beta_zero_is_all_ones(g5):
 
     out = katz_centrality(g5, beta=0.0, max_iter=3, mode="distributed").collect()
     assert all(r["katz"] == 1.0 for r in out)
+
+
+def test_eigenvector_matches_numpy_golden_and_path_parity(g_rand):
+    from approximate_pagerank_public_spark.operators.hits import (
+        eigenvector_centrality,
+    )
+
+    src, dst, _ = g_rand.edges_numpy()
+    n, iters = g_rand.num_vertices, 8
+    x = np.ones(n)
+    for _ in range(iters):
+        s = np.zeros(n)
+        np.add.at(s, dst, x[src])
+        s /= np.sqrt(np.dot(s, s)) or 1.0
+        x = s
+    got_b = (
+        eigenvector_centrality(g_rand, max_iter=iters, mode="broadcast")
+        .toPandas()
+        .set_index("id")["eig"]
+    )
+    got_d = (
+        eigenvector_centrality(g_rand, max_iter=iters, mode="distributed")
+        .toPandas()
+        .set_index("id")["eig"]
+    )
+    for v in range(n):
+        assert abs(got_b[v] - x[v]) < 1e-12
+        assert abs(got_d[v] - x[v]) < 1e-9  # agg order differs, tiny drift
+
+
+def test_eigenvector_is_hits_authority_chain(g_rand):
+    # one iteration of eigenvector == first HITS authority half-step
+    from approximate_pagerank_public_spark.operators.hits import (
+        eigenvector_centrality,
+        hits,
+    )
+
+    eig = (
+        eigenvector_centrality(g_rand, max_iter=1, mode="broadcast")
+        .toPandas()
+        .set_index("id")["eig"]
+    )
+    auth = (
+        _scores(hits(g_rand, max_iter=1, mode="broadcast"))
+        .set_index("id")["authority"]
+    )
+    np.testing.assert_allclose(eig.to_numpy(), auth.to_numpy(), atol=1e-12)
