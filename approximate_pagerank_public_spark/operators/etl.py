@@ -210,13 +210,24 @@ def build_edge_table(
     (tests pin both regimes), and ``Graph`` re-partitions explicitly
     since the joins destroyed the layout.
     """
-    spark = transcripts.sparkSession
-    p = layout_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     # cache: the deduped entity-edge set feeds three consumers (edge
     # output, out-degree agg, and the vertex-dictionary union); without
     # a persist Catalyst re-derives the whole window/union/dedup subtree
     # per consumer (verified via .explain)
     entity_edges = _raw_entity_edges(transcripts).distinct().persist()
+    return edge_table_from_entity_edges(entity_edges, layout_partitions)
+
+
+def edge_table_from_entity_edges(
+    entity_edges: DataFrame, layout_partitions: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Entity-pair edges (already deduped, self-loop-free, persisted by
+    the caller) → (vertices, edges) — the second half of
+    :func:`build_edge_table`, exposed for consumers that maintain the
+    entity-edge set themselves (the streaming PageRank maintenance sink
+    accumulates it incrementally across micro-batches)."""
+    spark = entity_edges.sparkSession
+    p = layout_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     vertices = densify_vertices(entity_edges).persist()
     n = vertices.count()
     small = n <= ETL_BROADCAST_MAX_VERTICES
