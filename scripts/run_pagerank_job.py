@@ -40,7 +40,14 @@ def main(argv: list[str] | None = None) -> int:
             "bfs", "bfs_stats", "fbfs",
             "scc", "sssp", "stress", "betweenness", "hits", "kcore",
             "katz", "harmonic", "mis", "ktruss", "node2vec", "diameter",
+            "eigenvector", "ppr_push",
         ],
+    )
+    p.add_argument(
+        "--eps",
+        type=float,
+        default=1e-5,
+        help="ppr_push: residual threshold per unit out-degree",
     )
     p.add_argument("--alpha", type=float, default=0.8)
     p.add_argument("--k", type=int, default=4, help="k for ktruss")
@@ -229,6 +236,28 @@ def main(argv: list[str] | None = None) -> int:
         node2vec_corpus(graph, walk_length=args.max_iter).write.mode(
             "overwrite"
         ).parquet(args.output)
+    elif args.algorithm == "eigenvector":
+        from approximate_pagerank_public_spark.operators.hits import (
+            eigenvector_centrality,
+        )
+
+        eigenvector_centrality(
+            graph, max_iter=args.max_iter, mode=args.mode
+        ).write.mode("overwrite").parquet(args.output)
+    elif args.algorithm == "ppr_push":
+        from approximate_pagerank_public_spark.operators.push import approx_ppr_push
+
+        srcs = [int(x) for x in args.sources.split(",") if x] or [0]
+        res = approx_ppr_push(
+            graph,
+            srcs[0],
+            alpha=args.alpha,
+            eps=args.eps,
+            max_rounds=args.max_iter,
+            mode=args.mode,
+        )
+        res.state().write.mode("overwrite").parquet(args.output)
+        summary.update(rounds=res.rounds, converged=res.converged)
     elif args.algorithm == "diameter":
         from approximate_pagerank_public_spark.operators.traversal import (
             approx_diameter,
