@@ -140,6 +140,7 @@ def main() -> None:
         need_graph = not ONLY or ONLY & {
             "q_pagerank",
             "q_multi_ppr8",
+            "q_ppr_push",
             "q_cc",
             "q_lpa5",
             "q_triangles",
@@ -176,6 +177,18 @@ def main() -> None:
                 g, _rand_sources(rep, 8, g.num_vertices), tol=0.0, max_iter=10
             ),
         )
+        def _push(rep):
+            from approximate_pagerank_public_spark.operators.push import (
+                approx_ppr_push,
+            )
+
+            res = approx_ppr_push(
+                g, _rand_sources(rep, 1, g.num_vertices)[0], eps=1e-5
+            )
+            res.state().count()
+            return res
+
+        run("q_ppr_push", _push)
         run("q_cc", lambda _rep: connected_components(g).count())
         run("q_lpa5", lambda _rep: label_propagation(g, max_iter=5).count())
         run("q_triangles", lambda _rep: triangle_count(g))
