@@ -317,6 +317,16 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.agg(F.count("*").alias("n_triangles"))
 
 
+def q_four_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-cycle (square) count by the common-neighbor-pair identity —
+    all-integer, hash-exact vs the DuckDB wedge-join replay."""
+    from approximate_pagerank_public_spark.operators.triangles import four_cycles_df
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    return four_cycles_df(g)
+
+
 def q_top_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _transcripts(spark, sf_dir)
     return (
@@ -1147,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dangling_vertices": q_dangling_vertices,
         "degree_distribution": q_degree_distribution,
         "triangle_count": q_triangle_count,
+        "four_cycles": q_four_cycles,
         "top_tools": q_top_tools,
         "conversation_stats": q_conversation_stats,
         "pagerank_top20": q_pagerank_top20,
@@ -2425,6 +2436,18 @@ def oracle_sql() -> dict[str, str]:
             "ac AS (SELECT u AS a, v AS c FROM canon) "
             "SELECT count(*) AS n_triangles FROM ab "
             "JOIN bc USING (b) JOIN ac USING (a, c)"
+        ),
+        "four_cycles": (
+            f"WITH e AS MATERIALIZED ({e_sql}), "
+            "canon AS (SELECT DISTINCT least(src,dst) AS u, greatest(src,dst) AS v "
+            "          FROM e WHERE src <> dst), "
+            "sym AS (SELECT u AS src, v AS dst FROM canon "
+            "        UNION ALL SELECT v AS src, u AS dst FROM canon), "
+            "pairs AS (SELECT l.dst AS a, r.dst AS c, count(*) AS w "
+            "          FROM sym l JOIN sym r ON l.src = r.src AND l.dst < r.dst "
+            "          GROUP BY l.dst, r.dst) "
+            "SELECT CAST(coalesce(sum(w * (w - 1)), 0) // 4 AS BIGINT) "
+            "AS four_cycles FROM pairs"
         ),
         "top_tools": (
             f"SELECT tool, count(*) AS n_calls FROM ({t_cte}) "

@@ -140,6 +140,51 @@ def clustering_coefficient(graph: Graph, orientation: str = "id") -> DataFrame:
     )
 
 
+def four_cycles_df(graph: Graph, max_wedge_degree: int | None = None) -> DataFrame:
+    """One row ``(four_cycles)``: number of 4-cycles (squares) in the
+    undirected simple graph, by the common-neighbor-pair identity
+    ``#C4 = Σ_{a<c} C(w(a,c), 2) / 2`` with ``w`` = common-neighbor
+    count of the diagonal pair — every square is seen from each of its
+    two diagonals exactly once. All-integer (the final ``/4`` of
+    ``Σ w·(w−1)`` is exact), so the DuckDB oracle hash-checks it.
+
+    The wedge join enumerates Σ deg(b)² middle-vertex pairs; for
+    hub-heavy graphs pass ``max_wedge_degree`` to skip middles above
+    the cap (declared approximation — the Chiba–Nishizeki mitigation a
+    100-TB run would pair with exact counting on the hub-free
+    remainder; drops are logged)."""
+    e = canonical_edges(graph)
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if max_wedge_degree is not None:
+        deg = sym.groupBy("u").agg(F.count("*").alias("_d"))
+        kept = deg.where(F.col("_d") <= max_wedge_degree).select("u")
+        dropped = deg.where(F.col("_d") > max_wedge_degree).count()
+        if dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "four_cycles: skipped %d wedge middles above degree cap %d",
+                dropped,
+                max_wedge_degree,
+            )
+        sym = sym.join(kept, "u", "left_semi")
+    left = sym.select(F.col("u").alias("b"), F.col("v").alias("a"))
+    right = sym.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    pairs = (
+        left.join(right, "b")
+        .where(F.col("a") < F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count("*").alias("w"))
+    )
+    return pairs.agg(
+        F.expr("coalesce(sum(w * (w - 1)), 0) DIV 4").alias("four_cycles")
+    )
+
+
+def four_cycle_count(graph: Graph, max_wedge_degree: int | None = None) -> int:
+    return four_cycles_df(graph, max_wedge_degree).first()["four_cycles"]
+
+
 def _triangles_of(e: DataFrame) -> DataFrame:
     """``(a, b, c)`` with ``a<b<c`` over an explicit canonical edge set."""
     ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))

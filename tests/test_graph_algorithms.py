@@ -156,3 +156,55 @@ def test_label_propagation_matches_golden(spark):
     assert (res["label"].to_numpy() == gold).all()
     g.unpersist()
     und.unpersist()
+
+
+def test_four_cycles_known(spark):
+    from approximate_pagerank_public_spark.operators.triangles import (
+        four_cycle_count,
+    )
+
+    # plain square 0-1-2-3-0 => 1; adding the diagonal 0-2 adds
+    # triangles, not squares
+    sq = Graph.from_edge_arrays(
+        spark, [0, 1, 2, 3], [1, 2, 3, 0], num_vertices=4, num_partitions=2
+    )
+    assert four_cycle_count(sq) == 1
+    sq.unpersist()
+    diag = Graph.from_edge_arrays(
+        spark, [0, 1, 2, 3, 0], [1, 2, 3, 0, 2], num_vertices=4, num_partitions=2
+    )
+    assert four_cycle_count(diag) == 1
+    diag.unpersist()
+    # K4 has 3 squares; C6 has none
+    k4 = [(i, j) for i in range(4) for j in range(4) if i < j]
+    g4 = Graph.from_edge_arrays(
+        spark, [e[0] for e in k4], [e[1] for e in k4], num_vertices=4,
+        num_partitions=2,
+    )
+    assert four_cycle_count(g4) == 3
+    g4.unpersist()
+    c6 = Graph.from_edge_arrays(
+        spark, list(range(6)), [(i + 1) % 6 for i in range(6)],
+        num_vertices=6, num_partitions=2,
+    )
+    assert four_cycle_count(c6) == 0
+    c6.unpersist()
+
+
+def test_four_cycles_random_matches_adjacency_golden(g_rand):
+    from approximate_pagerank_public_spark.operators.triangles import (
+        four_cycle_count,
+    )
+
+    src, dst, _ = g_rand.edges_numpy()
+    n = 300
+    a = np.zeros((n, n), dtype=np.int64)
+    a[src, dst] = 1
+    a[dst, src] = 1
+    np.fill_diagonal(a, 0)
+    w = a @ a
+    iu = np.triu_indices(n, k=1)
+    want = int((w[iu] * (w[iu] - 1)).sum() // 4)
+    assert four_cycle_count(g_rand) == want
+    # degree cap high enough to keep every middle => identical count
+    assert four_cycle_count(g_rand, max_wedge_degree=10_000) == want
