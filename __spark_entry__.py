@@ -72,6 +72,14 @@ def _duck_vertices_sql() -> str:
     return VERTICES_SQL_TEMPLATE.format(SRC=f"({_duck_transcripts_cte()})")
 
 
+def _duck_decayed_edges_sql() -> str:
+    from approximate_pagerank_public_spark.operators.temporal import (
+        DECAYED_EDGES_SQL_TEMPLATE,
+    )
+
+    return DECAYED_EDGES_SQL_TEMPLATE.format(SRC=f"({_duck_transcripts_cte()})")
+
+
 # --------------------------------------------- convergence replay (oracle)
 _REPLAY_CACHE: dict = {}
 
@@ -1149,6 +1157,94 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed PageRank: 8 fixed iterations over the temporal
+    edge weights ``(1/(1+age_days))/outdeg`` (operators/temporal.py) —
+    the same unrolled-CTE oracle as pagerank_fixed8 with the decayed
+    edge relation swapped in. Weights are exact-integer arithmetic plus
+    two IEEE divisions, so both engines see bit-identical matrices."""
+    from approximate_pagerank_public_spark.operators.pagerank import pagerank
+    from approximate_pagerank_public_spark.operators.temporal import decayed_graph
+
+    g = decayed_graph(_transcripts(spark, sf_dir), num_partitions=16)
+    res = pagerank(g, alpha=0.8, tol=0.0, max_iter=8)
+    return res.ranks().select("id", _stable6("rank").alias("rank"))
+
+
+def q_tool_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection conv×tool → tool–tool co-occurrence counts,
+    per-conversation item cap 4 (deterministic lexicographic truncation
+    — the LSH-style skew bound), pairs seen in ≥2 conversations."""
+    from approximate_pagerank_public_spark.operators.bipartite import (
+        tool_cooccurrence,
+    )
+
+    return tool_cooccurrence(
+        _transcripts(spark, sf_dir), max_tools_per_conv=4, min_count=2
+    )
+
+
+def q_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style mean aggregate: per vertex, the element-wise mean
+    of its in-neighbors' feature vectors (vertex v's features = embedding
+    row ``v % n_vecs``), long form ``(id, dim, nbr_mean, deg)``."""
+    from approximate_pagerank_public_spark.operators.features import (
+        neighbor_mean_modulo,
+    )
+
+    g = _graph(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return neighbor_mean_modulo(g, emb).select(
+        "id", "dim", _stable6("nbr_mean").alias("nbr_mean"), "deg"
+    )
+
+
+def q_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI ratios over the DeepWalk skip-gram pairs — the co-occurrence
+    weighting step of an embedding-training pipeline. Exact-integer
+    marginals, one IEEE division (log left to the consumer)."""
+    from approximate_pagerank_public_spark.operators.randomwalk import (
+        pmi_scores,
+        random_walk_corpus,
+        skipgram_pairs,
+    )
+
+    g = _graph(spark, sf_dir)
+    corpus = random_walk_corpus(g, walks_per_vertex=1, walk_length=4, seed="rw")
+    pairs = skipgram_pairs(corpus, window=2)
+    return pmi_scores(pairs).select(
+        "center", "context", "n", _stable6("pmi_ratio").alias("pmi_ratio")
+    )
+
+
+def q_gnn_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style sampled 2-hop blocks for an 8-root batch,
+    fanouts (3, 2) — md5-derandomized neighbor sampling, all-integer
+    output ``(root, hop, src, dst)`` (operators/gnnsample.py)."""
+    from approximate_pagerank_public_spark.operators.gnnsample import khop_sample
+
+    g = _graph(spark, sf_dir)
+    return khop_sample(g.edges, list(range(8)), [3, 2], seed="gnn")
+
+
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec negative sampling over the DeepWalk skip-gram pairs:
+    each positive emits 2 uniform md5 negatives — pure map, exactly
+    |pairs|·3 rows, all-integer ``(center, context, label)``."""
+    from approximate_pagerank_public_spark.operators.gnnsample import (
+        negative_samples,
+    )
+    from approximate_pagerank_public_spark.operators.randomwalk import (
+        random_walk_corpus,
+        skipgram_pairs,
+    )
+
+    g = _graph(spark, sf_dir)
+    corpus = random_walk_corpus(g, walks_per_vertex=1, walk_length=4, seed="rw")
+    pairs = skipgram_pairs(corpus, window=2)
+    return negative_samples(pairs, n_vertices=g.num_vertices, n_neg=2, seed="neg")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcript_etl": q_transcript_etl,
@@ -1220,6 +1316,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dataset_split": q_dataset_split,
         "stratified_sample": q_stratified_sample,
+        "pagerank_decay": q_pagerank_decay,
+        "tool_cooccurrence": q_tool_cooccurrence,
+        "neighbor_agg": q_neighbor_agg,
+        "skipgram_pmi": q_skipgram_pmi,
+        "gnn_khop": q_gnn_khop,
+        "negative_sampling": q_negative_sampling,
     }
 
 
@@ -1648,13 +1750,16 @@ def _pagerank_fixed_oracle(
     alpha: float = 0.8,
     source: int | None = None,
     dangling_norm: bool = True,
+    e_sql: str | None = None,
 ) -> str:
     """PageRank unrolled as a chained-CTE power iteration (no recursive
     aggregation needed). Arithmetic is parenthesized to match the
     engine's superstep exactly — ``(α·c + (α/n)·dm) + (1-α)/n`` — so
     after 1e-6 truncation both engines agree despite different
-    summation orders inside the per-dst aggregates."""
-    e_sql = _duck_edges_sql()
+    summation orders inside the per-dst aggregates. ``e_sql`` overrides
+    the edge relation (default: the uniform 1/outdeg transcript edges;
+    the temporal query passes the recency-decayed weights)."""
+    e_sql = e_sql or _duck_edges_sql()
     a = repr(float(alpha))
     parts = [
         f"WITH e AS MATERIALIZED ({e_sql}), ",
@@ -2402,6 +2507,119 @@ def _lang_id_oracle() -> str:
     )
 
 
+def _tool_cooccurrence_oracle(cap: int, min_count: int) -> str:
+    from approximate_pagerank_public_spark.operators.bipartite import (
+        TOOL_COOCCURRENCE_SQL_TEMPLATE,
+    )
+
+    return TOOL_COOCCURRENCE_SQL_TEMPLATE.format(
+        SRC=f"({_duck_transcripts_cte()})", CAP=int(cap), MIN=int(min_count)
+    )
+
+
+def _neighbor_agg_oracle() -> str:
+    from approximate_pagerank_public_spark.operators.features import (
+        NEIGHBOR_MEAN_SQL_TEMPLATE,
+    )
+
+    sf = _oracle_sf_dir()
+    inner = NEIGHBOR_MEAN_SQL_TEMPLATE.format(
+        EDGES=_duck_edges_sql(),
+        EMB=f"{sf}/embeddings.parquet",
+        DIM=_emb_dim(sf),
+    )
+    return (
+        f"SELECT id, dim, floor(nbr_mean * 1000000.0) / 1000000.0 AS nbr_mean, "
+        f"deg FROM ({inner}) t"
+    )
+
+
+def _skipgram_pmi_oracle(length: int, window: int, seed: str) -> str:
+    """PMI ratios over the skip-gram oracle: exact BIGINT marginal sums
+    cast to DOUBLE, numerator/denominator each ONE double multiply, one
+    divide — the identical op sequence as ``randomwalk.pmi_scores``."""
+    pairs = _skipgram_oracle(length, window, seed)
+    return (
+        f"WITH pairs AS MATERIALIZED ({pairs}), "
+        "tot AS (SELECT CAST(sum(n) AS DOUBLE) AS N FROM pairs), "
+        "cu AS (SELECT center, CAST(sum(n) AS DOUBLE) AS c FROM pairs "
+        "GROUP BY center), "
+        "cv AS (SELECT context, CAST(sum(n) AS DOUBLE) AS c FROM pairs "
+        "GROUP BY context) "
+        "SELECT p.center, p.context, p.n, "
+        "floor(((CAST(p.n AS DOUBLE) * (SELECT N FROM tot)) / (cu.c * cv.c)) "
+        "* 1000000.0) / 1000000.0 AS pmi_ratio "
+        "FROM pairs p JOIN cu ON p.center = cu.center "
+        "JOIN cv ON p.context = cv.context"
+    )
+
+
+def _gnn_khop_oracle(n_roots: int, fanouts: list[int], seed: str) -> str:
+    """Unrolled k-hop sampled-block replay: per hop, candidates =
+    frontier⋈edges on dst, rank by the 60-bit md5 edge draw inside
+    (root, dst), keep the fanout smallest; next frontier = new (root,
+    src) pairs. Identical draw text to gnnsample._edge_draw."""
+    drw = (
+        f"CAST(CAST(('0x' || substring(md5('{seed}:' || "
+        "CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)), 1, 15)) "
+        "AS UBIGINT) AS BIGINT)"
+    )
+    parts = [
+        f"WITH e AS MATERIALIZED ({_duck_edges_sql()}), ",
+        f"ed AS MATERIALIZED (SELECT src, dst, {drw} AS drw FROM e), ",
+        f"roots AS (SELECT unnest(range({int(n_roots)})) AS root), ",
+        "f1 AS (SELECT root, CAST(root AS BIGINT) AS id FROM roots), ",
+        "seen1 AS (SELECT root, id FROM f1), ",
+    ]
+    blocks = []
+    for hop, k in enumerate(fanouts, start=1):
+        parts.append(
+            f"c{hop} AS (SELECT f.root, ed.src, ed.dst, ed.drw "
+            f"FROM f{hop} f JOIN ed ON ed.dst = f.id), "
+            f"b{hop} AS MATERIALIZED (SELECT root, {hop} AS hop, src, dst "
+            f"FROM (SELECT *, row_number() OVER (PARTITION BY root, dst "
+            f"ORDER BY drw, src) AS rk FROM c{hop}) WHERE rk <= {int(k)}), "
+        )
+        blocks.append(f"SELECT root, hop, src, dst FROM b{hop}")
+        if hop < len(fanouts):
+            parts.append(
+                f"f{hop + 1} AS (SELECT DISTINCT root, src AS id FROM b{hop} "
+                f"WHERE NOT EXISTS (SELECT 1 FROM seen{hop} s "
+                f"WHERE s.root = b{hop}.root AND s.id = b{hop}.src)), "
+                f"seen{hop + 1} AS (SELECT root, id FROM seen{hop} "
+                f"UNION ALL SELECT root, id FROM f{hop + 1}), "
+            )
+    sql = "".join(parts)
+    # drop the trailing ", " of the last CTE
+    sql = sql.rstrip().rstrip(",")
+    return sql + " " + " UNION ALL ".join(blocks)
+
+
+def _negative_sampling_oracle(n_neg: int, seed: str) -> str:
+    """Positives (label 1) + md5-uniform negatives (label 0) over the
+    skip-gram pair oracle; N = vertex count of the same edge relation."""
+    pairs = _skipgram_oracle(4, 2, "rw")
+    nverts = (
+        f"SELECT count(*) AS n FROM (SELECT DISTINCT src AS id FROM e "
+        "UNION SELECT DISTINCT dst FROM e) v"
+    )
+    drw = (
+        f"CAST(CAST(('0x' || substring(md5('{seed}:' || "
+        "CAST(center AS VARCHAR) || ':' || CAST(context AS VARCHAR) "
+        "|| ':' || CAST(j AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)"
+    )
+    return (
+        f"WITH pairs AS MATERIALIZED ({pairs}), "
+        f"e AS MATERIALIZED ({_duck_edges_sql()}), "
+        f"nv AS ({nverts}) "
+        "SELECT center, context, 1 AS label FROM pairs "
+        "UNION ALL "
+        f"SELECT center, CAST(({drw}) % (SELECT n FROM nv) AS INTEGER) "
+        "AS context, 0 AS label "
+        "FROM pairs, (SELECT unnest(range(" + str(int(n_neg)) + ")) AS j) js"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     t_cte = _duck_transcripts_cte()
     e_sql = _duck_edges_sql()
@@ -2760,6 +2978,14 @@ def oracle_sql() -> dict[str, str]:
             "AS asof_value "
             "FROM events l WHERE l.event_type = 'click'"
         ),
+        "pagerank_decay": _pagerank_fixed_oracle(
+            8, 0.8, e_sql=_duck_decayed_edges_sql()
+        ),
+        "tool_cooccurrence": _tool_cooccurrence_oracle(cap=4, min_count=2),
+        "neighbor_agg": _neighbor_agg_oracle(),
+        "skipgram_pmi": _skipgram_pmi_oracle(4, 2, "rw"),
+        "gnn_khop": _gnn_khop_oracle(8, [3, 2], "gnn"),
+        "negative_sampling": _negative_sampling_oracle(2, "neg"),
     }
 
 

@@ -1,0 +1,109 @@
+"""Bipartite projection: part–item incidence → item co-occurrence graph.
+
+The transcript tables are naturally bipartite (conversations × tools,
+conversations × roles); the projection "which tools co-occur in the same
+conversation, and how often" is the standard way to turn that incidence
+into a weighted item–item graph for downstream community/centrality
+analysis (the reference analyses one-mode graphs only — this derives one
+from the two-mode data the transcripts actually contain).
+
+Scale design — the projection's hazard is the same one as LSH banding
+(``operators/dedup.py``): a part containing k items emits k·(k−1)/2
+pairs, so ONE degenerate part (a conversation that touched every tool)
+can dominate the whole job. The cap follows the bucket-cap pattern:
+parts are truncated to their ``max_items_per_part`` lexicographically
+smallest items (deterministic — no sampling), with the number of
+truncated parts observable via an optional log. The join itself is a
+self-equi-join on the part key — shuffle volume O(Σ min(k, cap)²), never
+all-pairs across parts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def cooccurrence(
+    incidence: DataFrame,
+    part_col: str,
+    item_col: str,
+    max_items_per_part: int | None = 256,
+    min_count: int = 1,
+    log_skew: bool = False,
+) -> DataFrame:
+    """Project a two-mode ``(part, item)`` incidence onto item pairs.
+
+    Returns ``(item_a, item_b, cnt)`` with ``item_a < item_b`` and
+    ``cnt`` = number of distinct parts where both items appear (the
+    unweighted bipartite projection). Duplicate ``(part, item)`` rows
+    are collapsed first, so multiplicities within a part don't inflate
+    counts.
+    """
+    inc = incidence.select(
+        F.col(part_col).alias("part"), F.col(item_col).alias("item")
+    ).distinct()
+    if max_items_per_part is not None:
+        w = Window.partitionBy("part").orderBy("item")
+        ranked = inc.withColumn("_rk", F.row_number().over(w))
+        if log_skew:
+            over = (
+                ranked.groupBy("part")
+                .agg(F.max("_rk").alias("k"))
+                .where(F.col("k") > max_items_per_part)
+                .count()
+            )
+            if over:
+                print(
+                    f"cooccurrence: truncated {over} part(s) to "
+                    f"{max_items_per_part} items"
+                )
+        inc = ranked.where(F.col("_rk") <= max_items_per_part).drop("_rk")
+    left = inc.select("part", F.col("item").alias("item_a"))
+    right = inc.select("part", F.col("item").alias("item_b"))
+    pairs = left.join(right, "part").where(F.col("item_a") < F.col("item_b"))
+    out = pairs.groupBy("item_a", "item_b").agg(F.count("*").alias("cnt"))
+    if min_count > 1:
+        out = out.where(F.col("cnt") >= min_count)
+    return out
+
+
+def tool_cooccurrence(
+    transcripts: DataFrame,
+    max_tools_per_conv: int | None = 256,
+    min_count: int = 1,
+) -> DataFrame:
+    """Tool–tool co-occurrence over conversations: how often two tools
+    were used in the same conversation. ``(item_a, item_b, cnt)``."""
+    inc = transcripts.where(F.col("role") == "tool").select(
+        "conv_id", F.col("tool").alias("item")
+    )
+    return cooccurrence(
+        inc,
+        "conv_id",
+        "item",
+        max_items_per_part=max_tools_per_conv,
+        min_count=min_count,
+    )
+
+
+# DuckDB oracle text ({SRC} = transcripts relation, {CAP} = per-part cap,
+# {MIN} = min pair count) — same derivation, verbatim.
+TOOL_COOCCURRENCE_SQL_TEMPLATE = """
+WITH inc AS (
+  SELECT DISTINCT conv_id AS part, tool AS item
+  FROM {SRC} WHERE role = 'tool'
+),
+capped AS (
+  SELECT part, item FROM (
+    SELECT part, item,
+           row_number() OVER (PARTITION BY part ORDER BY item) AS rk
+    FROM inc
+  ) WHERE rk <= {CAP}
+)
+SELECT a.item AS item_a, b.item AS item_b, count(*) AS cnt
+FROM capped a JOIN capped b ON a.part = b.part AND a.item < b.item
+GROUP BY a.item, b.item
+HAVING count(*) >= {MIN}
+"""

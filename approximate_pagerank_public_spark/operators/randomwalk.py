@@ -455,3 +455,35 @@ def skipgram_pairs(corpus: DataFrame, window: int = 2) -> DataFrame:
         .groupBy("center", "context")
         .agg(F.count("*").alias("n"))
     )
+
+
+def pmi_scores(pairs: DataFrame) -> DataFrame:
+    """Pointwise-mutual-information RATIO per skip-gram pair:
+    ``p(u,v) / (p(u)·p(v)) = n(u,v)·N / (n(u)·n(v))`` — the word2vec
+    association statistic, kept as the raw ratio (not its log) so the
+    value is exact-integer products and ONE correctly-rounded IEEE
+    division, hash-reproducible across engines (``log`` is libm- and
+    engine-specific; callers wanting PMI proper take the log locally).
+
+    Input ``(center, context, n)``; output adds ``pmi_ratio``. All three
+    marginal aggregates are map-side-combinable integer sums; the total
+    joins back as a broadcast 1-row cross join, the marginals as
+    equi-joins (AQE broadcasts them while the vocabulary is small).
+    """
+    tot = pairs.agg(F.sum("n").alias("_N"))
+    cu = pairs.groupBy("center").agg(F.sum("n").alias("_cu"))
+    cv = pairs.groupBy("context").agg(F.sum("n").alias("_cv"))
+    return (
+        pairs.join(cu, "center")
+        .join(cv, "context")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "center",
+            "context",
+            "n",
+            (
+                (F.col("n").cast("double") * F.col("_N").cast("double"))
+                / (F.col("_cu").cast("double") * F.col("_cv").cast("double"))
+            ).alias("pmi_ratio"),
+        )
+    )
