@@ -1217,6 +1217,20 @@ def q_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA hub/authority scores, 8 fixed iterations — the stochastic
+    sibling of HITS (operators/hits.py::salsa); per-vertex degree
+    division BEFORE the edge scatter keeps the association replayable."""
+    from approximate_pagerank_public_spark.operators.hits import salsa
+
+    g = _graph(spark, sf_dir)
+    return salsa(g, max_iter=8).select(
+        "id",
+        _stable6("hub").alias("hub"),
+        _stable6("authority").alias("authority"),
+    )
+
+
 def q_gnn_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE-style sampled 2-hop blocks for an 8-root batch,
     fanouts (3, 2) — md5-derandomized neighbor sampling, all-integer
@@ -1322,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_pmi": q_skipgram_pmi,
         "gnn_khop": q_gnn_khop,
         "negative_sampling": q_negative_sampling,
+        "salsa": q_salsa,
     }
 
 
@@ -2554,6 +2569,46 @@ def _skipgram_pmi_oracle(length: int, window: int, seed: str) -> str:
     )
 
 
+def _salsa_oracle(iters: int = 8) -> str:
+    """SALSA unrolled as chained CTEs. Association matches
+    ``operators/hits.py::salsa``: the degree division happens per vertex
+    (a deterministic scalar, identical on every edge row), then raw
+    per-group sums; hubs = outdeg>0, authorities = indeg>0, everyone
+    else 0."""
+    e_sql = _duck_edges_sql()
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT src, dst FROM ({e_sql})), ",
+        "verts AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM e UNION ALL SELECT dst FROM e)), ",
+        "od AS MATERIALIZED (SELECT src AS id, count(*) AS d "
+        "FROM e GROUP BY src), ",
+        "idg AS MATERIALIZED (SELECT dst AS id, count(*) AS d "
+        "FROM e GROUP BY dst), ",
+        "h0 AS MATERIALIZED (SELECT id, 1.0 AS s FROM od), ",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"a{k + 1} AS MATERIALIZED (SELECT e.dst AS id, "
+            f"sum(h{k}.s / CAST(od.d AS DOUBLE)) AS s "
+            f"FROM e JOIN h{k} ON h{k}.id = e.src "
+            "JOIN od ON od.id = e.src GROUP BY e.dst), "
+        )
+        parts.append(
+            f"h{k + 1} AS MATERIALIZED (SELECT e.src AS id, "
+            f"sum(a{k + 1}.s / CAST(idg.d AS DOUBLE)) AS s "
+            f"FROM e JOIN a{k + 1} ON a{k + 1}.id = e.dst "
+            "JOIN idg ON idg.id = e.dst GROUP BY e.src), "
+        )
+    sql = "".join(parts).rstrip(", ")
+    return (
+        sql + f" SELECT v.id, "
+        f"floor(coalesce(h.s, 0.0) * 1000000.0) / 1000000.0 AS hub, "
+        f"floor(coalesce(a.s, 0.0) * 1000000.0) / 1000000.0 AS authority "
+        f"FROM verts v LEFT JOIN h{iters} h ON h.id = v.id "
+        f"LEFT JOIN a{iters} a ON a.id = v.id"
+    )
+
+
 def _gnn_khop_oracle(n_roots: int, fanouts: list[int], seed: str) -> str:
     """Unrolled k-hop sampled-block replay: per hop, candidates =
     frontier⋈edges on dst, rank by the 60-bit md5 edge draw inside
@@ -2986,6 +3041,7 @@ def oracle_sql() -> dict[str, str]:
         "skipgram_pmi": _skipgram_pmi_oracle(4, 2, "rw"),
         "gnn_khop": _gnn_khop_oracle(8, [3, 2], "gnn"),
         "negative_sampling": _negative_sampling_oracle(2, "neg"),
+        "salsa": _salsa_oracle(8),
     }
 
 

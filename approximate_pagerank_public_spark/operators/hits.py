@@ -269,3 +269,108 @@ def katz_centrality(
         ckpt_ids = new_ids
         x = nxt
     return x.select("id", F.col("x").alias("katz"))
+
+
+def salsa(g: Graph, max_iter: int = 8, mode: str = "auto") -> DataFrame:
+    """``(id, hub, authority)`` — SALSA (Lempel & Moran 2000), the
+    stochastic sibling of HITS and the ranking behind large-scale
+    who-to-follow recommenders: instead of HITS's unnormalized
+    adjacency products, both half-steps are random-walk (stochastic)
+    transitions on the bipartite hub/authority decomposition,
+
+        a_t(j) = Σ_{i→j} h_{t-1}(i) / outdeg(i)
+        h_t(i) = Σ_{i→j} a_t(j)   / indeg(j)
+
+    with ``h_0 = 1`` on every hub (outdeg > 0). No per-step
+    normalization is needed — both transitions preserve the L1 mass
+    exactly (every hub's mass splits over its out-edges, every
+    authority's over its in-edges), which is what makes SALSA robust to
+    the tightly-knit-community effect that inflates HITS. Vertices
+    outside the hub (resp. authority) side report 0.
+
+    fp discipline: the division happens once per VERTEX
+    (``s/deg`` before the edge scatter), then per-group raw sums — the
+    pagerank/hits association pattern, so the DuckDB unrolled-CTE
+    oracle replays it after 1e-6 truncation. Fixed ``max_iter`` budget
+    (the reference's ``pagerank_fixed8`` protocol).
+
+    ``broadcast`` = driver NumPy COO loop below ``BROADCAST_MAX_EDGES``;
+    ``distributed`` = per-half-step |E|-row join + map-side-combinable
+    hash agg with ``local_ckpt`` rotation — state never leaves the
+    cluster, and both degree tables are O(V) side inputs computed once.
+    """
+    spark = g.spark
+    if mode == "auto":
+        mode = "broadcast" if g.num_edges <= BROADCAST_MAX_EDGES else "distributed"
+    if mode == "broadcast":
+        src, dst, _w = g.edges_numpy()
+        n = g.num_vertices
+        outdeg = np.zeros(n, dtype=np.float64)
+        np.add.at(outdeg, src, 1.0)
+        indeg = np.zeros(n, dtype=np.float64)
+        np.add.at(indeg, dst, 1.0)
+        od = np.maximum(outdeg, 1.0)
+        idg = np.maximum(indeg, 1.0)
+        h = (outdeg > 0).astype(np.float64)
+        a = np.zeros(n, dtype=np.float64)
+        for _ in range(max_iter):
+            hc = h / od  # one division per vertex, before the scatter
+            a.fill(0.0)
+            np.add.at(a, dst, hc[src])
+            ac = a / idg
+            h.fill(0.0)
+            np.add.at(h, src, ac[dst])
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"id": np.arange(n, dtype=np.int64), "hub": h, "authority": a}
+            ),
+            "id long, hub double, authority double",
+        )
+    if mode != "distributed":
+        raise ValueError(f"unknown mode {mode!r}")
+    edges = g.edges.select("src", "dst")
+    outdeg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("d")
+    )
+    indeg = edges.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("d"))
+    h = outdeg.select("id", F.lit(1.0).alias("s"))
+    h, h_ids = local_ckpt(h)
+    a = None
+    a_ids: set[int] = set()
+    for _ in range(max_iter):
+        hc = h.join(outdeg, "id").select(
+            "id", (F.col("s") / F.col("d").cast("double")).alias("c")
+        )
+        a_new = (
+            edges.join(hc.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("c").alias("s"))
+        )
+        a_new, new_a_ids = local_ckpt(a_new)
+        if a is not None:
+            free_local_ckpt(spark, a_ids)
+        a, a_ids = a_new, new_a_ids
+        ac = a.join(indeg, "id").select(
+            "id", (F.col("s") / F.col("d").cast("double")).alias("c")
+        )
+        h_new = (
+            edges.join(ac.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("c").alias("s"))
+        )
+        h_new, new_h_ids = local_ckpt(h_new)
+        free_local_ckpt(spark, h_ids)
+        h, h_ids = h_new, new_h_ids
+    # final states stay checkpointed (plans/checkpoint.py contract)
+    verts = g.vertices.select("id")
+    return (
+        verts.join(h.withColumnRenamed("s", "hub"), "id", "left")
+        .join(a.withColumnRenamed("s", "authority"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("authority", F.lit(0.0)).alias("authority"),
+        )
+    )

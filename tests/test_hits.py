@@ -138,3 +138,58 @@ def test_eigenvector_is_hits_authority_chain(g_rand):
         .set_index("id")["authority"]
     )
     np.testing.assert_allclose(eig.to_numpy(), auth.to_numpy(), atol=1e-12)
+
+
+def test_salsa_matches_numpy_golden_and_conserves_mass(g_rand):
+    from approximate_pagerank_public_spark.operators.hits import salsa
+
+    src, dst, _ = g_rand.edges_numpy()
+    n = g_rand.num_vertices
+    outdeg = np.zeros(n)
+    np.add.at(outdeg, src, 1.0)
+    indeg = np.zeros(n)
+    np.add.at(indeg, dst, 1.0)
+    h = (outdeg > 0).astype(float)
+    a = np.zeros(n)
+    for _ in range(8):
+        a = np.zeros(n)
+        np.add.at(a, dst, (h / np.maximum(outdeg, 1))[src])
+        h = np.zeros(n)
+        np.add.at(h, src, (a / np.maximum(indeg, 1))[dst])
+    got = (
+        salsa(g_rand, max_iter=8, mode="broadcast")
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    np.testing.assert_allclose(got["hub"].to_numpy(), h, atol=1e-12)
+    np.testing.assert_allclose(got["authority"].to_numpy(), a, atol=1e-12)
+    # stochastic half-steps preserve L1 mass exactly: sum == #hubs
+    n_hubs = float((outdeg > 0).sum())
+    assert abs(got["authority"].sum() - n_hubs) < 1e-9
+    assert abs(got["hub"].sum() - n_hubs) < 1e-9
+
+
+def test_salsa_broadcast_distributed_parity(g_rand):
+    from approximate_pagerank_public_spark.operators.hits import salsa
+
+    b = salsa(g_rand, max_iter=4, mode="broadcast").toPandas().sort_values("id")
+    d = (
+        salsa(g_rand, max_iter=4, mode="distributed")
+        .toPandas()
+        .sort_values("id")
+    )
+    assert b["id"].tolist() == d["id"].tolist()
+    np.testing.assert_allclose(d["hub"], b["hub"], atol=1e-9)
+    np.testing.assert_allclose(d["authority"], b["authority"], atol=1e-9)
+
+
+def test_salsa_g5_sides(spark, g5):
+    """g5: vertex 0 is dangling (outdeg 0) → hub 0; vertex 4 has no
+    in-edges → authority 0."""
+    from approximate_pagerank_public_spark.operators.hits import salsa
+
+    got = salsa(g5, max_iter=8, mode="broadcast").toPandas().set_index("id")
+    assert got.loc[0, "hub"] == 0.0
+    assert got.loc[4, "authority"] == 0.0
+    assert (got["hub"] >= 0).all() and (got["authority"] >= 0).all()
