@@ -1157,6 +1157,49 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C protocol): word
+    3-gram overlap of every test-split document against the train
+    split of the same deterministic md5-bucket split; boilerplate
+    3-grams with train document-frequency > 100 are dropped from both
+    sides before the join (the deterministic hot-key bound)."""
+    from approximate_pagerank_public_spark.operators.curation import (
+        split_contamination,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = split_contamination(docs, n=3, max_shingle_df=100)
+    return out.select(
+        "doc_id",
+        "total_ngrams",
+        "matched_ngrams",
+        "matched_train_docs",
+        _stable6("contamination").alias("contamination"),
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate
+    lines (count + char mass), the dominant word 2-gram and its char
+    fraction, and the duplicate 2-gram position fraction. Every metric
+    is integer counts + one IEEE division (hash-exact)."""
+    from approximate_pagerank_public_spark.operators.curation import (
+        repetition_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = repetition_stats(docs, top_n=2, dup_n=2)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        _stable6("dup_line_frac").alias("dup_line_frac"),
+        _stable6("dup_line_char_frac").alias("dup_line_char_frac"),
+        "top_ngram",
+        _stable6("top_ngram_frac").alias("top_ngram_frac"),
+        _stable6("dup_ngram_frac").alias("dup_ngram_frac"),
+    )
+
+
 def q_pagerank_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency-decayed PageRank: 8 fixed iterations over the temporal
     edge weights ``(1/(1+age_days))/outdeg`` (operators/temporal.py) —
@@ -1330,6 +1373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dataset_split": q_dataset_split,
         "stratified_sample": q_stratified_sample,
+        "split_contamination": q_split_contamination,
+        "repetition_stats": q_repetition_stats,
         "pagerank_decay": q_pagerank_decay,
         "tool_cooccurrence": q_tool_cooccurrence,
         "neighbor_agg": q_neighbor_agg,
@@ -1757,6 +1802,93 @@ def _ngram_jaccard_oracle() -> str:
         "  / (za.sz + zb.sz - coalesce(i.i, 0)) * 1000000.0) / 1000000.0 AS jaccard "
         "FROM pairs p LEFT JOIN inter i ON i.a = p.a AND i.b = p.b "
         "JOIN sizes za ON za.doc_id = p.a JOIN sizes zb ON zb.doc_id = p.b"
+    )
+
+
+def _split_contamination_oracle(n: int = 3, max_df: int = 100) -> str:
+    """Replays operators/curation.py::split_contamination verbatim:
+    the md5-bucket split (train <800000, test >=900000 millionths),
+    shingles() word n-grams (distinct per doc, degenerate whole-doc
+    shingle below n tokens), the train document-frequency boilerplate
+    cap, and the one IEEE division truncated to 6 dp."""
+    norm = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
+    return (
+        "WITH sp AS (SELECT doc_id, "
+        f"string_split({norm}, ' ') AS toks, "
+        "CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) "
+        "AS BIGINT) % 1000000 AS bk FROM documents), "
+        "sh AS (SELECT doc_id, bk, unnest(list_distinct("
+        f"[array_to_string(toks[i+1:i+{n}], ' ') "
+        f"for i in range(0, greatest(len(toks) - {n}, 0) + 1)])) AS shingle "
+        "FROM sp), "
+        "ev AS (SELECT doc_id, shingle FROM sh WHERE bk >= 900000), "
+        "tr AS (SELECT doc_id AS train_doc, shingle FROM sh WHERE bk < 800000), "
+        "keep AS (SELECT shingle FROM tr GROUP BY shingle "
+        f"HAVING count(*) <= {max_df}), "
+        "trk AS (SELECT train_doc, shingle FROM tr JOIN keep USING (shingle)), "
+        "totals AS (SELECT doc_id, count(*) AS total_ngrams FROM ev "
+        "GROUP BY doc_id), "
+        "hits AS (SELECT ev.doc_id, "
+        "count(DISTINCT ev.shingle) AS matched_ngrams, "
+        "count(DISTINCT trk.train_doc) AS matched_train_docs "
+        "FROM ev JOIN trk USING (shingle) GROUP BY ev.doc_id) "
+        "SELECT t.doc_id, t.total_ngrams, "
+        "CAST(coalesce(h.matched_ngrams, 0) AS BIGINT) AS matched_ngrams, "
+        "CAST(coalesce(h.matched_train_docs, 0) AS BIGINT) AS matched_train_docs, "
+        "floor(CAST(coalesce(h.matched_ngrams, 0) AS DOUBLE) "
+        "/ CAST(t.total_ngrams AS DOUBLE) * 1000000.0) / 1000000.0 "
+        "AS contamination "
+        "FROM totals t LEFT JOIN hits h USING (doc_id)"
+    )
+
+
+def _repetition_stats_oracle(n: int = 2) -> str:
+    """Replays operators/curation.py::repetition_stats (top_n = dup_n =
+    ``n`` so one gram relation serves both): duplicate-line fractions
+    over raw \\n lines, the (count desc, gram asc) top n-gram, and the
+    duplicate n-gram position fraction — integer counts + one division
+    per metric, floor-truncated to 6 dp like the engine."""
+    norm = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
+    return (
+        "WITH base AS (SELECT doc_id, "
+        "string_split(text, chr(10)) AS lns, "
+        f"string_split({norm}, ' ') AS toks, "
+        f"length({norm}) AS chars FROM documents), "
+        "lr AS (SELECT doc_id, unnest(lns) AS line FROM base), "
+        "pl AS (SELECT doc_id, line, count(*) AS c FROM lr "
+        "GROUP BY doc_id, line), "
+        "la AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines, "
+        "count(*) AS n_distinct_lines, "
+        "CAST(sum(c * length(line)) AS BIGINT) AS line_chars, "
+        "CAST(sum(CASE WHEN c >= 2 THEN c * length(line) ELSE 0 END) AS BIGINT) "
+        "AS dup_line_chars FROM pl GROUP BY doc_id), "
+        "g2 AS (SELECT doc_id, unnest("
+        f"[array_to_string(toks[i+1:i+{n}], ' ') "
+        f"for i in range(0, greatest(len(toks) - {n} + 1, 0))]) AS g "
+        "FROM base), "
+        "pg AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g), "
+        "tg AS (SELECT doc_id, g AS top_ngram, c * length(g) AS top_ngram_chars "
+        "FROM (SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY c DESC, g ASC) AS rn FROM pg) WHERE rn = 1), "
+        "dup AS (SELECT doc_id, count(*) AS ngram_positions, "
+        "count(DISTINCT g) AS distinct_ngrams FROM g2 GROUP BY doc_id) "
+        "SELECT b.doc_id, la.n_lines, "
+        "floor(CASE WHEN la.n_lines > 0 THEN 1.0 - "
+        "CAST(la.n_distinct_lines AS DOUBLE) / CAST(la.n_lines AS DOUBLE) "
+        "ELSE 0.0 END * 1000000.0) / 1000000.0 AS dup_line_frac, "
+        "floor(CASE WHEN la.line_chars > 0 THEN "
+        "CAST(la.dup_line_chars AS DOUBLE) / CAST(la.line_chars AS DOUBLE) "
+        "ELSE 0.0 END * 1000000.0) / 1000000.0 AS dup_line_char_frac, "
+        "t.top_ngram, "
+        "floor(CASE WHEN b.chars > 0 THEN "
+        "CAST(coalesce(t.top_ngram_chars, 0) AS DOUBLE) / CAST(b.chars AS DOUBLE) "
+        "ELSE 0.0 END * 1000000.0) / 1000000.0 AS top_ngram_frac, "
+        "floor(CASE WHEN coalesce(d.ngram_positions, 0) > 0 THEN "
+        "CAST(d.ngram_positions - d.distinct_ngrams AS DOUBLE) "
+        "/ CAST(d.ngram_positions AS DOUBLE) ELSE 0.0 END * 1000000.0) "
+        "/ 1000000.0 AS dup_ngram_frac "
+        "FROM base b LEFT JOIN la USING (doc_id) LEFT JOIN tg t USING (doc_id) "
+        "LEFT JOIN dup d USING (doc_id)"
     )
 
 
@@ -3020,6 +3152,8 @@ def oracle_sql() -> dict[str, str]:
             "AS sample_rank FROM b) "
             "SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 10"
         ),
+        "split_contamination": _split_contamination_oracle(n=3, max_df=100),
+        "repetition_stats": _repetition_stats_oracle(n=2),
         "event_asof": (
             # independent formulation (correlated subqueries), NOT the
             # engine's union+window program — a genuinely adversarial check

@@ -1,0 +1,250 @@
+"""Corpus-curation operators: benchmark decontamination and
+Gopher-style repetition quality signals.
+
+A training-data pipeline over a 100-TB corpus needs two checks the
+dedup family (``operators/dedup.py``) does not cover:
+
+- **Decontamination** — before training, every evaluation document must
+  be checked for word-n-gram overlap against the *train* split (the
+  GPT-3 appendix-C / PaLM protocol: a benchmark example is contaminated
+  when one of its n-grams also occurs in the training corpus).
+  :func:`ngram_contamination` is the two-corpus primitive;
+  :func:`split_contamination` composes it with the deterministic
+  md5-bucket split (``operators/sampling.py::dataset_split``).
+- **Repetition signals** — Gopher's quality rules drop documents whose
+  text is dominated by repeated lines / n-grams.
+  :func:`repetition_stats` computes the per-document family:
+  duplicate-line fraction (by line and by character), the most frequent
+  word 2-gram and its character fraction, and the duplicate 5-gram
+  position fraction.
+
+Scale shape. ``repetition_stats`` is embarrassingly parallel: every
+aggregate is keyed by ``doc_id`` (map-side partial, no cross-document
+join) — at 100 TB it is one scan + per-doc hash aggregation.
+``ngram_contamination`` joins eval shingles against train shingles on
+the shingle hash; the hot-key risk is a boilerplate n-gram shared by
+millions of train documents, bounded by ``max_shingle_df`` — shingles
+whose train document-frequency exceeds the cap are dropped on BOTH
+sides *before* the join (the GPT-3 protocol likewise ignores the most
+common n-grams), which is a deterministic frequency filter, not a
+sampled truncation, so the oracle replays it exactly. With the cap on,
+per-shingle join fan-out ≤ cap and shuffle volume is O(|eval shingles| +
+|train shingles|). Counts are exact integers; the contamination ratio
+is ONE IEEE division, truncated via the contract's 1e-6 rule on both
+engines.
+
+All tokenization matches ``operators/dedup.py::shingles`` (lowercase,
+whitespace-collapsed, word n-grams, distinct per doc) so a corpus
+deduped with MinHash and decontaminated here sees one consistent
+shingle universe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import _normalized_text, shingles
+from .sampling import dataset_split
+
+
+def ngram_contamination(
+    eval_docs: DataFrame,
+    train_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    max_shingle_df: int | None = 10_000,
+) -> DataFrame:
+    """Per eval document: overlap of its word ``n``-grams with the train
+    corpus.
+
+    Returns ``(doc_id, total_ngrams, matched_ngrams, matched_train_docs,
+    contamination)`` — ``total_ngrams`` counts the doc's DISTINCT
+    n-grams, ``matched_ngrams`` how many of those occur in ≥1 train doc
+    (after the ``max_shingle_df`` frequency filter), ``matched_train_docs``
+    the distinct train documents sharing ≥1 surviving n-gram, and
+    ``contamination = matched_ngrams / total_ngrams`` (0 when the doc is
+    shorter than ``n`` tokens — a doc with no n-grams cannot be flagged).
+
+    ``max_shingle_df`` drops n-grams whose train document-frequency
+    exceeds the cap (boilerplate) from both sides of the join —
+    deterministic, so the DuckDB oracle replays it verbatim.
+    """
+    ev = shingles(eval_docs, id_col, text_col, n)  # distinct per doc
+    tr = shingles(train_docs, id_col, text_col, n).withColumnRenamed(
+        "doc_id", "train_doc"
+    )
+    if max_shingle_df is not None:
+        freq = tr.groupBy("shingle").agg(F.count("*").alias("tdf"))
+        keep = freq.where(F.col("tdf") <= int(max_shingle_df)).select("shingle")
+        tr = tr.join(keep, "shingle")
+    totals = ev.groupBy("doc_id").agg(F.count("*").alias("total_ngrams"))
+    hits = (
+        ev.join(tr, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("matched_ngrams"),
+            F.countDistinct("train_doc").alias("matched_train_docs"),
+        )
+    )
+    out = (
+        totals.join(hits, "doc_id", "left")
+        .na.fill(0, ["matched_ngrams", "matched_train_docs"])
+        .withColumn(
+            "contamination",
+            F.col("matched_ngrams").cast("double")
+            / F.col("total_ngrams").cast("double"),
+        )
+    )
+    # docs shorter than n tokens emit one degenerate shingle of all their
+    # tokens (shingles() slices from a 0-length window floor) — keep the
+    # semantics identical on both engines by *not* special-casing here.
+    return out.select(
+        "doc_id", "total_ngrams", "matched_ngrams", "matched_train_docs",
+        "contamination",
+    )
+
+
+def split_contamination(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    max_shingle_df: int | None = 10_000,
+    eval_split: str = "test",
+    train_split: str = "train",
+    seed: str = "split",
+    fractions: dict[str, float] | None = None,
+) -> DataFrame:
+    """Decontamination report for the md5-bucket ``dataset_split``:
+    contamination of every ``eval_split`` document against the
+    ``train_split`` corpus. Pure composition of :func:`dataset_split`
+    and :func:`ngram_contamination` (one extra pure-map column, no
+    extra shuffle)."""
+    tagged = dataset_split(docs, id_col=id_col, fractions=fractions, seed=seed)
+    ev = tagged.where(F.col("split") == eval_split)
+    tr = tagged.where(F.col("split") == train_split)
+    return ngram_contamination(
+        ev, tr, id_col=id_col, text_col=text_col, n=n,
+        max_shingle_df=max_shingle_df,
+    )
+
+
+def _ngram_positions(toks_col: str, n: int):
+    """All n-gram occurrences (NOT distinct) of a token array as
+    space-joined strings; empty when the doc has < n tokens."""
+    return F.when(
+        F.size(toks_col) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks_col) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks_col, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Per-document repetition signals (the Gopher rule family):
+
+    - ``n_lines``, ``dup_line_frac`` — ``1 − distinct/total`` over
+      ``\\n``-split lines;
+    - ``dup_line_char_frac`` — characters inside lines occurring ≥2
+      times (all occurrences), over total line characters;
+    - ``top_ngram`` / ``top_ngram_frac`` — the most frequent word
+      ``top_n``-gram (ties → lexicographically smallest) and the
+      fraction of characters its occurrences cover
+      (``count·len(gram) / chars``);
+    - ``dup_ngram_frac`` — fraction of ``dup_n``-gram positions that
+      are repeats of an earlier position
+      (``(positions − distinct) / positions``).
+
+    Every metric is integer counts + ONE final division, so the DuckDB
+    oracle is hash-exact under the contract's 1e-6 truncation. All
+    aggregation is keyed by ``doc_id`` — no cross-document shuffle.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), "\n").alias("lines"),
+        F.split(_normalized_text(text_col), " ").alias("toks"),
+        F.length(_normalized_text(text_col)).alias("chars"),
+    )
+
+    # --- line metrics (per-doc, from the lines array) -------------------
+    line_rows = base.select("doc_id", F.explode("lines").alias("line"))
+    per_line = line_rows.groupBy("doc_id", "line").agg(F.count("*").alias("c"))
+    lines_agg = per_line.groupBy("doc_id").agg(
+        F.sum("c").alias("n_lines"),
+        F.count("*").alias("n_distinct_lines"),
+        F.sum(F.col("c") * F.length("line")).alias("line_chars"),
+        F.sum(
+            F.when(F.col("c") >= 2, F.col("c") * F.length("line")).otherwise(0)
+        ).alias("dup_line_chars"),
+    )
+
+    # --- top n-gram (count desc, gram asc) ------------------------------
+    grams = base.select(
+        "doc_id", F.explode(_ngram_positions("toks", top_n)).alias("g")
+    )
+    per_gram = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("g").asc())
+    top = (
+        per_gram.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("g").alias("top_ngram"),
+            (F.col("c") * F.length("g")).alias("top_ngram_chars"),
+        )
+    )
+
+    # --- duplicate dup_n-gram position fraction -------------------------
+    dgrams = base.select(
+        "doc_id", F.explode(_ngram_positions("toks", dup_n)).alias("g")
+    )
+    dup = dgrams.groupBy("doc_id").agg(
+        F.count("*").alias("ngram_positions"),
+        F.countDistinct("g").alias("distinct_ngrams"),
+    )
+
+    zero = F.lit(0.0)
+    out = (
+        base.select("doc_id", "chars")
+        .join(lines_agg, "doc_id", "left")
+        .join(top, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .na.fill(0, ["ngram_positions", "distinct_ngrams", "top_ngram_chars"])
+        .select(
+            "doc_id",
+            "n_lines",
+            F.when(
+                F.col("n_lines") > 0,
+                F.lit(1.0)
+                - F.col("n_distinct_lines").cast("double")
+                / F.col("n_lines").cast("double"),
+            ).otherwise(zero).alias("dup_line_frac"),
+            F.when(
+                F.col("line_chars") > 0,
+                F.col("dup_line_chars").cast("double")
+                / F.col("line_chars").cast("double"),
+            ).otherwise(zero).alias("dup_line_char_frac"),
+            "top_ngram",
+            F.when(
+                F.col("chars") > 0,
+                F.col("top_ngram_chars").cast("double")
+                / F.col("chars").cast("double"),
+            ).otherwise(zero).alias("top_ngram_frac"),
+            F.when(
+                F.col("ngram_positions") > 0,
+                (F.col("ngram_positions") - F.col("distinct_ngrams")).cast("double")
+                / F.col("ngram_positions").cast("double"),
+            ).otherwise(zero).alias("dup_ngram_frac"),
+        )
+    )
+    return out

@@ -1,0 +1,138 @@
+"""Decontamination + repetition-signal goldens (operators/curation.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from approximate_pagerank_public_spark.operators.curation import (
+    ngram_contamination,
+    repetition_stats,
+    split_contamination,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_contamination_counts_exactly(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "pack my box with five dozen jugs"),
+            (3, "the quick brown cat sleeps"),
+        ],
+    )
+    ev = _docs(
+        spark,
+        [
+            # 3-grams: {the quick brown, quick brown fox, brown fox naps}
+            # first occurs in train docs 1 AND 3; second in doc 1 only.
+            (100, "the quick brown fox naps"),
+            # no 3-gram overlap at all
+            (101, "completely novel words here now"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ngram_contamination(ev, train, n=3, max_shingle_df=None).collect()
+    }
+    r = out[100]
+    assert r["total_ngrams"] == 3
+    assert r["matched_ngrams"] == 2
+    assert r["matched_train_docs"] == 2  # docs 1 and 3
+    assert r["contamination"] == pytest.approx(2 / 3)
+    r = out[101]
+    assert r["total_ngrams"] == 3
+    assert r["matched_ngrams"] == 0
+    assert r["matched_train_docs"] == 0
+    assert r["contamination"] == 0.0
+
+
+def test_ngram_contamination_df_cap_drops_boilerplate(spark):
+    # "a b c" appears in 3 train docs -> dropped at max_shingle_df=2,
+    # so the eval doc's only hit disappears.
+    train = _docs(spark, [(1, "a b c x"), (2, "a b c y"), (3, "a b c z")])
+    ev = _docs(spark, [(9, "a b c")])
+    uncapped = ngram_contamination(ev, train, n=3, max_shingle_df=None).collect()[0]
+    assert uncapped["matched_ngrams"] == 1
+    assert uncapped["matched_train_docs"] == 3
+    capped = ngram_contamination(ev, train, n=3, max_shingle_df=2).collect()[0]
+    assert capped["matched_ngrams"] == 0
+    assert capped["matched_train_docs"] == 0
+
+
+def test_ngram_contamination_short_doc_degenerate_shingle(spark):
+    # a doc shorter than n tokens emits ONE whole-doc shingle (the
+    # shingles() floor rule) and can still match an identical short
+    # train prefix-slice only if the train side produced the same string.
+    train = _docs(spark, [(1, "tiny doc")])
+    ev = _docs(spark, [(5, "tiny doc")])
+    r = ngram_contamination(ev, train, n=8, max_shingle_df=None).collect()[0]
+    assert r["total_ngrams"] == 1
+    assert r["matched_ngrams"] == 1
+    assert r["contamination"] == 1.0
+
+
+def test_split_contamination_composes_with_dataset_split(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = split_contamination(docs, n=3, max_shingle_df=None)
+    rows = out.collect()
+    assert len(rows) > 0
+    # every reported doc really is in the test split of the same seed
+    from approximate_pagerank_public_spark.operators.sampling import dataset_split
+
+    test_ids = {
+        r["doc_id"]
+        for r in dataset_split(docs).where(F.col("split") == "test").collect()
+    }
+    assert {r["doc_id"] for r in rows} == test_ids
+    for r in rows:
+        assert 0 <= r["matched_ngrams"] <= r["total_ngrams"]
+        assert r["contamination"] == pytest.approx(
+            r["matched_ngrams"] / r["total_ngrams"]
+        )
+
+
+def test_repetition_stats_golden(spark):
+    # doc 1: lines -> [ab, ab, cd]; toks(normalized: "ab ab cd") 2-grams:
+    #   "ab ab" x1, "ab cd" x1 -> top = "ab ab" (tie -> lexicographic)
+    docs = spark.createDataFrame(
+        [
+            (1, "ab\nab\ncd"),
+            (2, "x y x y x y"),  # no dup lines; top 2-gram "x y" x3
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs, dup_n=2).collect()}
+
+    r1 = out[1]
+    assert r1["n_lines"] == 3
+    assert r1["dup_line_frac"] == pytest.approx(1 - 2 / 3)
+    # dup line chars: "ab" occurs twice -> 2*2 chars of 6 total line chars
+    assert r1["dup_line_char_frac"] == pytest.approx(4 / 6)
+    # normalized text "ab ab cd" (8 chars): top 2-gram "ab ab" (5 chars) x1
+    assert r1["top_ngram"] == "ab ab"
+    assert r1["top_ngram_frac"] == pytest.approx(5 / 8)
+    # 2-gram positions: ["ab ab","ab cd"] -> 2 positions, 2 distinct
+    assert r1["dup_ngram_frac"] == 0.0
+
+    r2 = out[2]
+    assert r2["n_lines"] == 1
+    assert r2["dup_line_frac"] == 0.0
+    assert r2["top_ngram"] == "x y"
+    # "x y x y x y" = 11 chars; "x y" (3 chars) occurs 3x -> 9/11
+    assert r2["top_ngram_frac"] == pytest.approx(9 / 11)
+    # 2-gram positions: 5 total ("x y","y x","x y","y x","x y"), 2 distinct
+    assert r2["dup_ngram_frac"] == pytest.approx(3 / 5)
+
+
+def test_repetition_stats_short_doc_no_ngrams(spark):
+    docs = spark.createDataFrame([(1, "word")], "doc_id long, text string")
+    r = repetition_stats(docs, top_n=2, dup_n=5).collect()[0]
+    assert r["top_ngram"] is None
+    assert r["top_ngram_frac"] == 0.0
+    assert r["dup_ngram_frac"] == 0.0
+    assert r["n_lines"] == 1 and r["dup_line_frac"] == 0.0
