@@ -24,10 +24,13 @@ join) — at 100 TB it is one scan + per-doc hash aggregation.
 ``ngram_contamination`` joins eval shingles against train shingles on
 the shingle hash; the hot-key risk is a boilerplate n-gram shared by
 millions of train documents, bounded by ``max_shingle_df`` — shingles
-whose train document-frequency exceeds the cap are dropped on BOTH
-sides *before* the join (the GPT-3 protocol likewise ignores the most
-common n-grams), which is a deterministic frequency filter, not a
-sampled truncation, so the oracle replays it exactly. With the cap on,
+whose train document-frequency exceeds the cap are removed from the
+TRAIN side *before* the join (the GPT-3 protocol likewise ignores the
+most common n-grams), so capped shingles cannot match anything: eval
+rows carrying them still enter the shuffle but join to zero train rows,
+and per-shingle fan-out stays ≤ cap. The filter is a deterministic
+frequency threshold, not a sampled truncation, so the oracle replays it
+exactly. With the cap on,
 per-shingle join fan-out ≤ cap and shuffle volume is O(|eval shingles| +
 |train shingles|). Counts are exact integers; the contamination ratio
 is ONE IEEE division, truncated via the contract's 1e-6 rule on both
@@ -65,8 +68,12 @@ def ngram_contamination(
     n-grams, ``matched_ngrams`` how many of those occur in ≥1 train doc
     (after the ``max_shingle_df`` frequency filter), ``matched_train_docs``
     the distinct train documents sharing ≥1 surviving n-gram, and
-    ``contamination = matched_ngrams / total_ngrams`` (0 when the doc is
-    shorter than ``n`` tokens — a doc with no n-grams cannot be flagged).
+    ``contamination = matched_ngrams / total_ngrams``. A doc shorter
+    than ``n`` tokens still emits ONE degenerate whole-doc shingle
+    (``dedup.shingles`` windows over ``max(len-n, 0)+1`` offsets), so a
+    short eval doc whose full text appears in a train doc is flagged
+    with contamination 1.0 — exercised by
+    ``test_ngram_contamination_short_doc_degenerate_shingle``.
 
     ``max_shingle_df`` drops n-grams whose train document-frequency
     exceeds the cap (boilerplate) from both sides of the join —
@@ -205,13 +212,21 @@ def repetition_stats(
     )
 
     # --- duplicate dup_n-gram position fraction -------------------------
-    dgrams = base.select(
-        "doc_id", F.explode(_ngram_positions("toks", dup_n)).alias("g")
-    )
-    dup = dgrams.groupBy("doc_id").agg(
-        F.count("*").alias("ngram_positions"),
-        F.countDistinct("g").alias("distinct_ngrams"),
-    )
+    if dup_n == top_n:
+        # same n ⇒ same gram relation: reuse per_gram instead of a second
+        # explode+aggregate over the corpus (the heaviest stage here)
+        dup = per_gram.groupBy("doc_id").agg(
+            F.sum("c").alias("ngram_positions"),
+            F.count("*").alias("distinct_ngrams"),
+        )
+    else:
+        dgrams = base.select(
+            "doc_id", F.explode(_ngram_positions("toks", dup_n)).alias("g")
+        )
+        dup = dgrams.groupBy("doc_id").agg(
+            F.count("*").alias("ngram_positions"),
+            F.countDistinct("g").alias("distinct_ngrams"),
+        )
 
     zero = F.lit(0.0)
     out = (

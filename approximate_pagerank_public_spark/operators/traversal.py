@@ -369,7 +369,8 @@ def _block_bfs_distances(
     changed = np.zeros(n, dtype=bool)
     changed[src_arr] = True
     dist, _rounds, converged = frontier_min_relax(
-        graph, dist, changed, plus_one=True, max_iters=max_levels
+        graph, dist, changed, plus_one=True, max_iters=max_levels,
+        inf_value=int(inf),
     )
     if not converged:  # pragma: no cover — max_levels default is huge
         import warnings
@@ -397,6 +398,7 @@ def frontier_min_relax(
     plus_one: bool,
     max_iters: int = 10_000,
     edge_weighted: bool = False,
+    inf_value=None,
 ) -> np.ndarray:
     """Generic frontier-sparse min-relaxation over the CSR blocks.
 
@@ -412,6 +414,21 @@ def frontier_min_relax(
     ``state`` is an (N, S) integer array (mutated in place and
     returned); ``changed`` is the initial frontier mask.
 
+    ``inf_value`` (unweighted min-plus only) is the caller's
+    "unvisited" sentinel; passing it arms the **bottom-up** edge
+    selection for fat frontiers (see ``plans.blocks.relax_block`` — the
+    Beamer direction-optimizing switch). Values and per-round frontiers
+    are bit-identical either way; it is purely an edge-work saver.
+
+    Execution: on local masters with dst-disjoint blocks, ALL rounds run
+    inside ONE gang-scheduled barrier job
+    (``plans.barrier.run_barrier_min_relax``) — per-round Spark jobs pay
+    a fixed ~0.3-0.7 s scheduling + Python-worker round-trip that
+    dominates post-peak rounds. Everywhere else (and on any barrier
+    failure) each round is its own ``mapInArrow`` job over the same
+    ``relax_block`` kernel; the min-plus fixpoint is unique, so both
+    paths return identical state.
+
     Returns ``(state, rounds, converged)`` — ``rounds`` is the number of
     relaxation rounds actually executed and ``converged`` is False only
     when ``max_iters`` ran out while rows were still improving (callers
@@ -419,12 +436,38 @@ def frontier_min_relax(
     """
     import pyarrow as pa
 
-    from approximate_pagerank_public_spark.plans.blocks import load_block
+    from approximate_pagerank_public_spark.plans.barrier import (
+        barrier_available,
+        run_barrier_min_relax,
+    )
+    from approximate_pagerank_public_spark.plans.blocks import (
+        load_block,
+        relax_block,
+    )
 
     n = graph.num_vertices
     blocks = graph.blocks
     dtype = state.dtype
     dist = state
+    one = dtype.type(1) if plus_one else dtype.type(0)
+    bu_inf = inf_value if (plus_one and not edge_weighted) else None
+
+    if barrier_available(graph):
+        try:
+            out, rounds, converged = run_barrier_min_relax(
+                graph,
+                state,
+                changed,
+                one=one,
+                edge_weighted=edge_weighted,
+                max_iters=max_iters,
+                inf_value=bu_inf,
+                sparse_threshold=_sparse_threshold(n),
+            )
+            state[:] = out
+            return state, rounds, converged
+        except Exception:  # barrier scheduling/retry failure → per-round
+            pass
 
     run_dir = os.path.join(blocks.dir, f"bfs_{uuid.uuid4().hex}")
     os.makedirs(run_dir)
@@ -433,7 +476,6 @@ def frontier_min_relax(
     front_path = f"{run_dir}/front.npy"
     block_dir = blocks.dir
     pids = blocks.pids
-    one = dtype.type(1) if plus_one else dtype.type(0)
     sc = graph.spark.sparkContext
     k = blocks.num_partitions
     n_tasks = max(1, min(k, sc.defaultParallelism))
@@ -449,106 +491,58 @@ def frontier_min_relax(
             # one) look up frontier vertices' edges through a cached
             # src-sorted index — O(f log E + touched edges) — instead
             # of gathering an |E|-long mask. The dense path stays for
-            # peak levels where most vertices changed.
+            # peak levels where most vertices changed (and switches
+            # per block to bottom-up when the caller armed it).
             sparse = len(front) <= _sparse_threshold(n)
             if sparse:
                 np.save(front_path, front)
             else:
                 np.save(mask_path, changed)
+            front_frac = len(front) / max(1, n)
             out_dir = f"{run_dir}/out"
             os.makedirs(out_dir, exist_ok=True)
 
             def step(
-                batches: Iterator[pa.RecordBatch], sparse: bool = sparse
+                batches: Iterator[pa.RecordBatch], sparse: bool = sparse,
+                front_frac: float = front_frac,
             ) -> Iterator[pa.RecordBatch]:
-                done = []
                 if sparse:
                     front_w = np.load(front_path, mmap_mode="r")
+                    mask = None
                 else:
+                    front_w = None
                     mask = np.load(mask_path, mmap_mode="r")
                 state = np.load(state_path, mmap_mode="r")
+                done = []
                 for b in batches:
                     for task_i in b.column("id").to_pylist():
                         pid = pids[task_i]
                         blk = load_block(block_dir, pid)
-                        src_b, _w, udst, starts, segmap, _tb, _sb = blk
-                        src_b = np.asarray(src_b)
                         done.append(pid)
-                        if sparse:
-                            sp_path = f"{block_dir}/sperm_{pid}.npy"
-                            ss_path = f"{block_dir}/ssrc_{pid}.npy"
-                            if not os.path.exists(sp_path):
-                                perm = np.argsort(src_b, kind="stable")
-                                tmp = f"{block_dir}/ssrc_{pid}.{uuid.uuid4().hex}.tmp.npy"
-                                np.save(tmp, src_b[perm])
-                                os.rename(tmp, ss_path)
-                                # ssrc before sperm: sperm existing
-                                # implies a complete ssrc
-                                tmp = f"{block_dir}/sperm_{pid}.{uuid.uuid4().hex}.tmp.npy"
-                                np.save(tmp, perm)
-                                os.rename(tmp, sp_path)
-                            ss = np.load(ss_path, mmap_mode="r")
-                            lo = np.searchsorted(ss, front_w, side="left")
-                            hi = np.searchsorted(ss, front_w, side="right")
-                            spans = hi - lo
-                            nz = spans > 0
-                            if not nz.any():
-                                continue
-                            lo2, sp2 = lo[nz], spans[nz]
-                            total = int(sp2.sum())
-                            # vectorized multi-range expansion:
-                            # positions lo2[j] .. lo2[j]+sp2[j] per hit
-                            offs = np.repeat(np.cumsum(sp2) - sp2, sp2)
-                            idx = np.repeat(lo2, sp2) + np.arange(total) - offs
-                            sel = np.asarray(
-                                np.load(sp_path, mmap_mode="r")
-                            )[idx]
-                        else:
-                            sel = np.flatnonzero(mask[src_b])
-                        if not len(sel):
+                        res = relax_block(
+                            block_dir,
+                            pid,
+                            blk,
+                            state,
+                            front=front_w,
+                            mask=mask,
+                            inf_value=None if sparse else bu_inf,
+                            front_frac=None if sparse else front_frac,
+                            one=one,
+                            edge_weighted=edge_weighted,
+                        )
+                        if res is None:
                             continue
-                        # per-edge dst (udst-local): deterministic per
-                        # block, so cached at BlockStore scope — repeated
-                        # traversals (warm single-source BFS, repeated CC)
-                        # reuse it instead of re-expanding |E| dst ids per
-                        # call (measured ~1 s/call/10^7 edges)
-                        ed_path = f"{block_dir}/edst_{pid}.npy"
-                        if os.path.exists(ed_path):
-                            edge_dst = np.load(ed_path, mmap_mode="r")
-                        else:
-                            seg_len = np.diff(np.r_[np.asarray(starts), len(src_b)])
-                            edge_dst = np.repeat(np.asarray(segmap), seg_len)
-                            # tmp + rename: a task killed mid-write (retry /
-                            # speculation) must never leave a truncated file
-                            # the exists-check above would then trust
-                            tmp = f"{block_dir}/edst_{pid}.{uuid.uuid4().hex}.tmp.npy"
-                            np.save(tmp, edge_dst)
-                            os.rename(tmp, ed_path)
-                        d_sel = np.asarray(edge_dst)[sel]
-                        cand = state[src_b[sel]]  # (k, S)
-                        if edge_weighted:
-                            # per-edge weight BEFORE the segmented min
-                            cand = cand + np.asarray(_w)[sel][:, None]
-                        order = np.argsort(d_sel, kind="stable")
-                        d_sel, cand = d_sel[order], cand[order]
-                        rst = np.flatnonzero(np.r_[True, d_sel[1:] != d_sel[:-1]])
-                        m = np.minimum.reduceat(cand, rst, axis=0)
-                        if not edge_weighted:
-                            m = m + one
-                        gd = np.asarray(udst)[d_sel[rst]]  # global dst ids
-                        cur = state[gd]
-                        new = np.minimum(cur, m)
-                        imp = np.flatnonzero((new < cur).any(axis=1))
-                        if len(imp):
-                            # v before i, both via rename: the driver keys on
-                            # i_<pid> existing, so its presence must imply a
-                            # complete v_<pid>
-                            vt = f"{out_dir}/v_{pid}.{uuid.uuid4().hex}.tmp.npy"
-                            np.save(vt, new[imp])
-                            os.rename(vt, f"{out_dir}/v_{pid}.npy")
-                            it_ = f"{out_dir}/i_{pid}.{uuid.uuid4().hex}.tmp.npy"
-                            np.save(it_, gd[imp])
-                            os.rename(it_, f"{out_dir}/i_{pid}.npy")
+                        gd, new = res
+                        # v before i, both via rename: the driver keys on
+                        # i_<pid> existing, so its presence must imply a
+                        # complete v_<pid>
+                        vt = f"{out_dir}/v_{pid}.{uuid.uuid4().hex}.tmp.npy"
+                        np.save(vt, new)
+                        os.rename(vt, f"{out_dir}/v_{pid}.npy")
+                        it_ = f"{out_dir}/i_{pid}.{uuid.uuid4().hex}.tmp.npy"
+                        np.save(it_, gd)
+                        os.rename(it_, f"{out_dir}/i_{pid}.npy")
                 yield pa.RecordBatch.from_arrays(
                     [pa.array(done, type=pa.int64())], names=["pid"]
                 )

@@ -193,3 +193,90 @@ def test_harmonic_centrality_golden_and_path_parity(g_rand, spark, monkeypatch):
     )
     for s in sources:
         assert hc2[s] == hc[s], s
+
+
+def test_barrier_relax_matches_per_round_bit_parity(g_rand, monkeypatch):
+    """frontier_min_relax has two execution paths: all rounds in one
+    gang-scheduled barrier job (local masters) vs one mapInArrow job per
+    round. The barrier loop snapshots state per round, so distances,
+    round count, and convergence must be identical — for both unweighted
+    min-plus (BFS) and weighted SSSP float64 relaxation."""
+    from approximate_pagerank_public_spark.operators import traversal
+
+    n = 300
+    sources = [0, 7, 250]
+
+    def run_bfs():
+        dist, inf = traversal._block_bfs_distances(g_rand, sources)
+        return dist
+
+    def run_sssp():
+        changed = np.zeros(n, dtype=bool)
+        changed[17] = True
+        state = np.full((n, 1), np.inf)
+        state[17, 0] = 0.0
+        out, rounds, conv = traversal.frontier_min_relax(
+            g_rand, state, changed, plus_one=False, edge_weighted=True
+        )
+        return out, rounds, conv
+
+    b_bfs = run_bfs()
+    b_sssp = run_sssp()
+    monkeypatch.setenv("SPARK_GRAFT_BARRIER", "0")
+    p_bfs = run_bfs()
+    p_sssp = run_sssp()
+    assert np.array_equal(b_bfs, p_bfs)
+    assert np.array_equal(b_sssp[0], p_sssp[0])  # bit-identical f64
+    assert b_sssp[1:] == p_sssp[1:]  # rounds + converged
+
+
+def test_relax_block_selection_strategies_agree():
+    """sparse top-down / dense top-down / bottom-up are alternate edge
+    selections inside relax_block — same candidates reach the segmented
+    min, so improvements must be identical (pure-NumPy, no Spark)."""
+    import os
+    import tempfile
+
+    from approximate_pagerank_public_spark.plans.blocks import (
+        build_tiled_block,
+        relax_block,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 120
+    src = rng.integers(0, n, 900)
+    dst = rng.integers(0, n, 900)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = np.ones(len(src))
+    arrays = build_tiled_block(src.astype(np.int64), dst.astype(np.int64), w)
+    inf = np.int16(16000)
+    # CONSISTENT mid-BFS snapshot (levels ≤ 2 final, level-2 = frontier):
+    # bottom-up assumes every visited vertex already propagated, which
+    # holds for level-synchronous states but not for arbitrary ones
+    gold = _golden_bfs(src, dst, n, int(src[0]))
+    state = np.full((n, 1), inf, dtype=np.int16)
+    for v, d_ in gold.items():
+        if d_ <= 2:
+            state[v, 0] = d_
+    front = np.flatnonzero(state[:, 0] == 2)
+    mask = np.zeros(n, dtype=bool)
+    mask[front] = True
+    with tempfile.TemporaryDirectory() as d:
+        for name, arr in arrays.items():
+            np.save(os.path.join(d, f"part_0_{name}.npy"), arr)
+        blk = tuple(
+            np.load(os.path.join(d, f"part_0_{name}.npy"), mmap_mode="r")
+            for name in ("src", "w", "udst", "starts", "segmap", "tb", "sb")
+        )
+        one = np.int16(1)
+        r_sparse = relax_block(d, 0, blk, state, front=np.sort(front), one=one)
+        r_dense = relax_block(d, 0, blk, state, mask=mask, one=one)
+        # front_frac=2.0 forces the bottom-up branch for every block
+        r_bu = relax_block(
+            d, 0, blk, state, mask=mask, inf_value=int(inf), front_frac=2.0, one=one
+        )
+    assert r_sparse is not None and r_dense is not None and r_bu is not None
+    for a, b in [(r_sparse, r_dense), (r_dense, r_bu)]:
+        assert np.array_equal(a[0], b[0])
+        assert np.array_equal(a[1], b[1])
