@@ -29,26 +29,68 @@ def _stable6(col) -> F.Column:
 
 
 # ----------------------------------------------------------------- helpers
+# Cross-query cache: the driver runs all ~80 queries() entries in one
+# session, and ~half of them start from the same transcripts→edges→Graph
+# pipeline. Rebuilding the Graph (ETL jobs + CSR block store) per query
+# roughly doubled the contract's wall clock at r3 — which is why the
+# driver's CORRECTNESS_r03 record ran out of budget at 50/78. Keyed by
+# (sf_dir, Spark applicationId) so a fresh session never sees another
+# session's DataFrames; entries are tiny at contract scale (sf0.01).
+_Q_CACHE: dict = {}
+
+
+def _q_cached(spark: SparkSession, sf_dir: str, what: str, build):
+    key = (what, sf_dir, spark.sparkContext.applicationId)
+    if key not in _Q_CACHE:
+        _Q_CACHE[key] = build()
+    return _Q_CACHE[key]
+
+
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from approximate_pagerank_public_spark.sources.transcripts import (
         transcripts_from_events,
     )
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return transcripts_from_events(events)
+    def build():
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return transcripts_from_events(events)
+
+    return _q_cached(spark, sf_dir, "transcripts", build)
 
 
 def _graph(spark: SparkSession, sf_dir: str):
     from approximate_pagerank_public_spark.plans.graph import Graph
 
-    return Graph.from_transcripts(_transcripts(spark, sf_dir), num_partitions=16)
+    return _q_cached(
+        spark,
+        sf_dir,
+        "graph",
+        lambda: Graph.from_transcripts(
+            _transcripts(spark, sf_dir), num_partitions=16
+        ),
+    )
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from approximate_pagerank_public_spark.operators.etl import build_edge_table
+    # the cached Graph's canonical edge relation (dst-hash layout,
+    # persisted once) — NOT a fresh build_edge_table pass per query
+    return _graph(spark, sf_dir).edges
 
-    _, edges = build_edge_table(_transcripts(spark, sf_dir))
-    return edges
+
+def _walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DeepWalk corpus shared by random_walks / skipgram /
+    skipgram_pmi (identical parameters) — materialized once."""
+    from approximate_pagerank_public_spark.operators.randomwalk import (
+        random_walk_corpus,
+    )
+
+    def build():
+        g = _graph(spark, sf_dir)
+        return random_walk_corpus(
+            g, walks_per_vertex=1, walk_length=4, seed="rw"
+        ).localCheckpoint()
+
+    return _q_cached(spark, sf_dir, "walk_corpus", build)
 
 
 # DuckDB-side CTE prefix: transcripts + edges derived from the events view
@@ -320,7 +362,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from approximate_pagerank_public_spark.operators.triangles import triangle_df
     from approximate_pagerank_public_spark.plans.graph import Graph
 
-    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    g = _graph(spark, sf_dir)
     t = triangle_df(g)
     return t.agg(F.count("*").alias("n_triangles"))
 
@@ -331,7 +373,7 @@ def q_four_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from approximate_pagerank_public_spark.operators.triangles import four_cycles_df
     from approximate_pagerank_public_spark.plans.graph import Graph
 
-    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    g = _graph(spark, sf_dir)
     return four_cycles_df(g)
 
 
@@ -524,7 +566,7 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from approximate_pagerank_public_spark.plans.graph import Graph
 
-    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    g = _graph(spark, sf_dir)
     return connected_components(g).select("id", "component")
 
 
@@ -536,7 +578,7 @@ def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from approximate_pagerank_public_spark.plans.graph import Graph
 
-    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    g = _graph(spark, sf_dir)
     return connected_components(g, mode="star").select("id", "component")
 
 
@@ -547,7 +589,7 @@ def q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from approximate_pagerank_public_spark.plans.graph import Graph
 
-    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    g = _graph(spark, sf_dir)
     return component_sizes(connected_components(g)).orderBy("component")
 
 
@@ -555,7 +597,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from approximate_pagerank_public_spark.operators.labelprop import label_propagation
     from approximate_pagerank_public_spark.plans.graph import Graph
 
-    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    g = _graph(spark, sf_dir)
     return label_propagation(g, max_iter=5).select("id", "label")
 
 
@@ -569,7 +611,7 @@ def q_community_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from approximate_pagerank_public_spark.plans.graph import Graph
 
-    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    g = _graph(spark, sf_dir)
     labels = label_propagation(g, max_iter=5)
     return contract_communities(g, labels)
 
@@ -578,7 +620,7 @@ def q_bfs_from_min_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from approximate_pagerank_public_spark.operators.traversal import bfs
     from approximate_pagerank_public_spark.plans.graph import Graph
 
-    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    g = _graph(spark, sf_dir)
     return bfs(g, 0).select("id", F.col("dist").cast("long").alias("dist"))
 
 
@@ -586,7 +628,7 @@ def q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from approximate_pagerank_public_spark.operators.traversal import eccentricity
     from approximate_pagerank_public_spark.plans.graph import Graph
 
-    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    g = _graph(spark, sf_dir)
     return eccentricity(g, [0]).select("source", F.col("ecc").cast("long").alias("ecc"))
 
 
@@ -598,8 +640,7 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from approximate_pagerank_public_spark.plans.graph import Graph
 
-    g = Graph(_edges(spark, sf_dir), num_partitions=16)
-    return random_walk_corpus(g, walks_per_vertex=1, walk_length=4, seed="rw")
+    return _walk_corpus(spark, sf_dir)
 
 
 def q_approx_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -610,7 +651,7 @@ def q_approx_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from approximate_pagerank_public_spark.plans.graph import Graph
 
-    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    g = _graph(spark, sf_dir)
     return approx_diameter(g, 0)
 
 
@@ -620,7 +661,7 @@ def q_fbfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from approximate_pagerank_public_spark.operators.traversal import filtered_bfs
     from approximate_pagerank_public_spark.plans.graph import Graph
 
-    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    g = _graph(spark, sf_dir)
     return filtered_bfs(g, 0).select("id", "dist", "prop")
 
 
@@ -636,7 +677,7 @@ def q_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from approximate_pagerank_public_spark.plans.graph import Graph
 
-    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    g = _graph(spark, sf_dir)
     return stress_centrality(g, STRESS_SOURCES).select("id", "stress")
 
 
@@ -648,7 +689,7 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from approximate_pagerank_public_spark.plans.graph import Graph
 
-    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    g = _graph(spark, sf_dir)
     return degree_assortativity(g).select(
         "m", _stable6("assortativity").alias("assortativity")
     )
@@ -663,7 +704,7 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from approximate_pagerank_public_spark.plans.graph import Graph
 
-    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    g = _graph(spark, sf_dir)
     labels = label_propagation(g, max_iter=5)
     return modularity(g, labels).select(
         "n_communities", _stable6("modularity").alias("modularity")
@@ -680,7 +721,7 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from approximate_pagerank_public_spark.plans.graph import Graph
 
-    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    g = _graph(spark, sf_dir)
     return strongly_connected_components(g).select("id", "scc")
 
 
@@ -692,7 +733,7 @@ def q_sssp_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from approximate_pagerank_public_spark.operators.sssp import sssp
     from approximate_pagerank_public_spark.plans.graph import Graph
 
-    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    g = _graph(spark, sf_dir)
     return sssp(g, 0).select("id", _stable6("dist").alias("dist"))
 
 
@@ -781,7 +822,7 @@ def q_per_vertex_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from approximate_pagerank_public_spark.plans.graph import Graph
 
-    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    g = _graph(spark, sf_dir)
     return per_vertex_triangles(g)
 
 
@@ -792,7 +833,7 @@ def q_kcore3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from approximate_pagerank_public_spark.operators.kcore import k_core
     from approximate_pagerank_public_spark.plans.graph import Graph
 
-    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    g = _graph(spark, sf_dir)
     return k_core(g, 3).subgraph_vertices()
 
 
@@ -802,7 +843,7 @@ def q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from approximate_pagerank_public_spark.operators.kcore import core_numbers
     from approximate_pagerank_public_spark.plans.graph import Graph
 
-    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    g = _graph(spark, sf_dir)
     return core_numbers(g).core_numbers()
 
 
@@ -814,7 +855,7 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from approximate_pagerank_public_spark.plans.graph import Graph
 
-    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    g = _graph(spark, sf_dir)
     return clustering_coefficient(g)
 
 
@@ -829,7 +870,7 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from approximate_pagerank_public_spark.plans.graph import Graph
 
-    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    g = _graph(spark, sf_dir)
     return link_prediction(g, min_common=3).select("u", "v", "cn", "jaccard", "pa")
 
 
@@ -849,7 +890,7 @@ def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from approximate_pagerank_public_spark.plans.graph import Graph
 
-    g = Graph(_edges(spark, sf_dir), num_partitions=16)
+    g = _graph(spark, sf_dir)
     return closeness_centrality(g, [0]).select(
         "source", _stable6("closeness").alias("closeness")
     )
@@ -1083,7 +1124,7 @@ def q_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     g = _graph(spark, sf_dir)
-    corpus = random_walk_corpus(g, walks_per_vertex=1, walk_length=4, seed="rw")
+    corpus = _walk_corpus(spark, sf_dir)
     return skipgram_pairs(corpus, window=2)
 
 
@@ -1253,7 +1294,7 @@ def q_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     g = _graph(spark, sf_dir)
-    corpus = random_walk_corpus(g, walks_per_vertex=1, walk_length=4, seed="rw")
+    corpus = _walk_corpus(spark, sf_dir)
     pairs = skipgram_pairs(corpus, window=2)
     return pmi_scores(pairs).select(
         "center", "context", "n", _stable6("pmi_ratio").alias("pmi_ratio")
@@ -1297,7 +1338,7 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     g = _graph(spark, sf_dir)
-    corpus = random_walk_corpus(g, walks_per_vertex=1, walk_length=4, seed="rw")
+    corpus = _walk_corpus(spark, sf_dir)
     pairs = skipgram_pairs(corpus, window=2)
     return negative_samples(pairs, n_vertices=g.num_vertices, n_neg=2, seed="neg")
 

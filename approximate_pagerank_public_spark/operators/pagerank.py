@@ -681,11 +681,6 @@ def _run_distributed_arrow(
                 ).otherwise(0.0)
             new_cols.append(expr.alias(c))
             diff_cols.append(F.abs(expr - F.col(c)).alias(f"_d{i}"))
-        new, new_ids = local_ckpt(
-            state.join(contribs, "id", "left")
-            .select("id", "pids", *new_cols, *diff_cols)
-            .repartition(p, "id")
-        )
         gaggs = (
             [
                 F.sum(F.when(F.size("pids") == 0, F.col(c))).alias(f"_g{i}")
@@ -694,11 +689,28 @@ def _run_distributed_arrow(
             if dangling_norm
             else []
         )
-        err_row = new.agg(
-            *[F.sum(f"_d{i}").alias(f"_d{i}") for i in range(s)],
-            *[F.sum(F.pow(f"_d{i}", 2)).alias(f"_q{i}") for i in range(s)],
-            *gaggs,
-        ).first()
+        # stop scalars + next dangling dot ride the SAME job as the state
+        # checkpoint (CollectMetrics/observe accumulates them while rows
+        # stream past) — the r3 path paid a second O(V·S) scan job per
+        # superstep for them, a fixed ~1 s of the ~4.9 s superstep at
+        # |E|=10⁸, and carried the diff columns inside the checkpointed
+        # state; now the checkpoint holds only (id, pids, r*)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        new, new_ids = local_ckpt(
+            state.join(contribs, "id", "left")
+            .select("id", "pids", *new_cols, *diff_cols)
+            .observe(
+                obs,
+                *[F.sum(f"_d{i}").alias(f"_d{i}") for i in range(s)],
+                *[F.sum(F.pow(f"_d{i}", 2)).alias(f"_q{i}") for i in range(s)],
+                *gaggs,
+            )
+            .select("id", "pids", *cols)
+            .repartition(p, "id")
+        )
+        err_row = obs.get
         l1 = max(float(err_row[f"_d{i}"]) for i in range(s))
         sq = max(float(err_row[f"_q{i}"]) for i in range(s))
         d_used = max(d)
@@ -707,7 +719,7 @@ def _run_distributed_arrow(
         # the new state is materialized — actually free the superseded
         # checkpoint blocks (DataFrame.unpersist would be a no-op)
         free_local_ckpt(spark, state_ids)
-        state, state_ids = new.select("id", "pids", *cols), new_ids
+        state, state_ids = new, new_ids  # already (id, pids, r*)
         metrics.append(
             {
                 "iter": it,

@@ -58,11 +58,26 @@ def ranked_adjacency(g: Graph) -> DataFrame:
     The per-src window is safe at scale: it partitions BY src (hash
     shuffle, no global sort), and a web-graph hub's out-degree — unlike
     its in-degree — is crawl-bounded, so per-partition state stays small.
+
+    Cached (persisted, spillable) on the Graph: every walk hop joins it
+    3-4 times, and an L=8 node2vec corpus otherwise re-runs the window
+    shuffle ~30 times (measured ~40% of q_node2vec_sg's wall clock).
+    ``Graph.unpersist`` releases it with the other derived tables.
     """
+    cached = getattr(g, "_ranked_adj", None)
+    if cached is not None:
+        return cached
+    from pyspark.storagelevel import StorageLevel
+
     w = Window.partitionBy("src").orderBy("dst")
-    return g.edges.select("src", "dst").withColumn(
-        "rnk", F.row_number().over(w) - 1
-    ).withColumn("deg", F.count("*").over(Window.partitionBy("src")))
+    df = (
+        g.edges.select("src", "dst")
+        .withColumn("rnk", F.row_number().over(w) - 1)
+        .withColumn("deg", F.count("*").over(Window.partitionBy("src")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    g._ranked_adj = df
+    return df
 
 
 @dataclass
@@ -191,7 +206,8 @@ def random_walk_corpus(
         # every per-step snapshot IS part of the corpus, so NO step
         # checkpoint is ever superseded — none may be freed (the blocks
         # are the only copy once lineage is truncated)
-        nxt, _ids = local_ckpt(nxt)
+        small = max(1, min(g.num_partitions, g.num_vertices * k // 65_536 + 1))
+        nxt, _ids = local_ckpt(nxt.coalesce(small))
         state = nxt
         steps.append(state.withColumn("step", F.lit(t + 1).cast("long")))
     out = steps[0]
@@ -256,7 +272,13 @@ def node2vec_corpus(
     wr, wi, wo = int(w_return), int(w_in), int(w_out)
     adj = ranked_adjacency(g)
     e2 = g.edges.select(F.col("src").alias("p_src"), F.col("dst").alias("p_dst"))
-    degt = adj.groupBy("src").agg(F.max("deg").alias("deg"))
+    # loop-invariant V-row tables: materialize once, not per hop; walk
+    # state is O(V·K), so checkpoint/snapshot partition counts scale with
+    # the graph instead of pinning 32 near-empty tasks per tiny stage
+    small = max(1, min(g.num_partitions, g.num_vertices // 65_536 + 1))
+    degt, _degt_ids = local_ckpt(
+        adj.groupBy("src").agg(F.max("deg").alias("deg")).coalesce(small)
+    )
     state = g.vertices.select(
         F.col("id").alias("walk"), F.col("id").alias("prev"), F.col("id").alias("cur")
     )
@@ -280,9 +302,12 @@ def node2vec_corpus(
             .where(F.col("dc").isNotNull())  # dangling cur pads in place
         )
         # prs and spec fan out into 4-5 consumers each (in-class joins,
-        # return slot, decision rows, totals) — materialize once per
-        # step or every consumer recomputes the distinct + joins
-        prs, prs_ids = local_ckpt(prs)
+        # return slot, decision rows, totals) — eagerly materialize once
+        # per step: lazy persist() was tried and measured 2x WORSE (the
+        # hop's final job runs the decision subtrees as parallel stages,
+        # which race to compute the shared cache and each re-run the
+        # distinct + joins)
+        prs, prs_ids = local_ckpt(prs.coalesce(small))
         # ---- in-class slots: d in N_out(prev) ∩ N_out(cur), d != prev.
         # Expand the smaller adjacency, equi-join the other (wedge trick).
         live = F.col("dp").isNotNull()
@@ -341,7 +366,7 @@ def node2vec_corpus(
             # (e.g. the return slot at w_return < w_out)
             F.sum(F.col("wt") - F.lit(wo)).over(pair_w).alias("cm"),
         )
-        spec, spec_ids = local_ckpt(spec)
+        spec, spec_ids = local_ckpt(spec.coalesce(small))
         # decision rows: special brackets carry dst directly; segment
         # rows carry the linear offset c for k = (draw - c) div w_out
         dec_special = spec.select(
@@ -421,7 +446,7 @@ def node2vec_corpus(
                 ).alias("cur"),
             )
         )
-        nxt, _ids = local_ckpt(nxt)
+        nxt, _ids = local_ckpt(nxt.coalesce(small))
         free_local_ckpt(spark, prs_ids)
         free_local_ckpt(spark, spec_ids)
         state = nxt

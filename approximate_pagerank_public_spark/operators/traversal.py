@@ -326,27 +326,69 @@ def multi_source_bfs_block(
     :func:`multi_source_bfs`. Returns ``(source, id, dist)`` over
     reached vertices only.
     """
-    import pyarrow as pa
-
     blocks = graph.blocks
     if blocks is None:
         return multi_source_bfs(graph, sources, max_levels)
     s = len(sources)
     src_arr = np.asarray(sources, dtype=np.int64)
     dist, inf = _block_bfs_distances(graph, sources, max_levels)
-    # zero-pandas conversion: flat reached index → Arrow columns (the
-    # naive nonzero + pd.DataFrame path cost more than the BFS itself)
+    # zero-pandas conversion: flat reached index → shm-backed columns (the
+    # naive nonzero + pd.DataFrame path cost more than the BFS itself, and
+    # a driver-local createDataFrame costs ~3 s/10⁶ rows through Py4J —
+    # more than the whole warm traversal)
     flat = np.flatnonzero(dist.ravel() < inf - 1000)
     vid = flat // s
     sidx = flat - vid * s
-    tbl = pa.table(
+    return _df_from_shm_columns(
+        graph.spark,
+        blocks,
         {
-            "source": pa.array(src_arr[sidx]),
-            "id": pa.array(vid),
-            "dist": pa.array(dist.ravel()[flat].astype(np.int64)),
-        }
+            "source": src_arr[sidx],
+            "id": vid.astype(np.int64),
+            "dist": dist.ravel()[flat].astype(np.int64),
+        },
+        "source long, id long, dist long",
     )
-    return graph.spark.createDataFrame(tbl)
+
+
+def _df_from_shm_columns(
+    spark, blocks, cols: dict[str, np.ndarray], schema: str
+) -> DataFrame:
+    """Driver-resident NumPy columns → distributed DataFrame through the
+    shared-memory block dir: columns are written once as .npy, tasks
+    mmap disjoint row ranges (``mapInArrow``) — no Py4J upload of the
+    payload, and downstream ops read it in parallel. Files live in a
+    ``res_*`` subdir of the BlockStore dir, reclaimed by
+    ``Graph.unpersist`` (re-reads must stay possible while the
+    DataFrame's lineage is alive)."""
+    import pyarrow as pa
+
+    d = os.path.join(blocks.dir, f"res_{uuid.uuid4().hex}")
+    os.makedirs(d)
+    names = list(cols)
+    n = len(cols[names[0]])
+    for name, arr in cols.items():
+        np.save(f"{d}/{name}.npy", np.ascontiguousarray(arr))
+    p = max(1, min(spark.sparkContext.defaultParallelism, max(1, n // 65_536)))
+
+    def gen(batches):
+        for b in batches:
+            for i in b.column("id").to_pylist():
+                lo, hi = i * n // p, (i + 1) * n // p
+                if hi > lo:
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(
+                                np.asarray(
+                                    np.load(f"{d}/{nm}.npy", mmap_mode="r")[lo:hi]
+                                )
+                            )
+                            for nm in names
+                        ],
+                        names=names,
+                    )
+
+    return spark.range(0, p, 1, p).mapInArrow(gen, schema)
 
 
 def _block_bfs_distances(

@@ -221,6 +221,10 @@ class Graph:
 
     def unpersist(self) -> None:
         self.edges.unpersist()
+        ra = getattr(self, "_ranked_adj", None)
+        if ra is not None:
+            ra.unpersist()
+            self._ranked_adj = None
         if self.vertex_names is not None:
             self.vertex_names.unpersist()
         if self._blocks is not None:

@@ -224,9 +224,10 @@ def main() -> None:
         run("q_scc", _scc)
         run("q_sssp", _sssp)
         run("q_stress4", _stress)
-        # deterministic corpus (no sources to re-randomize) and the
-        # suite's longest query — extra reps only measure host noise
-        run("q_node2vec_sg", _node2vec, n=min(REPEATS, 2))
+        # full n reps since the r4 hop-latency cuts (cached ranked
+        # adjacency, hoisted degt, size-scaled checkpoints) — the r3 n=2
+        # cap existed only because one rep cost 34-42 s
+        run("q_node2vec_sg", _node2vec)
 
     # ---- triangle count on the reference-shaped pc family ----------------
     pc_box = {}
