@@ -681,6 +681,27 @@ def q_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stress_centrality(g, STRESS_SOURCES).select("id", "stress")
 
 
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brandes betweenness (δ accumulation) from the same 4 pivot
+    sources as ``q_stress``. NO oracle_sql entry — documented reason:
+    δ sums float divisions (σ(v)/σ(w)) across DAG edges whose
+    accumulation association is the engine's tiled backward gather; a
+    SQL re-aggregation orders the sums differently, so even truncated
+    values can straddle a 1e-6 floor boundary. The driver records the
+    rows+schema check; VALUE correctness is pinned engine-side by
+    ``tests/test_centrality.py`` against a pure-Python Brandes golden
+    (allclose 1e-12), and the integer-exact twin statistic (stress) is
+    hash-checked by ``q_stress``."""
+    from approximate_pagerank_public_spark.operators.centrality import (
+        betweenness_centrality,
+    )
+
+    g = _graph(spark, sf_dir)
+    return betweenness_centrality(g, STRESS_SOURCES).select(
+        "id", _stable6("betweenness").alias("betweenness")
+    )
+
+
 def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-in degree assortativity (Newman 2002) — exact integer sums,
     final value one sqrt-product division, hash-exact."""
@@ -1371,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_graph": q_community_graph,
         "assortativity": q_assortativity,
         "stress": q_stress,
+        "betweenness": q_betweenness,
         "bfs_dist": q_bfs_from_min_conv,
         "approx_diameter": q_approx_diameter,
         "random_walks": q_random_walks,

@@ -248,13 +248,37 @@ def main() -> None:
     if pc_box.get("g") is not None:
         pc_box["g"].unpersist()
 
+
     # ---- training-data ops on the driver tables --------------------------
+    def _docs():
+        """documents table: driver parquet when present, else the
+        deterministic synthesizer at the SF-scaled size (sf1+ has no
+        shipped parquet; BASELINE.md sf1 campaign)."""
+        path = f"{SF_DIR}/documents.parquet"
+        if os.path.exists(path):
+            return spark.read.parquet(path)
+        from approximate_pagerank_public_spark.sources.synthetic_tables import (
+            synthesize_documents,
+        )
+
+        return synthesize_documents(spark, n_docs=max(500, int(50_000 * SF)), seed=42)
+
+    def _events():
+        path = f"{SF_DIR}/events.parquet"
+        if os.path.exists(path):
+            return spark.read.parquet(path)
+        from approximate_pagerank_public_spark.sources.synthetic_tables import (
+            synthesize_events,
+        )
+
+        return synthesize_events(spark, n_events=max(2000, int(1_000_000 * SF)), seed=42)
+
     def dedup_minhash(_rep):
         from approximate_pagerank_public_spark.operators.dedup import (
             minhash_lsh_candidates,
         )
 
-        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        docs = _docs()
         return minhash_lsh_candidates(docs, num_hashes=16, bands=4).count()
 
     def ann_lsh(_rep):
@@ -277,8 +301,8 @@ def main() -> None:
         from approximate_pagerank_public_spark.operators.sampling import dataset_split
         from approximate_pagerank_public_spark.operators.textstats import tfidf_topk
 
-        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        docs = _docs()
+        ev = _events()
         n = tfidf_topk(docs, k=5).count()
         pairs = minhash_lsh_candidates(docs, num_hashes=16, bands=4)
         n += duplicate_clusters(docs, pairs).where("NOT keep").count()
@@ -286,9 +310,24 @@ def main() -> None:
         n += session_stats(ev).count()
         return n
 
+    def decontam(_rep):
+        from approximate_pagerank_public_spark.operators.curation import (
+            ngram_contamination,
+        )
+        from approximate_pagerank_public_spark.operators.sampling import dataset_split
+
+        docs = dataset_split(_docs(), fractions={"train": 0.98, "eval": 0.02})
+        ev_docs = docs.where("split = 'eval'")
+        tr_docs = docs.where("split = 'train'")
+        return ngram_contamination(ev_docs, tr_docs, n=8).where(
+            "contamination > 0"
+        ).count()
+
     run("q_dedup_minhash", dedup_minhash)
-    run("q_ann_lsh", ann_lsh)
+    if os.path.exists(f"{SF_DIR}/embeddings.parquet"):
+        run("q_ann_lsh", ann_lsh)
     run("q_text_pipeline", text_pipeline, n=min(REPEATS, 3))
+    run("q_decontam", decontam, n=min(REPEATS, 3))
 
     # ---- synthetic SpMV throughput (scaling workload) --------------------
     spmv_rep_medians: list[float] = []

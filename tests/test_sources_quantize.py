@@ -225,3 +225,35 @@ def test_load_table_pluggable_format(spark, tmp_path):
         assert via_env.count() == 2
     finally:
         del os.environ["SPARK_GRAFT_TABLE_FORMAT"]
+
+
+def test_synthetic_documents_events_shape_and_determinism(spark):
+    """sf1+ fallback tables must match the driver testdata schemas
+    exactly, contain the dedup/boilerplate structure the curation
+    operators need, and be partitioning-invariant (pure xxhash64)."""
+    from pyspark.sql import functions as F
+
+    from approximate_pagerank_public_spark.sources.synthetic_tables import (
+        synthesize_documents,
+        synthesize_events,
+    )
+
+    docs = synthesize_documents(spark, 500, seed=42)
+    assert docs.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    ref = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    assert dict(docs.dtypes) == dict(ref.dtypes)
+    # replicas exist (exact-dup load for the dedup family)
+    dup = (
+        docs.groupBy("text").count().where(F.col("count") >= 2).count()
+    )
+    assert dup > 0
+    # partitioning-invariant
+    a = sorted(map(tuple, docs.limit(50).collect()))
+    b = sorted(map(tuple, synthesize_documents(spark, 500, seed=42, partitions=7).limit(50).collect()))
+    assert a == b
+
+    ev = synthesize_events(spark, 2000, seed=42)
+    assert ev.columns == ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    refe = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    assert dict(ev.dtypes) == dict(refe.dtypes)
+    assert ev.select("user_id").distinct().count() > 1
