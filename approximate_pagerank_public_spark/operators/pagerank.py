@@ -52,6 +52,7 @@ from approximate_pagerank_public_spark.plans.checkpoint import (
     CheckpointManager,
     free_local_ckpt,
     local_ckpt,
+    pinned_confs,
 )
 from approximate_pagerank_public_spark.plans.graph import Graph
 
@@ -596,6 +597,48 @@ def _run_distributed_arrow(
     dangling_norm: bool = True,
     init_ranks: DataFrame | None = None,
 ) -> PageRankResult:
+    """Pin the loop's partition layout, then run the superstep loop.
+
+    The checkpointed state must stay hash(id, p) across supersteps (the
+    shuffle-hash join streams it in place only then); AQE partition
+    coalescing re-plans the contribs exchange to fewer partitions and
+    the layout drifts superstep over superstep (measured: escalating
+    5→29 s supersteps at |E|=10⁸ / 32 cores). See
+    :func:`~approximate_pagerank_public_spark.plans.checkpoint.pinned_confs`.
+    """
+    with pinned_confs(
+        graph.spark,
+        {
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+            "spark.sql.shuffle.partitions": str(graph.num_partitions),
+        },
+    ):
+        return _run_distributed_arrow_impl(
+            graph,
+            alpha,
+            tol,
+            max_iter,
+            sources,
+            checkpoint_dir,
+            checkpoint_every,
+            resume,
+            dangling_norm,
+            init_ranks,
+        )
+
+
+def _run_distributed_arrow_impl(
+    graph: Graph,
+    alpha: float,
+    tol: float,
+    max_iter: int,
+    sources: list[int] | None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = True,
+    dangling_norm: bool = True,
+    init_ranks: DataFrame | None = None,
+) -> PageRankResult:
     """Message-shuffle supersteps over shared-FS CSR blocks — the
     cluster-scale path (``plans/distblocks.py``; single source, plain
     PageRank, and the (S, N) multi-PPR block all share it).
@@ -694,12 +737,21 @@ def _run_distributed_arrow(
         # stream past) — the r3 path paid a second O(V·S) scan job per
         # superstep for them, a fixed ~1 s of the ~4.9 s superstep at
         # |E|=10⁸, and carried the diff columns inside the checkpointed
-        # state; now the checkpoint holds only (id, pids, r*)
+        # state; now the checkpoint holds only (id, pids, r*).
+        #
+        # Join shape: localCheckpoint preserves the state's hash(id, p)
+        # outputPartitioning, so with shuffle partitions == p the ONLY
+        # exchange here is contribs→hash(id, p); the shuffle_hash hint
+        # builds the hash map on the contribs side and streams state
+        # in-place (a sort-merge join would add two O(V·S) sorts per
+        # superstep), and the join output is already hash(id, p) — the
+        # explicit trailing repartition the r3 path paid (a second full
+        # O(V·S) exchange per superstep) is gone.
         from pyspark.sql import Observation
 
         obs = Observation()
         new, new_ids = local_ckpt(
-            state.join(contribs, "id", "left")
+            state.join(contribs.hint("shuffle_hash"), "id", "left")
             .select("id", "pids", *new_cols, *diff_cols)
             .observe(
                 obs,
@@ -708,7 +760,6 @@ def _run_distributed_arrow(
                 *gaggs,
             )
             .select("id", "pids", *cols)
-            .repartition(p, "id")
         )
         err_row = obs.get
         l1 = max(float(err_row[f"_d{i}"]) for i in range(s))

@@ -26,10 +26,43 @@ from __future__ import annotations
 import json
 import os
 import time
+from contextlib import contextmanager
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def pinned_confs(spark: SparkSession, confs: dict[str, str]):
+    """Pin session confs for the duration of an iterative loop, restoring
+    the previous values (or unsetting) on exit.
+
+    The superstep loops manage their own partitioning: the checkpointed
+    vertex state must stay hash(id, p)-partitioned so the next
+    superstep's shuffle-hash join streams it in place. AQE's partition
+    coalescing re-plans the join exchange to fewer partitions (measured:
+    32 → 16 at |V|=10⁶), the LogicalRDD then reports the drifted layout,
+    and outbox parallelism + join locality degrade superstep over
+    superstep — so the loops pin ``coalescePartitions.enabled=false``
+    and ``shuffle.partitions=p`` while they run, leaving the relational
+    ETL stages (where AQE coalescing is the right call) untouched.
+    """
+    prev: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
 
 
 def local_ckpt(df: DataFrame) -> tuple[DataFrame, set[int]]:

@@ -44,11 +44,16 @@ BlockStore` cannot engage:
   partitioned cluster SpMV pays. Skew-salted layouts skip the coalesce
   (it would re-merge the salted hub partitions).
 
-Per superstep: one narrow scan for the dangling dot (dangling ⇔
-``pids`` is empty — no out-edges), one job carrying the message shuffle
-+ SpMV + axpb projection into the next checkpointed state, one narrow
-scan for the L1/L2 stop scalars. Compare ``operators/pagerank.py::
-_run_distributed``: an |E|-row join + |E|-row hash agg per superstep.
+Per superstep: ONE job — outbox pack (narrow over the checkpointed
+state) → packed-message shuffle → block SpMV → contribs exchanged
+hash(id) once → shuffle-hash join against the in-place state → axpb
+projection → next localCheckpoint — with the L1/L2 stop scalars AND the
+next iteration's dangling dot (dangling ⇔ ``pids`` empty — no
+out-edges) accumulated by ``DataFrame.observe`` as the rows stream
+past. Two exchanges total (messages + contribs); the state side never
+re-shuffles because ``localCheckpoint`` preserves its hash(id, p)
+partitioning. Compare ``operators/pagerank.py::_run_distributed``: an
+|E|-row join + |E|-row hash agg per superstep.
 
 Reference: the message packing mirrors the FPGA's block-local
 accumulation + burst write-back (``spmv_coo_multi_stream.hpp:178-232``);
@@ -83,6 +88,48 @@ _DIST_ARRAYS = ("usrc", "srcl", "w", "udst", "starts", "segmap", "tb", "sb")
 # after the first superstep touches a block the mmap stays resident and
 # later supersteps pay zero filesystem reads for edge data.
 _BLOCK_CACHE: dict = {}
+
+
+def _murmur3_int32(x: int, seed: int = 42) -> int:
+    """Spark's ``Murmur3Hash`` of one IntegerType value (the hash behind
+    ``repartition(n, col)``'s HashPartitioning), reimplemented so the
+    driver can pick routing tokens without running a job. Verified
+    against ``F.hash`` in ``test_distributed_arrow.py``."""
+    m = 0xFFFFFFFF
+    k1 = (x * 0xCC9E2D51) & m
+    k1 = ((k1 << 15) | (k1 >> 17)) & m
+    k1 = (k1 * 0x1B873593) & m
+    h1 = seed ^ k1
+    h1 = ((h1 << 13) | (h1 >> 19)) & m
+    h1 = (h1 * 5 + 0xE6546B64) & m
+    h1 ^= 4  # total bytes hashed
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & m
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & m
+    h1 ^= h1 >> 16
+    # Spark's pmod of the signed int32 hash
+    if h1 >= 1 << 31:
+        h1 -= 1 << 32
+    return h1
+
+
+def _slot_tokens(num_slots: int) -> list[int]:
+    """token[s] = smallest non-negative int whose Murmur3Hash pmod
+    ``num_slots`` is s — repartitioning on the token column places each
+    slot's rows in exactly one distinct partition (plain hash
+    partitioning of ~13 block pids into 32 slots collides and leaves
+    the SpMV phase running at max-blocks-per-task)."""
+    tokens: dict[int, int] = {}
+    t = 0
+    while len(tokens) < num_slots:
+        s = _murmur3_int32(t) % num_slots
+        if s < 0:
+            s += num_slots
+        if s not in tokens:
+            tokens[s] = t
+        t += 1
+    return [tokens[s] for s in range(num_slots)]
 
 
 def _load_dist_block(block_dir: str, pid: int) -> tuple:
@@ -321,8 +368,25 @@ class DistBlockStore:
         out_schema = "id long, " + ", ".join(f"c{i} double" for i in range(s))
         self._last_outbox = outbox  # exposed for phase profiling
         msgs = state.select("id", "pids", *cols).mapInArrow(outbox, msg_schema)
-        out = msgs.repartition(shuffle_partitions, "pid").mapInArrow(
-            spmv_kernel, out_schema
+        # route each block to its own shuffle slot: block i (rank in pid
+        # order) → slot i % P via a token whose murmur3 hash pmod P IS
+        # that slot. Plain repartition(P, "pid") hash-collides ~13 pids
+        # into 32 slots, so one task owns 2-3 blocks while most idle and
+        # the SpMV phase runs at max-blocks-per-task latency.
+        n_slots = max(1, int(shuffle_partitions))
+        toks = _slot_tokens(n_slots)
+        route = F.create_map(
+            *[
+                lit
+                for i, pid in enumerate(self.pids)
+                for lit in (F.lit(pid), F.lit(toks[i % n_slots]))
+            ]
+        )[F.col("pid")]
+        out = (
+            msgs.withColumn("_route", route)
+            .repartition(n_slots, "_route")
+            .drop("_route")
+            .mapInArrow(spmv_kernel, out_schema)
         )
         if not self.dst_disjoint:
             out = out.groupBy("id").agg(

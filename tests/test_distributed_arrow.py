@@ -131,6 +131,34 @@ def test_arrow_resume_matches_uninterrupted(g_rand, tmp_path):
     assert np.allclose(full.rank_vector(0), res.rank_vector(0), atol=1e-12)
 
 
+def test_slot_token_murmur_matches_spark(spark):
+    """The driver-side Murmur3 reimplementation behind the block→slot
+    routing tokens must agree with Spark's ``F.hash`` (the function
+    HashPartitioning applies), and the tokens must land each block in a
+    distinct shuffle partition."""
+    from pyspark.sql import functions as F
+
+    from approximate_pagerank_public_spark.plans.distblocks import (
+        _murmur3_int32,
+        _slot_tokens,
+    )
+
+    vals = [0, 1, 2, 7, 13, 42, 100, 1000, 123456, 2**31 - 1]
+    rows = (
+        spark.range(1)
+        .select(*[F.hash(F.lit(v).cast("int")).alias(f"h{i}") for i, v in enumerate(vals)])
+        .first()
+    )
+    for i, v in enumerate(vals):
+        assert rows[f"h{i}"] == _murmur3_int32(v), v
+
+    for p in (1, 3, 8, 32):
+        toks = _slot_tokens(p)
+        slots = [_murmur3_int32(t) % p for t in toks]
+        slots = [s + p if s < 0 else s for s in slots]
+        assert slots == list(range(p))
+
+
 def test_arrow_convergence_stops_early(g_rand):
     res = pagerank(g_rand, mode="distributed-arrow", tol=1e-6, max_iter=100)
     assert res.converged and res.iterations < 100
