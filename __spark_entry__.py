@@ -1072,6 +1072,60 @@ def q_event_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel per user: greedy-earliest
+    strict progression, folded per key in one shuffle (`F.aggregate`
+    over the (ts,id)-sorted step events — `operators/events.py:funnel`).
+    All time values are integer-microsecond DIFFERENCES (timezone-free,
+    hash-exact); the oracle is the independent chained-conditional-min
+    formulation, not a replay of the fold."""
+    from approximate_pagerank_public_spark.operators.events import funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(ev, ["view", "click", "purchase"]).select(
+        "user_id", "steps_completed", "t0_offset_us", "d01_us", "d12_us"
+    )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition counts (Markov bigrams) over
+    each user's (ts, event_id)-ordered stream — one key shuffle +
+    window lag, |types|² output groups."""
+    from approximate_pagerank_public_spark.operators.events import (
+        event_transitions,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return event_transitions(ev)
+
+
+def q_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload aggregation: `$.k` extracted from the
+    JSON props string (codegen'd get_json_object, no UDF), integer
+    aggregates per event_type — hash-exact."""
+    from approximate_pagerank_public_spark.operators.events import (
+        props_numeric_stats,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return props_numeric_stats(ev, json_path="$.k")
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-scoped near-dup pairs: deterministic
+    sample-trained k-means cells (the IVF quantizer), exact cosine
+    within a cell only — the oracle recomputes the centroids with the
+    same NumPy trainer and replays assignment + pairing in SQL."""
+    from approximate_pagerank_public_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = _emb_double(spark, sf_dir)
+    return semantic_dedup(emb, threshold=0.45, n_cells=8).select(
+        "cell", "a_id", "b_id", _stable6("cosine").alias("cosine")
+    )
+
+
 def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Katz centrality, 8 unrolled attenuated-path iterations."""
     from approximate_pagerank_public_spark.operators.hits import katz_centrality
@@ -1424,6 +1478,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "session_stats": q_session_stats,
         "event_asof": q_event_asof,
+        "funnel_steps": q_funnel_steps,
+        "event_transitions": q_event_transitions,
+        "props_stats": q_props_stats,
+        "semantic_dedup": q_semantic_dedup,
         "katz": q_katz,
         "eigenvector": q_eigenvector,
         "cms_tokens": q_cms_tokens,
@@ -2415,6 +2473,34 @@ def _ivf_ann_oracle(n_cells: int = 8, n_probe: int = 4, k: int = 5) -> str:
     )
 
 
+def _semantic_dedup_oracle(n_cells: int = 8, threshold: float = 0.45) -> str:
+    """SemDeDup replay: literal centroids (same NumPy trainer as the
+    engine — see ``_ivf_centroids``) → argmax cell assignment → within-
+    cell a<b pairing → exact cosine filter."""
+    cents = _ivf_centroids(n_cells)
+    rows = [
+        f"({i}, CAST([{', '.join(repr(float(x)) for x in c)}] AS DOUBLE[]))"
+        for i, c in enumerate(cents)
+    ]
+    return (
+        f"WITH emb AS ({_DUCK_EMB}), "
+        f"cents(cell, cv) AS (VALUES {', '.join(rows)}), "
+        "cd AS (SELECT e.vec_id, c.cell, list_dot_product(e.v, c.cv) AS d "
+        "FROM emb e CROSS JOIN cents c), "
+        "ca AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) "
+        "AS rn FROM cd) t WHERE rn = 1), "
+        "p AS (SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id, "
+        f"{_duck_cos('ea.v', 'eb.v')} AS cosine "
+        "FROM ca a JOIN ca b ON a.cell = b.cell AND a.vec_id < b.vec_id "
+        "JOIN emb ea ON ea.vec_id = a.vec_id "
+        "JOIN emb eb ON eb.vec_id = b.vec_id) "
+        "SELECT CAST(cell AS INTEGER) AS cell, a_id, b_id, "
+        "floor(cosine * 1000000.0) / 1000000.0 AS cosine "
+        f"FROM p WHERE cosine >= {threshold!r}"
+    )
+
+
 def _lpa_cte_chain(rounds: int = 5) -> str:
     """The unrolled-LPA CTE chain (no ``WITH`` prefix, trailing comma
     stripped) — shared by the label_propagation and modularity oracles;
@@ -3230,6 +3316,47 @@ def oracle_sql() -> dict[str, str]:
             "AS asof_value "
             "FROM events l WHERE l.event_type = 'click'"
         ),
+        "funnel_steps": (
+            # independent chained-conditional-min formulation (the engine
+            # folds a sorted array once per key); all outputs are integer
+            # microsecond DIFFERENCES, never absolute epochs
+            "WITH u AS (SELECT user_id, min(ts) AS first_ts FROM events "
+            "GROUP BY user_id), "
+            "t1 AS (SELECT user_id, min(ts) AS t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+            "JOIN t1 ON e.user_id = t1.user_id "
+            "WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id), "
+            "t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+            "JOIN t2 ON e.user_id = t2.user_id "
+            "WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id) "
+            "SELECT u.user_id, "
+            "CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3 "
+            "WHEN t2.t2 IS NOT NULL THEN 2 "
+            "WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) "
+            "AS steps_completed, "
+            "epoch_us(t1.t1) - epoch_us(u.first_ts) AS t0_offset_us, "
+            "epoch_us(t2.t2) - epoch_us(t1.t1) AS d01_us, "
+            "epoch_us(t3.t3) - epoch_us(t2.t2) AS d12_us "
+            "FROM u LEFT JOIN t1 USING (user_id) "
+            "LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)"
+        ),
+        "event_transitions": (
+            "WITH s AS (SELECT event_type AS next_type, "
+            "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS prev_type FROM events) "
+            "SELECT prev_type, next_type, count(*) AS n FROM s "
+            "WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type"
+        ),
+        "props_stats": (
+            "WITH x AS (SELECT event_type, "
+            "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+            "FROM events) "
+            "SELECT event_type, count(*) AS n_events, count(k) AS n_with_k, "
+            "CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, "
+            "max(k) AS max_k FROM x GROUP BY event_type"
+        ),
+        "semantic_dedup": _semantic_dedup_oracle(),
         "pagerank_decay": _pagerank_fixed_oracle(
             8, 0.8, e_sql=_duck_decayed_edges_sql()
         ),

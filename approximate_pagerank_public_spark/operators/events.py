@@ -157,3 +157,120 @@ def asof_join(
         ],
     )
     return carried.where(F.col("_side") == 1).drop("_side")
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: for each key, the greedy-earliest strict
+    progression through ``steps`` — ``t1 = min ts of steps[0]``, then
+    ``t_{k+1} = min ts of steps[k+1] with ts > t_k``.
+
+    Output: ``(key, steps_completed, t0_offset_us, d01_us, d12_us, ...)``
+    — every time value is an integer MICROSECOND *difference* (first
+    step offset from the key's first event; then step-to-step gaps), so
+    results are hash-exact and timezone-free (the same discipline as
+    :func:`sessionize`; absolute epochs never leave the engine).
+
+    Execution: ONE hash shuffle on ``key_col``. Step events are folded
+    per key with ``F.aggregate`` over the (ts, id)-sorted struct array —
+    a JVM-side codegen'd fold, no UDF, no per-step join or window pass
+    (K chained conditional-min joins would pay K shuffles). Per-key
+    memory is bounded by that key's step-event count — the same skew
+    axis as :func:`sessionize`.
+    """
+    k = len(steps)
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    ev = F.when(
+        F.col(type_col).isin(list(steps)),
+        F.struct(F.col(ts_col).alias("ts"), F.col(id_col).alias("id"),
+                 F.col(type_col).alias("t")),
+    )
+    grouped = events.groupBy(F.col(key_col)).agg(
+        F.array_sort(F.collect_list(ev)).alias("_evs"),
+        F.min(ts_col).alias("_first_ts"),
+    )
+    acc0 = F.expr("CAST(array() AS array<timestamp>)")
+    times = F.aggregate(
+        F.col("_evs"),
+        acc0,
+        # F.get (0-based) is the null-safe accessor: out-of-range reads
+        # yield NULL instead of an ANSI error (conjunct short-circuiting
+        # is not a language guarantee), and the NULL-valued comparisons
+        # make the WHEN condition fall through to `otherwise(acc)`
+        lambda acc, x: F.when(
+            (F.size(acc) < k)
+            & (x["t"] == F.get(step_arr, F.size(acc)))
+            & ((F.size(acc) == 0) | (x["ts"] > F.get(acc, F.size(acc) - 1))),
+            F.concat(acc, F.array(x["ts"])),
+        ).otherwise(acc),
+    )
+    out = grouped.withColumn("_times", times).select(
+        key_col,
+        F.size("_times").alias("steps_completed"),
+        F.expr(
+            "timestampdiff(MICROSECOND, _first_ts, get(_times, 0))"
+        ).alias("t0_offset_us"),
+        *[
+            F.expr(
+                f"timestampdiff(MICROSECOND, get(_times, {i - 1}), get(_times, {i}))"
+            ).alias(f"d{i - 1}{i}_us")
+            for i in range(1, k)
+        ],
+    )
+    return out
+
+
+def event_transitions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order transition counts (Markov bigrams over the event-type
+    sequence): ``(prev_type, next_type, n)`` over consecutive events of
+    the same key in ``(ts, id)`` total order.
+
+    One key shuffle + within-partition sort (``lag`` window), then a
+    map-side-combined count aggregate over ≤ |types|² groups — the
+    transcript analogue of the edge-derivation window in
+    ``operators/etl.py``, kept as its own operator because the
+    transition matrix (not the edge list) is the analytics product.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    pairs = events.select(
+        F.lag(F.col(type_col)).over(w).alias("prev_type"),
+        F.col(type_col).alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    return pairs.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
+
+
+def props_numeric_stats(
+    events: DataFrame,
+    json_path: str = "$.k",
+    props_col: str = "props",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Semi-structured payload aggregation: extract one numeric field
+    from the JSON ``props_col`` (``get_json_object`` — codegen'd Jackson
+    path, no UDF) and aggregate per group: ``(group, n_events, n_with_k,
+    sum_k, min_k, max_k)`` — all integers, hash-exact.
+
+    The agent-transcript analogue: tool-call payloads arrive as JSON
+    strings; scale cost is one map-side-combined aggregate over
+    |groups| keys.
+    """
+    v = F.get_json_object(F.col(props_col), json_path).cast("long")
+    return events.groupBy(F.col(group_col)).agg(
+        F.count("*").alias("n_events"),
+        F.count(v).alias("n_with_k"),
+        F.sum(v).alias("sum_k"),
+        F.min(v).alias("min_k"),
+        F.max(v).alias("max_k"),
+    )

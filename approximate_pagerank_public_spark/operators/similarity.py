@@ -265,6 +265,37 @@ def _kmeans_centroids(
     return cents
 
 
+def _train_sample_centroids(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    kmeans_iters: int,
+    train_sample: int,
+) -> np.ndarray:
+    """Deterministic driver-side centroid training sample: the first
+    ``train_sample`` vectors in ``id_col`` order (the bounded IVF
+    recipe — the only driver-side step in this module)."""
+    sample_rows = (
+        embeddings.orderBy(id_col).limit(train_sample).select(vec_col).collect()
+    )
+    sample = np.asarray([r[0] for r in sample_rows], dtype=np.float64)
+    return _kmeans_centroids(sample, n_cells, kmeans_iters)
+
+
+def _cell_sorted(col: str | F.Column, cents: np.ndarray) -> F.Column:
+    """Cells sorted by (dot desc, cell asc) — index 0 is the
+    deterministic argmax assignment; a codegen'd projection, no UDF."""
+    entries = [
+        F.struct(
+            (-_dot(col, F.array(*[F.lit(float(x)) for x in c]))).alias("negd"),
+            F.lit(i).alias("cell"),
+        )
+        for i, c in enumerate(cents)
+    ]
+    return F.array_sort(F.array(*entries))
+
+
 def ivf_ann_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -290,28 +321,15 @@ def ivf_ann_topk(
     (argmax over ``n_cells`` dot products, no UDF, no shuffle) plus an
     equi-join on ``cell`` against ~``n_probe x Q`` broadcast query rows.
     """
-    sample_rows = (
-        embeddings.orderBy(id_col).limit(train_sample).select(vec_col).collect()
+    cents = _train_sample_centroids(
+        embeddings, id_col, vec_col, n_cells, kmeans_iters, train_sample
     )
-    sample = np.asarray([r[0] for r in sample_rows], dtype=np.float64)
-    cents = _kmeans_centroids(sample, n_cells, kmeans_iters)
-
-    def _cell_sorted(df: DataFrame, col: str) -> F.Column:
-        # struct sort: (dot desc, cell asc) -> deterministic argmax
-        entries = [
-            F.struct(
-                (-_dot(col, F.array(*[F.lit(float(x)) for x in c]))).alias("negd"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(cents)
-        ]
-        return F.array_sort(F.array(*entries))
 
     corpus = embeddings.select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
-    corpus = corpus.withColumn("cell", _cell_sorted(corpus, "cv")[0]["cell"])
+    corpus = corpus.withColumn("cell", _cell_sorted("cv", cents)[0]["cell"])
 
     q = queries.select(
         F.col(query_id_col).alias("qid"),
@@ -319,7 +337,7 @@ def ivf_ann_topk(
     )
     q = q.withColumn(
         "cells",
-        F.slice(_cell_sorted(q, "qv"), 1, n_probe).cast(
+        F.slice(_cell_sorted("qv", cents), 1, n_probe).cast(
             "array<struct<negd:double,cell:int>>"
         ),
     ).select("qid", "qv", F.explode("cells.cell").alias("cell"))
@@ -336,4 +354,63 @@ def ivf_ann_topk(
             "cosine",
             "rank",
         )
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 8,
+    kmeans_iters: int = 5,
+    train_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: int | None = 10_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with the deterministic
+    sample-trained k-means quantizer, then emit near-duplicate pairs
+    ``(cell, a_id, b_id, cosine)`` with ``a_id < b_id`` and cosine ≥
+    ``threshold`` — comparing ONLY within a cluster, which is the
+    method's entire point: the candidate space drops from O(N²) to
+    O(Σ cellᵢ²) with cells balanced by the quantizer.
+
+    The canonical keep rule is "keep the lowest id per duplicate
+    group": a downstream ``anti-join on b_id`` (or
+    ``dedup.resolve_duplicate_clusters`` over the pair list) applies
+    it; this operator returns the evidence pairs so both policies
+    stay available.
+
+    Scale shape: centroid training is the bounded driver-side sample
+    (:func:`_train_sample_centroids`, same as IVF); assignment is a
+    codegen'd argmax projection (no shuffle); the self-join shuffles
+    hash(cell) once on each side. ``max_cell_size`` truncates
+    degenerate cells to their smallest ids (``dedup.cap_bucket_size``
+    semantics — deterministic, logged) so one collapsed cell cannot
+    emit cap²+ pairs; dropped members remain covered by exact dedup.
+    """
+    cents = _train_sample_centroids(
+        embeddings, id_col, vec_col, n_cells, kmeans_iters, train_sample
+    )
+    assigned = embeddings.select(
+        F.col(id_col).alias("_sd_id"),
+        F.col(vec_col).cast("array<double>").alias("_sd_v"),
+    )
+    assigned = assigned.withColumn("cell", _cell_sorted("_sd_v", cents)[0]["cell"])
+    if max_cell_size is not None:
+        from approximate_pagerank_public_spark.operators.dedup import cap_bucket_size
+
+        assigned = cap_bucket_size(
+            assigned, ["cell"], "_sd_id", max_cell_size, label="semantic-dedup"
+        )
+    a = assigned.select(
+        "cell", F.col("_sd_id").alias("a_id"), F.col("_sd_v").alias("va")
+    )
+    b = assigned.select(
+        "cell", F.col("_sd_id").alias("b_id"), F.col("_sd_v").alias("vb")
+    )
+    pairs = a.join(b, "cell").where(F.col("a_id") < F.col("b_id"))
+    scored = with_cosine(pairs, "va", "vb")
+    return scored.where(F.col("cosine") >= F.lit(float(threshold))).select(
+        "cell", "a_id", "b_id", "cosine"
     )

@@ -124,3 +124,86 @@ def test_asof_join_matches_naive_sql(spark, sf_dir_smoke="/root/testdata/sf0.001
         ).collect()
     }
     assert got == want
+
+
+# ------------------------------------------------------------ funnel
+
+
+def test_funnel_full_progression(ev):
+    from approximate_pagerank_public_spark.operators.events import funnel
+
+    out = {
+        r["user_id"]: r
+        for r in funnel(ev, ["view", "click", "purchase"]).collect()
+    }
+    # user 1: view@0 click@1 purchase@2 — full funnel, first event IS the view
+    assert out[1]["steps_completed"] == 3
+    assert out[1]["t0_offset_us"] == 0
+    assert out[1]["d01_us"] == 60_000_000
+    assert out[1]["d12_us"] == 60_000_000
+    # user 2: only a view
+    assert out[2]["steps_completed"] == 1
+    assert out[2]["d01_us"] is None
+    # user 3: no view at all -> zero steps, but the user IS in the output
+    assert out[3]["steps_completed"] == 0
+    assert out[3]["t0_offset_us"] is None
+
+
+def test_funnel_strictly_after_and_greedy_earliest(spark):
+    from approximate_pagerank_public_spark.operators.events import funnel
+
+    rows = [
+        # purchase BETWEEN view and click must not count (order matters);
+        # the later purchase@2min does
+        (0, _ts(0), 1, "view"),
+        (1, _ts(0, 30), 1, "purchase"),
+        (2, _ts(1), 1, "click"),
+        (3, _ts(2), 1, "purchase"),
+        # user 2: click at the SAME ts as the view -> strict > rejects it
+        (4, _ts(0), 2, "view"),
+        (5, _ts(0), 2, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r["user_id"]: r for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert out[1]["steps_completed"] == 3
+    assert out[1]["d01_us"] == 60_000_000  # click@1 - view@0
+    assert out[1]["d12_us"] == 60_000_000  # purchase@2 - click@1
+    assert out[2]["steps_completed"] == 1  # same-ts click rejected
+
+
+def test_event_transitions_counts(ev):
+    from approximate_pagerank_public_spark.operators.events import event_transitions
+
+    got = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in event_transitions(ev).collect()
+    }
+    # user 1: view,click,purchase,view,purchase; user 3: click@7 -> purchase@7
+    # (same-ts tie broken by event_id); user 2 contributes nothing
+    assert got == {
+        ("view", "click"): 1,
+        ("click", "purchase"): 2,
+        ("purchase", "view"): 1,
+        ("view", "purchase"): 1,
+    }
+
+
+def test_props_numeric_stats(spark):
+    from approximate_pagerank_public_spark.operators.events import (
+        props_numeric_stats,
+    )
+
+    rows = [
+        (0, "a", '{"k": 5}'),
+        (1, "a", '{"k": 7}'),
+        (2, "a", '{"other": 1}'),  # k missing -> not counted in k aggs
+        (3, "b", None),            # null props
+        (4, "b", '{"k": -2}'),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, props string")
+    got = {r["event_type"]: r for r in props_numeric_stats(df).collect()}
+    assert (got["a"]["n_events"], got["a"]["n_with_k"]) == (3, 2)
+    assert (got["a"]["sum_k"], got["a"]["min_k"], got["a"]["max_k"]) == (12, 5, 7)
+    assert (got["b"]["n_events"], got["b"]["n_with_k"], got["b"]["sum_k"]) == (2, 1, -2)

@@ -164,3 +164,56 @@ def test_ivf_ann_recall(spark, embeddings, queries):
     assert np.mean(recalls) >= 0.6
     top1 = ivf[ivf["rank"] == 1]
     assert (top1["query_id"] == top1["vec_id"]).all()
+
+
+# ------------------------------------------------------- semantic dedup
+
+
+def test_semantic_dedup_one_cell_equals_exact_near_dup(spark, embeddings):
+    """With a single cell, cluster scoping is vacuous: the pair list must
+    equal the exact all-pairs near-dup baseline, cosines bit-identical."""
+    exact = (
+        similarity.embedding_near_duplicates(embeddings, threshold=0.45)
+        .toPandas()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    sem = (
+        similarity.semantic_dedup(embeddings, threshold=0.45, n_cells=1)
+        .toPandas()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    assert (sem["cell"] == 0).all()
+    assert sem[["a_id", "b_id"]].values.tolist() == exact[["a_id", "b_id"]].values.tolist()
+    assert np.array_equal(sem["cosine"].values, exact["cosine"].values)
+
+
+def test_semantic_dedup_pairs_are_cell_scoped_subset(spark, embeddings):
+    """With real cells: every pair co-locates in the argmax cell, and the
+    pair list is exactly the exact near-dup list filtered to co-located
+    ids — nothing extra, nothing cross-cluster."""
+    n_cells = 8
+    sem = similarity.semantic_dedup(
+        embeddings, threshold=0.45, n_cells=n_cells
+    ).toPandas()
+    cents = similarity._train_sample_centroids(
+        embeddings, "vec_id", "embedding", n_cells, 5, 4096
+    )
+    emb = embeddings.toPandas()
+    vecs = np.asarray([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    dots = vecs @ np.asarray(cents).T
+    cell = {
+        int(i): int(np.argmax(d))  # ties -> lower cell, same as _cell_sorted
+        for i, d in zip(emb["vec_id"], dots)
+    }
+    for r in sem.itertuples():
+        assert cell[r.a_id] == cell[r.b_id] == r.cell
+    exact = similarity.embedding_near_duplicates(embeddings, threshold=0.45).toPandas()
+    want = {
+        (int(a), int(b))
+        for a, b in exact[["a_id", "b_id"]].values
+        if cell[int(a)] == cell[int(b)]
+    }
+    got = {(int(a), int(b)) for a, b in sem[["a_id", "b_id"]].values}
+    assert got == want
