@@ -601,6 +601,17 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(g, max_iter=5).select("id", "label")
 
 
+def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four synchronous Louvain local-move rounds (modularity-gain
+    argmax with the gain compared in ALL-INTEGER form, ties → stay,
+    then smaller label) — replayed by an unrolled CTE oracle with no
+    floating point anywhere, so the labels are hash-exact."""
+    from approximate_pagerank_public_spark.operators.labelprop import louvain_rounds
+
+    g = _graph(spark, sf_dir)
+    return louvain_rounds(g, rounds=4).select("id", "label")
+
+
 def q_community_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community-level multigraph contraction of the LPA-5 partition —
     the multilevel coarsening step; replayed over the unrolled-LPA
@@ -1442,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_star": q_cc_star,
         "component_sizes": q_component_sizes,
         "label_propagation": q_label_propagation,
+        "louvain": q_louvain,
         "modularity": q_modularity,
         "community_graph": q_community_graph,
         "assortativity": q_assortativity,
@@ -2546,6 +2558,60 @@ def _lpa_oracle(rounds: int = 5) -> str:
     )
 
 
+def _louvain_oracle(rounds: int = 4) -> str:
+    """Unrolled synchronous Louvain local-move rounds
+    (`operators/labelprop.py::louvain_rounds`). The modularity gain is
+    compared after clearing the positive 2m² denominator:
+    ``gain = 2m·k_in(i,C) − k_i·Σtot'(C)`` with ``Σtot' = Σtot − k_i``
+    for the stay option — all BIGINT, so the per-vertex argmax
+    (gain desc, stay-first, smaller label) is bit-exact across engines."""
+    e_sql = _duck_edges_sql()
+    parts = [
+        f"e AS MATERIALIZED ({e_sql}), ",
+        "symd AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e) "
+        "WHERE src <> dst), ",
+        "deg AS MATERIALIZED (SELECT src AS id, "
+        "CAST(count(*) AS BIGINT) AS k FROM symd GROUP BY src), ",
+        "mm AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m2 FROM symd), ",
+        "c0 AS MATERIALIZED (SELECT id, id AS label FROM deg), ",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"sig{r} AS MATERIALIZED (SELECT c.label, "
+            f"CAST(sum(d.k) AS BIGINT) AS sigtot "
+            f"FROM c{r} c JOIN deg d ON d.id = c.id GROUP BY c.label), "
+        )
+        parts.append(
+            f"kin{r} AS MATERIALIZED (SELECT id, label, "
+            f"CAST(sum(kin) AS BIGINT) AS kin FROM ("
+            f"SELECT s.src AS id, c.label, 1 AS kin "
+            f"FROM symd s JOIN c{r} c ON c.id = s.dst "
+            f"UNION ALL SELECT id, label, 0 AS kin FROM c{r}"
+            f") GROUP BY id, label), "
+        )
+        parts.append(
+            f"b{r} AS MATERIALIZED (SELECT id, label AS new_label FROM ("
+            f"SELECT kin.id, kin.label, row_number() OVER ("
+            f"PARTITION BY kin.id ORDER BY "
+            f"(mm.m2 * kin.kin - d.k * (CASE WHEN kin.label = cur.label "
+            f"THEN sg.sigtot - d.k ELSE sg.sigtot END)) DESC, "
+            f"(kin.label <> cur.label) ASC, kin.label ASC) AS rn "
+            f"FROM kin{r} kin "
+            f"JOIN sig{r} sg ON sg.label = kin.label "
+            f"JOIN c{r} cur ON cur.id = kin.id "
+            f"JOIN deg d ON d.id = kin.id CROSS JOIN mm"
+            f") WHERE rn = 1), "
+        )
+        parts.append(
+            f"c{r+1} AS MATERIALIZED (SELECT c.id, "
+            f"coalesce(b.new_label, c.label) AS label "
+            f"FROM c{r} c LEFT JOIN b{r} b ON b.id = c.id), "
+        )
+    chain = "".join(parts).rstrip(", ")
+    return f"WITH {chain} SELECT id, label FROM c{rounds}"
+
+
 def _modularity_oracle(rounds: int = 5) -> str:
     """Newman Q of the LPA-5 partition in the single-division integer
     form (M2·ΣW_c − ΣD_c²) / M2² — exact integer sums, one IEEE
@@ -3222,6 +3288,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr_push": _ppr_push_oracle(0, 0.8, 1e-5),
         "ppr_norm_off": _pagerank_fixed_oracle(8, 0.8, source=0, dangling_norm=False),
         "label_propagation": _lpa_oracle(5),
+        "louvain": _louvain_oracle(4),
         "minhash_lsh": _minhash_oracle(),
         "cosine_topk": _cosine_topk_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),

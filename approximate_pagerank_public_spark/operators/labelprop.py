@@ -229,3 +229,173 @@ def contract_communities(graph: Graph, labels: DataFrame) -> DataFrame:
         .groupBy("src_comm", "dst_comm")
         .agg(F.count("*").alias("n_edges"))
     )
+
+
+def louvain_rounds(graph: Graph, rounds: int = 4) -> DataFrame:
+    """``(id, label)`` after ``rounds`` SYNCHRONOUS modularity-gain moves
+    (the local-move phase of Louvain, Blondel et al. 2008, made
+    deterministic and cross-engine replayable).
+
+    Each round every vertex simultaneously moves to the neighboring
+    community with the largest modularity gain, staying put unless a
+    strict improvement exists. On the unweighted symmetrized simple
+    graph the standard gain ``ΔQ(i→C) = k_in(i,C)/m − k_i·Σtot(C)/(2m²)``
+    is compared after clearing the (positive) ``2m²`` denominator:
+
+        gain_int(i→C)   = 2m·k_in(i,C)  − k_i·Σtot(C)        (C ≠ c_i)
+        gain_int(i stay) = 2m·k_in(i,c_i) − k_i·(Σtot(c_i) − k_i)
+
+    — ALL INTEGER, so the argmax (ties → smaller community label) is
+    bit-exact in any engine; the DuckDB oracle replays the identical
+    unrolled rounds with no floating point anywhere. Synchronous
+    updates make the round count part of the contract (like
+    ``pagerank_fixed8``), not a convergence claim — label oscillation
+    on bipartite-ish structures is possible and accepted; the
+    modularity of the RESULT is what callers should evaluate
+    (``modularity(graph, louvain_rounds(g))``; sanity-tested ≥ the
+    singleton partition's Q).
+
+    Scale shape per round: one exchange-free |E|-row join of the
+    dst-partitioned symmetrized edges against the hash(id) labels, ONE
+    map-side-combined (id, label) aggregation (the mandatory kin=0 stay
+    rows are unioned BEFORE it, not re-aggregated after), a
+    |communities|-row Σtot table joined broadcast below
+    ``ETL_BROADCAST_MAX_VERTICES`` and hash-on-label above (in round 0
+    |C| = |V|, so an unconditional broadcast would ship the whole
+    vertex set), one per-vertex window argmax. Degrees and ``2m`` are
+    computed once outside the loop.
+    """
+    from approximate_pagerank_public_spark.operators.etl import (
+        ETL_BROADCAST_MAX_VERTICES,
+    )
+
+    spark = graph.spark
+    p = graph.num_partitions
+    # unweighted symmetrized simple edges (both directions, no self
+    # loops), cached partitioned on dst — the per-round join key, so
+    # the edge side of every kin join is exchange-free
+    e = graph.edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    symd = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .repartition(p, "dst")
+        .cache()
+    )
+    try:
+        deg = symd.groupBy("src").agg(F.count("*").alias("k")).cache()
+        m2 = symd.count()  # == 2m (every undirected edge appears twice)
+        labels = graph.vertices.select("id", F.col("id").alias("label"))
+        labels, label_ids = local_ckpt(labels.repartition(p, "id"))
+        small = graph.num_vertices <= ETL_BROADCAST_MAX_VERTICES
+        for _ in range(rounds):
+            # Σtot per community (sum of member degrees) — |C| rows;
+            # isolated vertices (no deg row) contribute k=0, correctly
+            sigtot = (
+                labels.join(deg.withColumnRenamed("src", "id"), "id")
+                .groupBy("label")
+                .agg(F.sum("k").alias("sigtot"))
+            )
+            # k_in(i, C): neighbors of i per neighbor-community; the
+            # STAY option must always be a candidate (a vertex with no
+            # neighbor in its own community would otherwise be forced
+            # into the best MOVE even at negative gain), so union a
+            # kin=0 row for the current community BEFORE the single
+            # (id, label) aggregation
+            contrib = symd.join(
+                labels.select(F.col("id").alias("dst"), F.col("label")), "dst"
+            ).select(
+                F.col("src").alias("id"),
+                "label",
+                F.lit(1).cast("long").alias("kin"),
+            )
+            kin = (
+                contrib.unionByName(
+                    labels.select("id", "label", F.lit(0).cast("long").alias("kin"))
+                )
+                .groupBy("id", "label")
+                .agg(F.sum("kin").alias("kin"))
+            )
+            cand = (
+                kin.join(F.broadcast(sigtot) if small else sigtot, "label")
+                .join(labels.withColumnRenamed("label", "_cur"), "id")
+                .join(deg.withColumnRenamed("src", "id"), "id")
+            )
+            gain = F.when(
+                F.col("label") == F.col("_cur"),
+                F.lit(m2) * F.col("kin")
+                - F.col("k") * (F.col("sigtot") - F.col("k")),
+            ).otherwise(F.lit(m2) * F.col("kin") - F.col("k") * F.col("sigtot"))
+            # argmax by (gain desc, stay-first, smaller label) as a
+            # lexicographic struct MAX — a hash aggregate with map-side
+            # partial combine (a window would shuffle + SORT every
+            # candidate row); all-integer fields keep it bit-exact.
+            # stay-first: a move must STRICTLY improve, so on equal
+            # gain the stay candidate (flag 1) outranks every move.
+            pick = F.max(
+                F.struct(
+                    gain.alias("_g"),
+                    (F.col("label") == F.col("_cur")).cast("int").alias("_stay"),
+                    (-F.col("label")).alias("_negl"),
+                )
+            ).alias("_m")
+            best = cand.groupBy("id").agg(pick).select(
+                "id", (-F.col("_m._negl")).alias("new_label")
+            )
+            new, new_ids = local_ckpt(
+                labels.join(best, "id", "left")
+                .select("id", F.coalesce("new_label", "label").alias("label"))
+                .repartition(p, "id")
+            )
+            free_local_ckpt(spark, label_ids)
+            labels, label_ids = new, new_ids
+        return labels
+    finally:
+        symd.unpersist()
+        deg.unpersist()
+
+
+def golden_louvain_rounds(
+    src: np.ndarray, dst: np.ndarray, n: int, rounds: int = 4
+) -> np.ndarray:
+    """NumPy twin of :func:`louvain_rounds` (raw directed edges; the
+    golden symmetrizes and dedups itself). Integer arithmetic only."""
+    pairs = {
+        (int(u), int(v))
+        for u, v in zip(src.tolist(), dst.tolist())
+        if u != v
+    }
+    sym = pairs | {(v, u) for (u, v) in pairs}
+    k: dict[int, int] = {}
+    for u, _ in sym:
+        k[u] = k.get(u, 0) + 1
+    m2 = len(sym)
+    labels = {i: i for i in k}
+    for _ in range(rounds):
+        sigtot: dict[int, int] = {}
+        for i, c in labels.items():
+            sigtot[c] = sigtot.get(c, 0) + k[i]
+        kin: dict[tuple[int, int], int] = {}
+        for u, v in sym:
+            key = (u, labels[v])
+            kin[key] = kin.get(key, 0) + 1
+        new = dict(labels)
+        by_vertex: dict[int, list[tuple[int, int]]] = {}
+        for (u, c), cnt in kin.items():
+            by_vertex.setdefault(u, []).append((c, cnt))
+        for u, cands in by_vertex.items():
+            cur = labels[u]
+            best = None
+            for c, cnt in cands:
+                st = sigtot[c] - (k[u] if c == cur else 0)
+                g = m2 * cnt - k[u] * st
+                # (gain desc, staying-first, label asc)
+                key = (-g, c != cur, c)
+                if best is None or key < best[0]:
+                    best = (key, c)
+            if best is not None:
+                new[u] = best[1]
+        labels = new
+    out = np.arange(n, dtype=np.int64)
+    for i, c in labels.items():
+        out[i] = c
+    return out

@@ -8,6 +8,7 @@ on local[$SPARK_GRAFT_CPUS]):
 - q_multi_ppr8       8-source PPR, fixed 10-iteration budget (FPGA protocol)
 - q_cc               connected components (exact)
 - q_lpa5             label propagation, 5 rounds
+- q_louvain4         Louvain local-move, 4 synchronous integer-gain rounds
 - q_triangles        triangle count
 - q_scc              strongly connected components (directed)
 - q_sssp             weighted SSSP (min-plus over 1/outdeg weights)
@@ -143,6 +144,7 @@ def main() -> None:
             "q_ppr_push",
             "q_cc",
             "q_lpa5",
+            "q_louvain4",
             "q_triangles",
             "q_scc",
             "q_sssp",
@@ -191,6 +193,16 @@ def main() -> None:
         run("q_ppr_push", _push)
         run("q_cc", lambda _rep: connected_components(g).count())
         run("q_lpa5", lambda _rep: label_propagation(g, max_iter=5).count())
+
+        def _louvain(_rep):
+            from approximate_pagerank_public_spark.operators.labelprop import (
+                louvain_rounds,
+            )
+
+            return louvain_rounds(g, rounds=4).count()
+
+        # capped at 3: ~10 s/rep, the suite's 2nd-heaviest query
+        run("q_louvain4", _louvain, n=min(REPEATS, 3))
         run("q_triangles", lambda _rep: triangle_count(g))
 
         def _scc(_rep):

@@ -208,3 +208,41 @@ def test_four_cycles_random_matches_adjacency_golden(g_rand):
     assert four_cycle_count(g_rand) == want
     # degree cap high enough to keep every middle => identical count
     assert four_cycle_count(g_rand, max_wedge_degree=10_000) == want
+
+
+def test_louvain_rounds_matches_golden_random(g_rand):
+    from approximate_pagerank_public_spark.operators.labelprop import (
+        golden_louvain_rounds,
+        louvain_rounds,
+    )
+
+    src, dst, _ = g_rand.edges_numpy()
+    gold = golden_louvain_rounds(src, dst, 300, rounds=4)
+    res = louvain_rounds(g_rand, rounds=4).toPandas().sort_values("id")
+    assert (res["label"].to_numpy() == gold).all()
+
+
+def test_louvain_rounds_two_cliques(spark):
+    from approximate_pagerank_public_spark.operators.graphstats import modularity
+    from approximate_pagerank_public_spark.operators.labelprop import (
+        golden_louvain_rounds,
+        louvain_rounds,
+    )
+
+    rng = np.random.default_rng(7)
+    a = [(i, j) for i in range(8) for j in range(8) if i < j and rng.random() < 0.9]
+    b = [(i, j) for i in range(8, 16) for j in range(8, 16) if i < j and rng.random() < 0.9]
+    edges = a + b + [(0, 8)]
+    src = np.array([e[0] for e in edges])
+    dst = np.array([e[1] for e in edges])
+    g = Graph.from_edge_arrays(spark, src, dst, num_vertices=16, num_partitions=4)
+    labels = louvain_rounds(g, rounds=4)
+    gold = golden_louvain_rounds(src, dst, 16, rounds=4)
+    got = labels.toPandas().sort_values("id")["label"].to_numpy()
+    assert (got == gold).all()
+    # the two cliques must separate: no label spans both halves, and the
+    # result's modularity beats the singleton partition's (which is < 0)
+    assert set(gold[:8]).isdisjoint(set(gold[8:]))
+    q = modularity(g, labels).toPandas()["modularity"].iloc[0]
+    assert q > 0.3
+    g.unpersist()
