@@ -612,6 +612,21 @@ def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return louvain_rounds(g, rounds=4).select("id", "label")
 
 
+def q_louvain_multilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Louvain level step: 2 fine local-move rounds, integer
+    contraction into a weighted community multigraph, 2 coarse rounds
+    over it, projection back — every quantity an integer edge count,
+    so the unrolled two-phase CTE oracle replays it bit-exactly."""
+    from approximate_pagerank_public_spark.operators.labelprop import (
+        louvain_multilevel,
+    )
+
+    g = _graph(spark, sf_dir)
+    return louvain_multilevel(g, fine_rounds=2, coarse_rounds=2).select(
+        "id", "label"
+    )
+
+
 def q_community_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community-level multigraph contraction of the LPA-5 partition —
     the multilevel coarsening step; replayed over the unrolled-LPA
@@ -740,6 +755,24 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = label_propagation(g, max_iter=5)
     return modularity(g, labels).select(
         "n_communities", _stable6("modularity").alias("modularity")
+    )
+
+
+def q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance φ = cut/min(vol, 2m−vol) of the LPA-5
+    partition — integer cut/vol counts, one IEEE division, replayed
+    over the same unrolled-LPA oracle chain."""
+    from approximate_pagerank_public_spark.operators.graphstats import (
+        community_conductance,
+    )
+    from approximate_pagerank_public_spark.operators.labelprop import (
+        label_propagation,
+    )
+
+    g = _graph(spark, sf_dir)
+    labels = label_propagation(g, max_iter=5)
+    return community_conductance(g, labels).select(
+        "label", "vol", "cut", _stable6("conductance").alias("conductance")
     )
 
 
@@ -1454,6 +1487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_sizes": q_component_sizes,
         "label_propagation": q_label_propagation,
         "louvain": q_louvain,
+        "conductance": q_conductance,
+        "louvain_multilevel": q_louvain_multilevel,
         "modularity": q_modularity,
         "community_graph": q_community_graph,
         "assortativity": q_assortativity,
@@ -2558,15 +2593,12 @@ def _lpa_oracle(rounds: int = 5) -> str:
     )
 
 
-def _louvain_oracle(rounds: int = 4) -> str:
-    """Unrolled synchronous Louvain local-move rounds
-    (`operators/labelprop.py::louvain_rounds`). The modularity gain is
-    compared after clearing the positive 2m² denominator:
-    ``gain = 2m·k_in(i,C) − k_i·Σtot'(C)`` with ``Σtot' = Σtot − k_i``
-    for the stay option — all BIGINT, so the per-vertex argmax
-    (gain desc, stay-first, smaller label) is bit-exact across engines."""
+def _louvain_base_ctes() -> list[str]:
+    """Shared base relations for the Louvain oracles: the symmetrized
+    simple row set, its degrees, m2 (= 2m, invariant under
+    contraction), and the singleton start partition."""
     e_sql = _duck_edges_sql()
-    parts = [
+    return [
         f"e AS MATERIALIZED ({e_sql}), ",
         "symd AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
         "(SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e) "
@@ -2576,40 +2608,88 @@ def _louvain_oracle(rounds: int = 4) -> str:
         "mm AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m2 FROM symd), ",
         "c0 AS MATERIALIZED (SELECT id, id AS label FROM deg), ",
     ]
+
+
+def _louvain_round_ctes(
+    pfx: str, lbl: str, r: int, edges: str, kin_sel: str, deg_rel: str
+) -> list[str]:
+    """One unrolled local-move round: Σtot per community, per-(id,
+    label) kin with the mandatory kin=0 stay rows, integer-gain argmax
+    (gain desc, stay-first, smaller label), label update. ``kin_sel``
+    supplies the weighted/unweighted kin contribution off ``edges``
+    (which must exclude self-loop rows, matching
+    `operators/labelprop.py::_local_move_rounds`)."""
+    return [
+        f"{pfx}sig{r} AS MATERIALIZED (SELECT c.label, "
+        f"CAST(sum(d.k) AS BIGINT) AS sigtot "
+        f"FROM {lbl}{r} c JOIN {deg_rel} d ON d.id = c.id GROUP BY c.label), ",
+        f"{pfx}kin{r} AS MATERIALIZED (SELECT id, label, "
+        f"CAST(sum(kin) AS BIGINT) AS kin FROM ("
+        f"SELECT s.src AS id, c.label, {kin_sel} AS kin "
+        f"FROM {edges} s JOIN {lbl}{r} c ON c.id = s.dst "
+        f"UNION ALL SELECT id, label, 0 AS kin FROM {lbl}{r}"
+        f") GROUP BY id, label), ",
+        f"{pfx}b{r} AS MATERIALIZED (SELECT id, label AS new_label FROM ("
+        f"SELECT kin.id, kin.label, row_number() OVER ("
+        f"PARTITION BY kin.id ORDER BY "
+        f"(mm.m2 * kin.kin - d.k * (CASE WHEN kin.label = cur.label "
+        f"THEN sg.sigtot - d.k ELSE sg.sigtot END)) DESC, "
+        f"(kin.label <> cur.label) ASC, kin.label ASC) AS rn "
+        f"FROM {pfx}kin{r} kin "
+        f"JOIN {pfx}sig{r} sg ON sg.label = kin.label "
+        f"JOIN {lbl}{r} cur ON cur.id = kin.id "
+        f"JOIN {deg_rel} d ON d.id = kin.id CROSS JOIN mm"
+        f") WHERE rn = 1), ",
+        f"{lbl}{r+1} AS MATERIALIZED (SELECT c.id, "
+        f"coalesce(b.new_label, c.label) AS label "
+        f"FROM {lbl}{r} c LEFT JOIN {pfx}b{r} b ON b.id = c.id), ",
+    ]
+
+
+def _louvain_oracle(rounds: int = 4) -> str:
+    """Unrolled synchronous Louvain local-move rounds
+    (`operators/labelprop.py::louvain_rounds`). The modularity gain is
+    compared after clearing the positive 2m² denominator:
+    ``gain = 2m·k_in(i,C) − k_i·Σtot'(C)`` with ``Σtot' = Σtot − k_i``
+    for the stay option — all BIGINT, so the per-vertex argmax
+    (gain desc, stay-first, smaller label) is bit-exact across engines."""
+    parts = _louvain_base_ctes()
     for r in range(rounds):
-        parts.append(
-            f"sig{r} AS MATERIALIZED (SELECT c.label, "
-            f"CAST(sum(d.k) AS BIGINT) AS sigtot "
-            f"FROM c{r} c JOIN deg d ON d.id = c.id GROUP BY c.label), "
-        )
-        parts.append(
-            f"kin{r} AS MATERIALIZED (SELECT id, label, "
-            f"CAST(sum(kin) AS BIGINT) AS kin FROM ("
-            f"SELECT s.src AS id, c.label, 1 AS kin "
-            f"FROM symd s JOIN c{r} c ON c.id = s.dst "
-            f"UNION ALL SELECT id, label, 0 AS kin FROM c{r}"
-            f") GROUP BY id, label), "
-        )
-        parts.append(
-            f"b{r} AS MATERIALIZED (SELECT id, label AS new_label FROM ("
-            f"SELECT kin.id, kin.label, row_number() OVER ("
-            f"PARTITION BY kin.id ORDER BY "
-            f"(mm.m2 * kin.kin - d.k * (CASE WHEN kin.label = cur.label "
-            f"THEN sg.sigtot - d.k ELSE sg.sigtot END)) DESC, "
-            f"(kin.label <> cur.label) ASC, kin.label ASC) AS rn "
-            f"FROM kin{r} kin "
-            f"JOIN sig{r} sg ON sg.label = kin.label "
-            f"JOIN c{r} cur ON cur.id = kin.id "
-            f"JOIN deg d ON d.id = kin.id CROSS JOIN mm"
-            f") WHERE rn = 1), "
-        )
-        parts.append(
-            f"c{r+1} AS MATERIALIZED (SELECT c.id, "
-            f"coalesce(b.new_label, c.label) AS label "
-            f"FROM c{r} c LEFT JOIN b{r} b ON b.id = c.id), "
-        )
+        parts += _louvain_round_ctes("", "c", r, "symd", "1", "deg")
     chain = "".join(parts).rstrip(", ")
     return f"WITH {chain} SELECT id, label FROM c{rounds}"
+
+
+def _louvain_multilevel_oracle(fine_rounds: int = 2, coarse_rounds: int = 2) -> str:
+    """Unrolled full Louvain level step
+    (`operators/labelprop.py::louvain_multilevel`): fine local moves,
+    integer contraction into a weighted community multigraph (diagonal
+    rows carry the internal edge mass; m2 is invariant), coarse local
+    moves over it (kin excludes the diagonal — a community's self-loop
+    moves with it), projection back to vertices. Every quantity BIGINT
+    ⇒ hash-exact."""
+    parts = _louvain_base_ctes()
+    for r in range(fine_rounds):
+        parts += _louvain_round_ctes("", "c", r, "symd", "1", "deg")
+    fr = fine_rounds
+    parts += [
+        f"w0 AS MATERIALIZED (SELECT cs.label AS src, cd.label AS dst, "
+        f"CAST(count(*) AS BIGINT) AS w FROM symd s "
+        f"JOIN c{fr} cs ON cs.id = s.src "
+        f"JOIN c{fr} cd ON cd.id = s.dst "
+        f"GROUP BY cs.label, cd.label), ",
+        "wo AS MATERIALIZED (SELECT src, dst, w FROM w0 WHERE src <> dst), ",
+        "deg2 AS MATERIALIZED (SELECT src AS id, "
+        "CAST(sum(w) AS BIGINT) AS k FROM w0 GROUP BY src), ",
+        "d0 AS MATERIALIZED (SELECT id, id AS label FROM deg2), ",
+    ]
+    for r in range(coarse_rounds):
+        parts += _louvain_round_ctes("t", "d", r, "wo", "s.w", "deg2")
+    chain = "".join(parts).rstrip(", ")
+    return (
+        f"WITH {chain} SELECT c.id, d.label FROM c{fr} c "
+        f"JOIN d{coarse_rounds} d ON d.id = c.label"
+    )
 
 
 def _modularity_oracle(rounds: int = 5) -> str:
@@ -2630,6 +2710,28 @@ def _modularity_oracle(rounds: int = 5) -> str:
         "SELECT nc AS n_communities, "
         "floor((CAST(m2 * sw - sd2 AS DOUBLE) / CAST(m2 * m2 AS DOUBLE)) "
         "* 1000000.0) / 1000000.0 AS modularity FROM st"
+    )
+
+
+def _conductance_oracle(rounds: int = 5) -> str:
+    """Per-community conductance of the LPA partition: integer vol/cut
+    off the symmetrized row set, φ = cut / least(vol, m2 − vol) as one
+    IEEE division, floor-truncated to 6 dp on both sides — same shape
+    as `operators/graphstats.py::community_conductance`."""
+    return (
+        f"WITH {_lpa_cte_chain(rounds)}, "
+        f"jm AS (SELECT ls.label AS sl, ld.label AS dl FROM symd "
+        f"JOIN l{rounds} ls ON ls.id = symd.src "
+        f"JOIN l{rounds} ld ON ld.id = symd.dst), "
+        "per AS (SELECT sl AS label, CAST(count(*) AS BIGINT) AS vol, "
+        "CAST(sum(CASE WHEN sl <> dl THEN 1 ELSE 0 END) AS BIGINT) AS cut "
+        "FROM jm GROUP BY sl), "
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM symd) "
+        "SELECT label, vol, cut, "
+        "floor((CAST(cut AS DOUBLE) / "
+        "CAST(least(vol, m2 - vol) AS DOUBLE)) * 1000000.0) / 1000000.0 "
+        "AS conductance "
+        "FROM per CROSS JOIN st WHERE vol > 0 AND vol < m2"
     )
 
 
@@ -3289,6 +3391,8 @@ def oracle_sql() -> dict[str, str]:
         "ppr_norm_off": _pagerank_fixed_oracle(8, 0.8, source=0, dangling_norm=False),
         "label_propagation": _lpa_oracle(5),
         "louvain": _louvain_oracle(4),
+        "conductance": _conductance_oracle(5),
+        "louvain_multilevel": _louvain_multilevel_oracle(2, 2),
         "minhash_lsh": _minhash_oracle(),
         "cosine_topk": _cosine_topk_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),

@@ -1,11 +1,12 @@
-"""Whole-graph structural statistics: degree assortativity and
-community modularity.
+"""Whole-graph structural statistics: degree assortativity, community
+modularity, and per-community conductance.
 
-Beyond the reference's per-vertex metrics; both are standard link-graph
-health numbers (Newman 2002/2004) a 100-TB pipeline wants as one-row
-summaries, and both are built so the final float value is ONE division
-(or sqrt-product) over EXACT integer sums — bit-identical across Spark
-and the DuckDB oracle with no truncation games.
+Beyond the reference's per-vertex metrics; all are standard link-graph
+health numbers (Newman 2002/2004; Kannan/Vempala/Vetta 2004) a 100-TB
+pipeline wants as small summaries, and all are built so the final float
+value is ONE division (or sqrt-product) over EXACT integer sums —
+bit-identical across Spark and the DuckDB oracle with no truncation
+games.
 
 Scale shape: a couple of vertex-count-sized groupBy aggregations plus
 one edge-pass join against the (broadcastable) degree tables; every sum
@@ -25,6 +26,17 @@ from pyspark.sql import functions as F
 from approximate_pagerank_public_spark.plans.graph import Graph
 
 
+def _labels_broadcastable(graph: Graph) -> bool:
+    """|V|-row label tables ride a broadcast join only below the ETL
+    vertex gate — above it they hash-join (a label table the size of a
+    100-TB graph's vertex set must never be shipped to every task)."""
+    from approximate_pagerank_public_spark.operators.etl import (
+        ETL_BROADCAST_MAX_VERTICES,
+    )
+
+    return graph.num_vertices <= ETL_BROADCAST_MAX_VERTICES
+
+
 def degree_assortativity(graph: Graph) -> DataFrame:
     """One row ``(m, assortativity)`` — Pearson correlation between
     out-degree(src) and in-degree(dst) across directed edges (Newman
@@ -35,7 +47,9 @@ def degree_assortativity(graph: Graph) -> DataFrame:
     e = graph.edges.select("src", "dst")
     od = e.groupBy("src").agg(F.count("*").alias("xd"))
     ind = e.groupBy("dst").agg(F.count("*").alias("yd"))
-    j = e.join(F.broadcast(od), "src").join(F.broadcast(ind), "dst")
+    if _labels_broadcastable(graph):
+        od, ind = F.broadcast(od), F.broadcast(ind)
+    j = e.join(od, "src").join(ind, "dst")
     s = j.agg(
         F.count("*").alias("m"),
         F.sum("xd").alias("sx"),
@@ -72,7 +86,9 @@ def modularity(graph: Graph, labels: DataFrame) -> DataFrame:
     )
     ls = labels.select(F.col("id").alias("src"), F.col("label").alias("src_label"))
     ld = labels.select(F.col("id").alias("dst"), F.col("label").alias("dst_label"))
-    j = und.join(F.broadcast(ls), "src").join(F.broadcast(ld), "dst")
+    if _labels_broadcastable(graph):
+        ls, ld = F.broadcast(ls), F.broadcast(ld)
+    j = und.join(ls, "src").join(ld, "dst")
     per_label = j.groupBy("src_label").agg(
         F.count("*").alias("d_c"),
         F.sum(
@@ -89,3 +105,54 @@ def modularity(graph: Graph, labels: DataFrame) -> DataFrame:
         F.col("m2") * F.col("m2")
     ).cast("double")
     return s.select("n_communities", q.alias("modularity"))
+
+
+def community_conductance(graph: Graph, labels: DataFrame) -> DataFrame:
+    """Per-community conductance over the symmetrized simple graph:
+    ``(label, vol, cut, conductance)`` where, on the both-direction
+    undirected row set (M2 = rows = 2m), ``vol(C)`` = rows with src in
+    C (the summed member degree) and ``cut(C)`` = rows leaving C.
+
+    φ(C) = cut / min(vol, M2 − vol) — the standard bottleneck measure
+    (Kannan/Vempala/Vetta 2004). vol and cut are exact integers; φ is
+    one IEEE division, emitted only for communities with
+    0 < vol < M2 (a community holding every edge endpoint has no
+    complement to leak into — excluded rather than given a 0/0
+    convention). Communities of isolated vertices (vol = 0) never
+    appear in the edge pass and are likewise absent.
+
+    Scale shape: one |2m|-row label join (broadcast below the ETL
+    vertex gate, hash above), one map-side-combined per-label
+    aggregation, and a scalar M2 cross join — no windows, no collects.
+    """
+    e = graph.edges.select("src", "dst")
+    und = (
+        e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    ls = labels.select(F.col("id").alias("src"), F.col("label").alias("src_label"))
+    ld = labels.select(F.col("id").alias("dst"), F.col("label").alias("dst_label"))
+    if _labels_broadcastable(graph):
+        ls, ld = F.broadcast(ls), F.broadcast(ld)
+    j = und.join(ls, "src").join(ld, "dst")
+    per = j.groupBy(F.col("src_label").alias("label")).agg(
+        F.count("*").alias("vol"),
+        F.sum(
+            F.when(F.col("src_label") != F.col("dst_label"), 1).otherwise(0)
+        ).alias("cut"),
+    )
+    m2 = und.agg(F.count("*").alias("m2"))
+    return (
+        per.crossJoin(F.broadcast(m2))
+        .where((F.col("vol") > 0) & (F.col("vol") < F.col("m2")))
+        .select(
+            "label",
+            "vol",
+            "cut",
+            (
+                F.col("cut").cast("double")
+                / F.least(F.col("vol"), F.col("m2") - F.col("vol")).cast("double")
+            ).alias("conductance"),
+        )
+    )

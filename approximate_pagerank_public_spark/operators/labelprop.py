@@ -265,49 +265,84 @@ def louvain_rounds(graph: Graph, rounds: int = 4) -> DataFrame:
     vertex set), one per-vertex window argmax. Degrees and ``2m`` are
     computed once outside the loop.
     """
+    spark = graph.spark
+    p = graph.num_partitions
+    symd = _symd_weighted(graph).cache()
+    try:
+        moved = _local_move_rounds(
+            spark, symd, rounds, p, _small_enough(graph.num_vertices)
+        )
+        # isolated vertices never appear in symd: they keep their own id
+        return graph.vertices.join(moved, "id", "left").select(
+            "id", F.coalesce("label", "id").alias("label")
+        )
+    finally:
+        symd.unpersist()
+
+
+def _small_enough(num_vertices: int) -> bool:
     from approximate_pagerank_public_spark.operators.etl import (
         ETL_BROADCAST_MAX_VERTICES,
     )
 
-    spark = graph.spark
-    p = graph.num_partitions
-    # unweighted symmetrized simple edges (both directions, no self
-    # loops), cached partitioned on dst — the per-round join key, so
-    # the edge side of every kin join is exchange-free
+    return num_vertices <= ETL_BROADCAST_MAX_VERTICES
+
+
+def _symd_weighted(graph: Graph) -> DataFrame:
+    """Unweighted symmetrized simple edges (both directions, no self
+    loops) as a w=1 weighted row set, partitioned on dst — the
+    per-round join key, so the edge side of every kin join is
+    exchange-free."""
     e = graph.edges.select("src", "dst").where(F.col("src") != F.col("dst"))
-    symd = (
+    return (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .repartition(p, "dst")
-        .cache()
+        .withColumn("w", F.lit(1).cast("long"))
+        .repartition(graph.num_partitions, "dst")
     )
+
+
+def _local_move_rounds(
+    spark, wrows: DataFrame, rounds: int, p: int, small: bool
+) -> DataFrame:
+    """``rounds`` synchronous integer-gain local moves over a SYMMETRIC
+    integer-weighted row set ``(src, dst, w)`` (off-diagonal rows appear
+    in both directions; a self-loop appears once and contributes its w
+    to the degree once — so a contracted community's diagonal row, which
+    counts each internal undirected edge twice, adds exactly the
+    internal degree mass and the fine/coarse modularity invariant
+    holds). Returns ``(id, label)`` for every id appearing as src.
+
+    Convention (W the symmetric adjacency, diagonal allowed):
+    ``k_i = Σ_j W_ij``, ``m2 = Σ_ij W_ij``, ``kin(i,C) = Σ_{j∈C, j≠i}
+    W_ij``, ``Σtot(C) = Σ_{i∈C} k_i``; cleared-denominator gain
+    ``m2·kin − k_i·Σtot'`` with ``Σtot' = Σtot − k_i`` for the stay
+    option. All integer, so the argmax (gain desc, stay-first, smaller
+    label) is bit-exact in any engine."""
+    deg = wrows.groupBy("src").agg(F.sum("w").alias("k")).cache()
     try:
-        deg = symd.groupBy("src").agg(F.count("*").alias("k")).cache()
-        m2 = symd.count()  # == 2m (every undirected edge appears twice)
-        labels = graph.vertices.select("id", F.col("id").alias("label"))
+        m2 = int(wrows.agg(F.sum("w")).first()[0])
+        labels = deg.select(F.col("src").alias("id"), F.col("src").alias("label"))
         labels, label_ids = local_ckpt(labels.repartition(p, "id"))
-        small = graph.num_vertices <= ETL_BROADCAST_MAX_VERTICES
+        # kin excludes j == i: a vertex's (or contracted community's)
+        # self-loop moves with it and cancels from every gain comparison
+        offdiag = wrows.where(F.col("src") != F.col("dst"))
         for _ in range(rounds):
-            # Σtot per community (sum of member degrees) — |C| rows;
-            # isolated vertices (no deg row) contribute k=0, correctly
+            # Σtot per community (sum of member degrees) — |C| rows
             sigtot = (
                 labels.join(deg.withColumnRenamed("src", "id"), "id")
                 .groupBy("label")
                 .agg(F.sum("k").alias("sigtot"))
             )
-            # k_in(i, C): neighbors of i per neighbor-community; the
+            # k_in(i, C): neighbor weight per neighbor-community; the
             # STAY option must always be a candidate (a vertex with no
             # neighbor in its own community would otherwise be forced
             # into the best MOVE even at negative gain), so union a
             # kin=0 row for the current community BEFORE the single
             # (id, label) aggregation
-            contrib = symd.join(
+            contrib = offdiag.join(
                 labels.select(F.col("id").alias("dst"), F.col("label")), "dst"
-            ).select(
-                F.col("src").alias("id"),
-                "label",
-                F.lit(1).cast("long").alias("kin"),
-            )
+            ).select(F.col("src").alias("id"), "label", F.col("w").alias("kin"))
             kin = (
                 contrib.unionByName(
                     labels.select("id", "label", F.lit(0).cast("long").alias("kin"))
@@ -350,40 +385,105 @@ def louvain_rounds(graph: Graph, rounds: int = 4) -> DataFrame:
             labels, label_ids = new, new_ids
         return labels
     finally:
-        symd.unpersist()
         deg.unpersist()
 
 
-def golden_louvain_rounds(
-    src: np.ndarray, dst: np.ndarray, n: int, rounds: int = 4
-) -> np.ndarray:
-    """NumPy twin of :func:`louvain_rounds` (raw directed edges; the
-    golden symmetrizes and dedups itself). Integer arithmetic only."""
+def louvain_multilevel(
+    graph: Graph, fine_rounds: int = 2, coarse_rounds: int = 2
+) -> DataFrame:
+    """One full Louvain level step: ``fine_rounds`` local moves on the
+    vertex graph, contraction of the resulting partition into an
+    integer-weighted community multigraph (diagonal rows carry the
+    internal edge mass; ``m2`` and modularity are invariant under the
+    contraction), ``coarse_rounds`` local moves on THAT, and projection
+    of the coarse labels back onto the vertices.
+
+    Every quantity in both phases is integer (weights are edge counts),
+    so the final ``(id, label)`` is replayed bit-exactly by the DuckDB
+    unrolled-CTE oracle — the deterministic-contract analogue of
+    Blondel et al.'s full pipeline, with fixed round budgets instead of
+    convergence sweeps (see :func:`louvain_rounds` for why).
+
+    Scale shape: the fine phase is :func:`louvain_rounds`; the
+    contraction is one |2m|-row double label join + hash agg; the
+    coarse phase runs on |communities| vertices — strictly cheaper per
+    round than the fine phase."""
+    spark = graph.spark
+    p = graph.num_partitions
+    symd = _symd_weighted(graph).cache()
+    small = _small_enough(graph.num_vertices)
+    try:
+        fine = _local_move_rounds(spark, symd, fine_rounds, p, small)
+        ls = fine.select(F.col("id").alias("src"), F.col("label").alias("_cs"))
+        ld = fine.select(F.col("id").alias("dst"), F.col("label").alias("_cd"))
+        if small:
+            ls, ld = F.broadcast(ls), F.broadcast(ld)
+        coarse_rows = (
+            symd.join(ls, "src")
+            .join(ld, "dst")
+            .groupBy(F.col("_cs").alias("src"), F.col("_cd").alias("dst"))
+            .agg(F.sum("w").alias("w"))
+            .repartition(p, "dst")
+            .cache()
+        )
+        try:
+            coarse = _local_move_rounds(
+                spark, coarse_rows, coarse_rounds, p, small
+            )
+        finally:
+            coarse_rows.unpersist()
+        out = fine.join(
+            coarse.select(F.col("id").alias("label"), F.col("label").alias("_sl")),
+            "label",
+        ).select("id", F.col("_sl").alias("label"))
+        # isolated vertices never enter the fine phase: keep their own id
+        return graph.vertices.join(out, "id", "left").select(
+            "id", F.coalesce("label", "id").alias("label")
+        )
+    finally:
+        symd.unpersist()
+
+
+def _golden_sym_rows(src: np.ndarray, dst: np.ndarray) -> dict[tuple[int, int], int]:
+    """Raw directed edges → symmetric w=1 row set (no self loops)."""
     pairs = {
         (int(u), int(v))
         for u, v in zip(src.tolist(), dst.tolist())
         if u != v
     }
-    sym = pairs | {(v, u) for (u, v) in pairs}
+    return {e: 1 for e in pairs | {(v, u) for (u, v) in pairs}}
+
+
+def _golden_local_moves(
+    rows: dict[tuple[int, int], int], rounds: int
+) -> dict[int, int]:
+    """Pure-Python twin of :func:`_local_move_rounds` over a symmetric
+    integer-weighted row dict (diagonal allowed). Integer arithmetic
+    only; returns {src: label}."""
     k: dict[int, int] = {}
-    for u, _ in sym:
-        k[u] = k.get(u, 0) + 1
-    m2 = len(sym)
+    for (u, _), w in rows.items():
+        k[u] = k.get(u, 0) + w
+    m2 = sum(rows.values())
     labels = {i: i for i in k}
     for _ in range(rounds):
         sigtot: dict[int, int] = {}
         for i, c in labels.items():
             sigtot[c] = sigtot.get(c, 0) + k[i]
         kin: dict[tuple[int, int], int] = {}
-        for u, v in sym:
+        for (u, v), w in rows.items():
+            if u == v:
+                continue  # self-loops move with u and cancel from gains
             key = (u, labels[v])
-            kin[key] = kin.get(key, 0) + 1
+            kin[key] = kin.get(key, 0) + w
         new = dict(labels)
         by_vertex: dict[int, list[tuple[int, int]]] = {}
         for (u, c), cnt in kin.items():
             by_vertex.setdefault(u, []).append((c, cnt))
-        for u, cands in by_vertex.items():
+        for u in labels:
             cur = labels[u]
+            cands = by_vertex.get(u, [])
+            if all(c != cur for c, _ in cands):
+                cands = cands + [(cur, 0)]  # the mandatory stay option
             best = None
             for c, cnt in cands:
                 st = sigtot[c] - (k[u] if c == cur else 0)
@@ -395,7 +495,39 @@ def golden_louvain_rounds(
             if best is not None:
                 new[u] = best[1]
         labels = new
+    return labels
+
+
+def golden_louvain_rounds(
+    src: np.ndarray, dst: np.ndarray, n: int, rounds: int = 4
+) -> np.ndarray:
+    """NumPy twin of :func:`louvain_rounds` (raw directed edges; the
+    golden symmetrizes and dedups itself). Integer arithmetic only."""
+    labels = _golden_local_moves(_golden_sym_rows(src, dst), rounds)
     out = np.arange(n, dtype=np.int64)
     for i, c in labels.items():
         out[i] = c
+    return out
+
+
+def golden_louvain_multilevel(
+    src: np.ndarray,
+    dst: np.ndarray,
+    n: int,
+    fine_rounds: int = 2,
+    coarse_rounds: int = 2,
+) -> np.ndarray:
+    """Pure-Python twin of :func:`louvain_multilevel`: fine local
+    moves, integer contraction (diagonal rows carry internal mass),
+    coarse local moves, projection. Integer arithmetic only."""
+    rows = _golden_sym_rows(src, dst)
+    fine = _golden_local_moves(rows, fine_rounds)
+    coarse_rows: dict[tuple[int, int], int] = {}
+    for (u, v), w in rows.items():
+        key = (fine[u], fine[v])
+        coarse_rows[key] = coarse_rows.get(key, 0) + w
+    coarse = _golden_local_moves(coarse_rows, coarse_rounds)
+    out = np.arange(n, dtype=np.int64)
+    for i, c in fine.items():
+        out[i] = coarse[c]
     return out

@@ -246,3 +246,48 @@ def test_louvain_rounds_two_cliques(spark):
     q = modularity(g, labels).toPandas()["modularity"].iloc[0]
     assert q > 0.3
     g.unpersist()
+
+
+def test_louvain_multilevel_matches_golden_random(g_rand):
+    from approximate_pagerank_public_spark.operators.labelprop import (
+        golden_louvain_multilevel,
+        louvain_multilevel,
+    )
+
+    src, dst, _ = g_rand.edges_numpy()
+    gold = golden_louvain_multilevel(src, dst, 300, fine_rounds=2, coarse_rounds=2)
+    res = (
+        louvain_multilevel(g_rand, fine_rounds=2, coarse_rounds=2)
+        .toPandas()
+        .sort_values("id")
+    )
+    assert (res["label"].to_numpy() == gold).all()
+
+
+def test_louvain_multilevel_coarse_phase_can_merge(spark):
+    """Four 4-cliques in a ring: fine rounds find the cliques, the
+    coarse phase must operate on the contracted weighted multigraph
+    (diagonal mass included) without relabeling vertices incorrectly."""
+    from approximate_pagerank_public_spark.operators.graphstats import modularity
+    from approximate_pagerank_public_spark.operators.labelprop import (
+        golden_louvain_multilevel,
+        louvain_multilevel,
+    )
+
+    edges = []
+    for b in range(4):
+        base = 4 * b
+        edges += [
+            (base + i, base + j) for i in range(4) for j in range(4) if i < j
+        ]
+    edges += [(3, 4), (7, 8), (11, 12), (15, 0)]  # the ring bridges
+    src = np.array([e[0] for e in edges])
+    dst = np.array([e[1] for e in edges])
+    g = Graph.from_edge_arrays(spark, src, dst, num_vertices=16, num_partitions=4)
+    labels = louvain_multilevel(g, fine_rounds=2, coarse_rounds=2)
+    gold = golden_louvain_multilevel(src, dst, 16, fine_rounds=2, coarse_rounds=2)
+    got = labels.toPandas().sort_values("id")["label"].to_numpy()
+    assert (got == gold).all()
+    q = modularity(g, labels).toPandas()["modularity"].iloc[0]
+    assert q > 0.4  # the clique structure must be found
+    g.unpersist()

@@ -1,5 +1,6 @@
 """Assortativity/modularity vs pure-Python goldens."""
 
+import numpy as np
 import math
 from collections import Counter
 
@@ -100,3 +101,45 @@ def test_contract_communities_counts(spark):
         assert got == {(0, 0): 2, (2, 2): 1, (0, 2): 1, (2, 0): 1}
     finally:
         g.unpersist()
+
+
+def test_community_conductance_two_triangles(spark):
+    from approximate_pagerank_public_spark.operators.graphstats import (
+        community_conductance,
+    )
+
+    # triangle {0,1,2} + triangle {3,4,5} + bridge (2,3): m2 = 14,
+    # vol = 7 per side, cut = 1 per side -> phi = 1/7 exactly
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+    src = np.array([e[0] for e in edges])
+    dst = np.array([e[1] for e in edges])
+    g = Graph.from_edge_arrays(spark, src, dst, num_vertices=6, num_partitions=2)
+    labels = spark.createDataFrame(
+        [(i, 0 if i < 3 else 3) for i in range(6)], "id long, label long"
+    )
+    got = (
+        community_conductance(g, labels)
+        .toPandas()
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+    assert list(got["label"]) == [0, 3]
+    assert list(got["vol"]) == [7, 7]
+    assert list(got["cut"]) == [1, 1]
+    assert (got["conductance"] == 1.0 / 7.0).all()
+    g.unpersist()
+
+
+def test_community_conductance_single_community_empty(spark):
+    from approximate_pagerank_public_spark.operators.graphstats import (
+        community_conductance,
+    )
+
+    edges = [(0, 1), (1, 2), (2, 0)]
+    src = np.array([e[0] for e in edges])
+    dst = np.array([e[1] for e in edges])
+    g = Graph.from_edge_arrays(spark, src, dst, num_vertices=3, num_partitions=2)
+    labels = spark.createDataFrame([(i, 7) for i in range(3)], "id long, label long")
+    # one community holds every endpoint: vol == m2, no complement -> no rows
+    assert community_conductance(g, labels).count() == 0
+    g.unpersist()
