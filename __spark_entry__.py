@@ -1338,6 +1338,25 @@ def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-window dedup (Lee et al. 2022 at fixed 8-token
+    window granularity): per document, how many sliding windows also
+    occur in another document. Integer counts + one IEEE division —
+    the md5-window pipeline replays hash-exactly in DuckDB."""
+    from approximate_pagerank_public_spark.operators.curation import (
+        window_dedup_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = window_dedup_stats(docs, window=8)
+    return out.select(
+        "doc_id",
+        "total_windows",
+        "dup_windows",
+        _stable6("dup_fraction").alias("dup_fraction"),
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document: duplicate
     lines (count + char mass), the dominant word 2-gram and its char
@@ -1543,6 +1562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "split_contamination": q_split_contamination,
         "repetition_stats": q_repetition_stats,
+        "dup_spans": q_dup_spans,
         "pagerank_decay": q_pagerank_decay,
         "tool_cooccurrence": q_tool_cooccurrence,
         "neighbor_agg": q_neighbor_agg,
@@ -2007,6 +2027,32 @@ def _split_contamination_oracle(n: int = 3, max_df: int = 100) -> str:
         "/ CAST(t.total_ngrams AS DOUBLE) * 1000000.0) / 1000000.0 "
         "AS contamination "
         "FROM totals t LEFT JOIN hits h USING (doc_id)"
+    )
+
+
+def _dup_spans_oracle(w: int = 8) -> str:
+    """Exact substring-window dedup
+    (`operators/curation.py::window_dedup_stats`): same tokenizer as
+    the token/vocab oracles, md5 over the space-joined w-token window,
+    cross-doc distinct frequency ≥ 2 flags a window. Counts BIGINT; the
+    fraction is one IEEE division, floor-truncated on both sides."""
+    return (
+        "WITH toks AS MATERIALIZED ("
+        "SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t "
+        "FROM documents), "
+        "w AS MATERIALIZED ("
+        f"SELECT doc_id, md5(array_to_string(t[i:i+{w-1}], ' ')) AS h "
+        f"FROM toks, LATERAL (SELECT unnest(range(1, len(t) - {w-2})) AS i) r "
+        f"WHERE len(t) >= {w}), "
+        "d AS MATERIALIZED ("
+        "SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2) "
+        "SELECT w.doc_id, CAST(count(*) AS BIGINT) AS total_windows, "
+        "CAST(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS dup_windows, "
+        "floor((CAST(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) "
+        "AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 1000000.0) / 1000000.0 "
+        "AS dup_fraction "
+        "FROM w LEFT JOIN d ON d.h = w.h GROUP BY w.doc_id"
     )
 
 
@@ -3474,6 +3520,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "split_contamination": _split_contamination_oracle(n=3, max_df=100),
         "repetition_stats": _repetition_stats_oracle(n=2),
+        "dup_spans": _dup_spans_oracle(8),
         "event_asof": (
             # independent formulation (correlated subqueries), NOT the
             # engine's union+window program — a genuinely adversarial check

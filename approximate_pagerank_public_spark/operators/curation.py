@@ -263,3 +263,101 @@ def repetition_stats(
         )
     )
     return out
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> DataFrame:
+    """``(doc_id, pos, window_hash)`` for every ``window``-token sliding
+    window whose md5 occurs in ≥ 2 DISTINCT documents — the
+    exact-substring duplication signal of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"),
+    expressed at fixed token-window granularity so it is a pure
+    relational pipeline (tokenize → slide → hash → cross-doc
+    frequency → flag) instead of a suffix array.
+
+    ``pos`` is the 1-based token offset of the window start. Windows
+    repeated only WITHIN one document are not flagged (that signal is
+    ``repetition_stats``); documents shorter than ``window`` tokens
+    emit no windows. Tokenization is the corpus convention
+    (``split(lower(trim(text)), '\\s+')``) shared with the token/vocab
+    oracles, and the window hash is md5 of the space-joined tokens, so
+    a DuckDB replay is hash-exact.
+
+    Scale shape: the slide is ``transform(sequence(...))`` + posexplode
+    — ~|tokens| rows, all whole-stage codegen; the cross-doc frequency
+    is one map-side-combined groupBy on the window hash; the flag join
+    matches each span row to at most ONE dup-hash row (no fan-out). A
+    boilerplate window shared by millions of documents costs its row
+    count, never a hot single task."""
+    w = int(window)
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    starts = F.when(
+        F.size(toks) >= w, F.sequence(F.lit(1), F.size(toks) - w + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    hashes = F.transform(
+        starts, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, w)))
+    )
+    spans = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(hashes).alias("pos0", "window_hash"),
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "window_hash"
+    )
+    dup = (
+        spans.groupBy("window_hash")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .where(F.col("_nd") >= 2)
+        .select("window_hash")
+    )
+    return spans.join(dup, "window_hash").select("doc_id", "pos", "window_hash")
+
+
+def window_dedup_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> DataFrame:
+    """Per-document summary of :func:`duplicate_spans`:
+    ``(doc_id, total_windows, dup_windows, dup_fraction)`` over every
+    document with ≥ 1 window (≥ ``window`` tokens). ``dup_fraction``
+    is the single IEEE division dup/total — with the integer counts it
+    is hash-exact cross-engine."""
+    w = int(window)
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    starts = F.when(
+        F.size(toks) >= w, F.sequence(F.lit(1), F.size(toks) - w + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    hashes = F.transform(
+        starts, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, w)))
+    )
+    spans = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(hashes).alias("window_hash")
+    )
+    dup = (
+        spans.groupBy("window_hash")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .where(F.col("_nd") >= 2)
+        .select("window_hash", F.lit(1).alias("_dup"))
+    )
+    return (
+        spans.join(dup, "window_hash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("total_windows"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "total_windows",
+            "dup_windows",
+            (
+                F.col("dup_windows").cast("double")
+                / F.col("total_windows").cast("double")
+            ).alias("dup_fraction"),
+        )
+    )

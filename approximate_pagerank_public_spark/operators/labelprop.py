@@ -1,11 +1,14 @@
-"""Synchronous label propagation (community detection).
+"""Community detection: synchronous label propagation, community
+contraction, and deterministic Louvain (single-level local moves and
+the full multilevel fine→contract→coarse pipeline).
 
-North-rule algorithm built on the same superstep machinery: per
+North-rule algorithms built on the same superstep machinery: per
 iteration each vertex adopts the label with the greatest incoming
-weight among its (symmetrized) neighbors, ties broken by the **smallest
-label** so the algorithm is fully deterministic (classic async LPA is
-randomized; a deterministic synchronous variant is required for golden
-parity testing).
+weight (LPA) or the largest all-integer modularity gain (Louvain),
+ties broken by the **smallest label** so the algorithms are fully
+deterministic (the classic async variants are randomized; deterministic
+synchronous variants are required for golden parity testing and
+cross-engine oracle replay).
 
 One implementation serves both scales: the per-(dst,label) weight
 aggregation is a DataFrame ``groupBy(dst, label).sum`` with map-side

@@ -136,3 +136,41 @@ def test_repetition_stats_short_doc_no_ngrams(spark):
     assert r["top_ngram_frac"] == 0.0
     assert r["dup_ngram_frac"] == 0.0
     assert r["n_lines"] == 1 and r["dup_line_frac"] == 0.0
+
+
+def test_duplicate_spans_cross_doc_only(spark):
+    from approximate_pagerank_public_spark.operators.curation import (
+        duplicate_spans,
+        window_dedup_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),        # windows(3): abc bcd cde
+            (2, "x B C D y"),        # xbc bcd cdy (case-normalized)
+            (3, "a b"),              # shorter than the window: no rows
+            (4, "p q r p q r"),      # 'p q r' repeats WITHIN one doc only
+        ],
+        "doc_id long, text string",
+    )
+    spans = (
+        duplicate_spans(docs, window=3)
+        .toPandas()
+        .sort_values(["doc_id", "pos"])
+        .reset_index(drop=True)
+    )
+    # only the cross-doc window 'b c d' is flagged, at pos 2 in both docs
+    assert list(spans["doc_id"]) == [1, 2]
+    assert list(spans["pos"]) == [2, 2]
+    assert spans["window_hash"].nunique() == 1
+
+    stats = (
+        window_dedup_stats(docs, window=3)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(stats["doc_id"]) == [1, 2, 4]  # doc 3 has no windows
+    assert list(stats["total_windows"]) == [3, 3, 4]
+    assert list(stats["dup_windows"]) == [1, 1, 0]
+    assert stats["dup_fraction"].tolist() == [1 / 3, 1 / 3, 0.0]
