@@ -1357,6 +1357,53 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over the lineitem fixture —
+    money arithmetic entirely in integer cents / cent·percent, so every
+    aggregate is an exact BIGINT (hash-trivial cross-engine)."""
+    from approximate_pagerank_public_spark.operators.relational import (
+        pricing_summary,
+    )
+    from approximate_pagerank_public_spark.sources.readers import load_table
+
+    return pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_segment_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: top-10 revenue orders of the BUILDING segment
+    around a date cut (customer ⋈ orders ⋈ lineitem, integer revenue,
+    ties → smaller orderkey)."""
+    from approximate_pagerank_public_spark.operators.relational import (
+        segment_top_orders,
+    )
+    from approximate_pagerank_public_spark.sources.readers import load_table
+
+    return segment_top_orders(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-table join (region ⋈ nation ⋈ customer ⋈
+    orders ⋈ lineitem ⋈ supplier with the local-supplier constraint),
+    per-nation integer revenue."""
+    from approximate_pagerank_public_spark.operators.relational import (
+        regional_revenue,
+    )
+    from approximate_pagerank_public_spark.sources.readers import load_table
+
+    return regional_revenue(
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document: duplicate
     lines (count + char mass), the dominant word 2-gram and its char
@@ -1563,6 +1610,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_contamination": q_split_contamination,
         "repetition_stats": q_repetition_stats,
         "dup_spans": q_dup_spans,
+        "pricing_summary": q_pricing_summary,
+        "segment_top_orders": q_segment_top_orders,
+        "regional_revenue": q_regional_revenue,
         "pagerank_decay": q_pagerank_decay,
         "tool_cooccurrence": q_tool_cooccurrence,
         "neighbor_agg": q_neighbor_agg,
@@ -2027,6 +2077,62 @@ def _split_contamination_oracle(n: int = 3, max_df: int = 100) -> str:
         "/ CAST(t.total_ngrams AS DOUBLE) * 1000000.0) / 1000000.0 "
         "AS contamination "
         "FROM totals t LEFT JOIN hits h USING (doc_id)"
+    )
+
+
+_REV_CPCT_SQL = (
+    "CAST(round(l_extendedprice*100) AS BIGINT) * "
+    "(100 - CAST(round(l_discount*100) AS BIGINT))"
+)
+
+
+def _pricing_summary_oracle() -> str:
+    """`operators/relational.py::pricing_summary` — all-integer money
+    (see the module docstring for why round(x·100) is cross-engine
+    bit-exact on the 2-dp fixtures)."""
+    return (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
+        "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) "
+        "AS sum_base_cents, "
+        f"CAST(sum({_REV_CPCT_SQL}) AS BIGINT) AS sum_disc_cpct, "
+        "CAST(count(*) AS BIGINT) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus"
+    )
+
+
+def _segment_top_orders_oracle() -> str:
+    """`operators/relational.py::segment_top_orders` (Q3 shape)."""
+    return (
+        "SELECT l_orderkey, "
+        f"CAST(sum({_REV_CPCT_SQL}) AS BIGINT) AS revenue_cpct, "
+        "o_orderpriority "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < TIMESTAMP '1997-06-01' "
+        "AND l_shipdate > TIMESTAMP '1997-06-01' "
+        "GROUP BY l_orderkey, o_orderpriority "
+        "ORDER BY revenue_cpct DESC, l_orderkey ASC LIMIT 10"
+    )
+
+
+def _regional_revenue_oracle() -> str:
+    """`operators/relational.py::regional_revenue` (Q5 shape with the
+    local-supplier constraint)."""
+    return (
+        "SELECT n_name, "
+        f"CAST(sum({_REV_CPCT_SQL}) AS BIGINT) AS revenue_cpct "
+        "FROM region JOIN nation ON n_regionkey = r_regionkey "
+        "JOIN customer ON c_nationkey = n_nationkey "
+        "JOIN orders ON o_custkey = c_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey "
+        "WHERE r_name = 'ASIA' "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY n_name"
     )
 
 
@@ -3521,6 +3627,9 @@ def oracle_sql() -> dict[str, str]:
         "split_contamination": _split_contamination_oracle(n=3, max_df=100),
         "repetition_stats": _repetition_stats_oracle(n=2),
         "dup_spans": _dup_spans_oracle(8),
+        "pricing_summary": _pricing_summary_oracle(),
+        "segment_top_orders": _segment_top_orders_oracle(),
+        "regional_revenue": _regional_revenue_oracle(),
         "event_asof": (
             # independent formulation (correlated subqueries), NOT the
             # engine's union+window program — a genuinely adversarial check

@@ -1,0 +1,113 @@
+"""Classic relational OLAP over the TPC-H-style fixture tables
+(pricing summary, segment top-orders, regional revenue) — the
+conventional analytics surface next to the link-graph operators, kept
+cross-engine hash-exact by doing ALL money arithmetic in integer cents.
+
+Prices/discounts in the fixtures are 2-dp doubles; ``round(x·100)`` is
+bit-identical in Spark and DuckDB because x·100 is always within one
+ulp of an integer (never near a .5 tie). Revenue uses
+``price_cents · (100 − disc_pct)`` — exact BIGINT "cent·percent"
+units; divide by 10⁴ only at the display edge (one IEEE division of an
+exact integer, still bit-exact).
+
+Scale shape: pure declarative DataFrame plans — Catalyst pushes the
+date/segment filters into the parquet scans, broadcasts the
+dictionary-sized dims (region, nation, supplier, customer at any SF
+where they fit the broadcast threshold — AQE decides from measured
+sizes, nothing is pinned), and every aggregate is map-side combinable.
+No UDFs, no collects, no windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def _revenue_cpct(price_col: str = "l_extendedprice", disc_col: str = "l_discount") -> F.Column:
+    """price·(1−discount) in exact integer cent·percent units."""
+    disc_pct = F.round(F.col(disc_col) * 100).cast("long")
+    return _cents(price_col) * (F.lit(100) - disc_pct)
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1-shaped pricing summary per (returnflag, linestatus):
+    shipped-by-``cutoff`` quantity, base price (cents), discounted
+    revenue (cent·percent), and order count — all exact integers."""
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+            F.sum(_cents("l_extendedprice")).alias("sum_base_cents"),
+            F.sum(_revenue_cpct()).alias("sum_disc_cpct"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def segment_top_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    date: str = "1997-06-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3-shaped: the ``k`` highest-revenue orders of one market
+    segment placed before ``date`` with lines still shipping after it;
+    ties → smaller orderkey. Revenue in exact cent·percent units."""
+    d = F.lit(date).cast("timestamp")
+    return (
+        customer.where(F.col("c_mktsegment") == segment)
+        .join(orders.where(F.col("o_orderdate") < d), F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            lineitem.where(F.col("l_shipdate") > d),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(F.sum(_revenue_cpct()).alias("revenue_cpct"))
+        .orderBy(F.col("revenue_cpct").desc(), F.col("l_orderkey").asc())
+        .limit(k)
+        .select("l_orderkey", "revenue_cpct", "o_orderpriority")
+    )
+
+
+def regional_revenue(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q5-shaped: per-nation revenue in one region over a date
+    window, counting only lines whose supplier sits in the customer's
+    nation (the classic local-supplier constraint — a 6-table join)."""
+    return (
+        region.where(F.col("r_name") == region_name)
+        .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(customer, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(_revenue_cpct()).alias("revenue_cpct"))
+    )
