@@ -1404,6 +1404,25 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped per-ship-year PROMO revenue share: exact
+    integer cent·percent sums, one IEEE division for the share."""
+    from approximate_pagerank_public_spark.operators.relational import (
+        promo_revenue_share,
+    )
+    from approximate_pagerank_public_spark.sources.readers import load_table
+
+    out = promo_revenue_share(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+    return out.select(
+        F.col("ship_year").cast("long").alias("ship_year"),
+        "promo_cpct",
+        "total_cpct",
+        _stable6("promo_share").alias("promo_share"),
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document: duplicate
     lines (count + char mass), the dominant word 2-gram and its char
@@ -1613,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "segment_top_orders": q_segment_top_orders,
         "regional_revenue": q_regional_revenue,
+        "promo_share": q_promo_share,
         "pagerank_decay": q_pagerank_decay,
         "tool_cooccurrence": q_tool_cooccurrence,
         "neighbor_agg": q_neighbor_agg,
@@ -2133,6 +2153,22 @@ def _regional_revenue_oracle() -> str:
         "AND o_orderdate >= TIMESTAMP '1996-01-01' "
         "AND o_orderdate < TIMESTAMP '1998-01-01' "
         "GROUP BY n_name"
+    )
+
+
+def _promo_share_oracle() -> str:
+    """`operators/relational.py::promo_revenue_share` (Q14 shape)."""
+    return (
+        "SELECT CAST(date_part('year', l_shipdate) AS BIGINT) AS ship_year, "
+        f"CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV_CPCT_SQL} "
+        "ELSE 0 END) AS BIGINT) AS promo_cpct, "
+        f"CAST(sum({_REV_CPCT_SQL}) AS BIGINT) AS total_cpct, "
+        "floor((CAST(sum(CASE WHEN p_type = 'PROMO' THEN "
+        f"{_REV_CPCT_SQL} ELSE 0 END) AS DOUBLE) / "
+        f"CAST(sum({_REV_CPCT_SQL}) AS DOUBLE)) * 1000000.0) / 1000000.0 "
+        "AS promo_share "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "GROUP BY date_part('year', l_shipdate)"
     )
 
 
@@ -3630,6 +3666,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": _pricing_summary_oracle(),
         "segment_top_orders": _segment_top_orders_oracle(),
         "regional_revenue": _regional_revenue_oracle(),
+        "promo_share": _promo_share_oracle(),
         "event_asof": (
             # independent formulation (correlated subqueries), NOT the
             # engine's union+window program — a genuinely adversarial check

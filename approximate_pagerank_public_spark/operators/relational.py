@@ -111,3 +111,31 @@ def regional_revenue(
         .groupBy("n_name")
         .agg(F.sum(_revenue_cpct()).alias("revenue_cpct"))
     )
+
+
+def promo_revenue_share(
+    lineitem: DataFrame, part: DataFrame
+) -> DataFrame:
+    """TPC-H Q14-shaped: per ship-year, the revenue fraction from PROMO
+    parts. ``promo_cpct``/``total_cpct`` are exact integers; the share
+    is their single IEEE division — bit-exact cross-engine."""
+    rev = _revenue_cpct()
+    return (
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).alias(
+                "promo_cpct"
+            ),
+            F.sum(rev).alias("total_cpct"),
+        )
+        .select(
+            "ship_year",
+            "promo_cpct",
+            "total_cpct",
+            (
+                F.col("promo_cpct").cast("double")
+                / F.col("total_cpct").cast("double")
+            ).alias("promo_share"),
+        )
+    )
