@@ -742,6 +742,30 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_avg_nbr_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed knn (Barrat 2004): per-vertex mean out-degree of
+    out-neighbors — exact BIGINT sums, avg is one IEEE division."""
+    from approximate_pagerank_public_spark.operators.graphstats import (
+        avg_neighbor_degree,
+    )
+
+    g = _graph(spark, sf_dir)
+    return avg_neighbor_degree(g).select(
+        "id", "deg", "nbr_deg_sum", _stable6("avg_nbr_deg").alias("avg_nbr_deg")
+    )
+
+
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge reciprocity r = L↔/L (Garlaschelli 2004) — exact counts,
+    ratio is one IEEE division."""
+    from approximate_pagerank_public_spark.operators.graphstats import reciprocity
+
+    g = _graph(spark, sf_dir)
+    return reciprocity(g).select(
+        "m", "reciprocal", _stable6("reciprocity").alias("reciprocity")
+    )
+
+
 def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity of the LPA-5 communities — integer-numerator
     single-division form, replayed over the same unrolled-LPA oracle."""
@@ -1095,6 +1119,33 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return session_stats(ev, gap_seconds=14400).select(
         "user_id", "session_seq", "n_events", "duration_us", "first_event", "last_event"
+    )
+
+
+def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour rollup anchored at the stream's first event —
+    batch twin of a Structured Streaming window aggregate; window index
+    is an exact integer DIFFERENCE (tz-free), money in integer cents."""
+    from approximate_pagerank_public_spark.operators.events import hourly_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hourly_rollup(ev).select(
+        "window_idx", "event_type", "n_events", "value_cents"
+    )
+
+
+def q_turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation inter-turn latency stats over the transcripts —
+    integer-microsecond gap aggregates, avg is one IEEE division."""
+    from approximate_pagerank_public_spark.operators.events import turn_latency
+
+    t = _transcripts(spark, sf_dir)
+    return turn_latency(t).select(
+        "conv_id",
+        "n_turns",
+        "total_gap_us",
+        "max_gap_us",
+        _stable6("avg_gap_us").alias("avg_gap_us"),
     )
 
 
@@ -1577,6 +1628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity": q_modularity,
         "community_graph": q_community_graph,
         "assortativity": q_assortativity,
+        "avg_nbr_degree": q_avg_nbr_degree,
+        "reciprocity": q_reciprocity,
         "stress": q_stress,
         "betweenness": q_betweenness,
         "bfs_dist": q_bfs_from_min_conv,
@@ -1609,6 +1662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "session_stats": q_session_stats,
+        "hourly_rollup": q_hourly_rollup,
+        "turn_latency": q_turn_latency,
         "event_asof": q_event_asof,
         "funnel_steps": q_funnel_steps,
         "event_transitions": q_event_transitions,
@@ -2946,6 +3001,74 @@ def _assortativity_oracle() -> str:
     )
 
 
+def _avg_nbr_degree_oracle() -> str:
+    """Directed knn replay: the edge set is distinct, so the left join
+    against the out-degree table matches ≤1 row per edge; sums are
+    exact BIGINTs and the mean is one IEEE division (stable6-truncated
+    on both sides)."""
+    e_sql = _duck_edges_sql()
+    return (
+        f"WITH e AS ({e_sql}), "
+        "od AS (SELECT src, CAST(count(*) AS BIGINT) AS ndeg FROM e GROUP BY src), "
+        "j AS (SELECT e.src, COALESCE(od.ndeg, 0) AS ndeg "
+        "FROM e LEFT JOIN od ON e.dst = od.src) "
+        "SELECT src AS id, CAST(count(*) AS BIGINT) AS deg, "
+        "CAST(sum(ndeg) AS BIGINT) AS nbr_deg_sum, "
+        "floor((CAST(sum(ndeg) AS DOUBLE) / CAST(count(*) AS DOUBLE)) "
+        "* 1000000.0) / 1000000.0 AS avg_nbr_deg "
+        "FROM j GROUP BY src"
+    )
+
+
+def _reciprocity_oracle() -> str:
+    """Reciprocity replay: the edge set is distinct, so the inner join
+    with its own transpose matches each reciprocated edge exactly
+    once."""
+    e_sql = _duck_edges_sql()
+    return (
+        f"WITH e AS ({e_sql}), "
+        "rec AS (SELECT CAST(count(*) AS BIGINT) AS reciprocal "
+        "FROM e JOIN e r ON e.src = r.dst AND e.dst = r.src), "
+        "mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e) "
+        "SELECT m, reciprocal, "
+        "CASE WHEN m = 0 THEN 0.0 ELSE "
+        "floor((CAST(reciprocal AS DOUBLE) / CAST(m AS DOUBLE)) "
+        "* 1000000.0) / 1000000.0 END AS reciprocity "
+        "FROM mm CROSS JOIN rec"
+    )
+
+
+def _turn_latency_oracle() -> str:
+    """Inter-turn gap replay over the transcripts CTE — epoch_us
+    DIFFERENCES only (tz cancels), exact BIGINT aggregates."""
+    return (
+        f"WITH tr AS ({_duck_transcripts_cte()}), "
+        "g AS (SELECT conv_id, "
+        "epoch_us(ts) - lag(epoch_us(ts)) OVER "
+        "(PARTITION BY conv_id ORDER BY turn_idx) AS gap FROM tr) "
+        "SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns, "
+        "CAST(COALESCE(sum(gap), 0) AS BIGINT) AS total_gap_us, "
+        "CAST(COALESCE(max(gap), 0) AS BIGINT) AS max_gap_us, "
+        "CASE WHEN count(*) <= 1 THEN 0.0 ELSE "
+        "floor((CAST(COALESCE(sum(gap), 0) AS DOUBLE) / "
+        "CAST(count(*) - 1 AS DOUBLE)) * 1000000.0) / 1000000.0 "
+        "END AS avg_gap_us "
+        "FROM g GROUP BY conv_id"
+    )
+
+
+_HOURLY_ROLLUP_ORACLE = (
+    "WITH t0 AS (SELECT min(ts) AS t0 FROM events), "
+    "b AS (SELECT epoch_us(ts) - epoch_us(t0) AS diff, event_type, "
+    "CAST(round(value * 100) AS BIGINT) AS cents "
+    "FROM events CROSS JOIN t0) "
+    "SELECT CAST(diff // 3600000000 AS BIGINT) AS window_idx, event_type, "
+    "CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(sum(cents) AS BIGINT) AS value_cents "
+    "FROM b GROUP BY 1, 2"
+)
+
+
 def _hll_distinct_oracle() -> str:
     from approximate_pagerank_public_spark.functions.sketch import hll_oracle_sql
 
@@ -3462,6 +3585,10 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY ls.label, ld.label"
         ),
         "assortativity": _assortativity_oracle(),
+        "avg_nbr_degree": _avg_nbr_degree_oracle(),
+        "reciprocity": _reciprocity_oracle(),
+        "turn_latency": _turn_latency_oracle(),
+        "hourly_rollup": _HOURLY_ROLLUP_ORACLE,
         "stress": _stress_oracle(STRESS_SOURCES),
         "scc": (
             f"WITH RECURSIVE e AS ({e_sql}), "

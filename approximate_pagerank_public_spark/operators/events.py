@@ -274,3 +274,89 @@ def props_numeric_stats(
         F.min(v).alias("min_k"),
         F.max(v).alias("max_k"),
     )
+
+
+def hourly_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    window_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Tumbling-window rollup anchored at the stream's first event:
+    ``(window_idx, event_type, n_events, value_cents)`` where
+    ``window_idx = (ts - min(ts)) DIV window_us`` — the batch twin of a
+    ``F.window``-based Structured Streaming aggregate, but keyed by an
+    integer DIFFERENCE from the stream origin so the result is
+    timezone-free and hash-exact (absolute epochs never appear).
+
+    Money stays in integer cents (``round(value*100)`` is bit-exact on
+    the 2-dp fixtures — see ``operators/relational.py``); the window
+    index is exact BIGINT division of an exact microsecond difference.
+
+    Scale shape: one scalar min (map-side combinable) broadcast to the
+    edge pass, then ONE map-side-combined aggregation over
+    |windows|·|types| keys. No windows-the-SQL-kind, no collects.
+    """
+    t0 = events.agg(F.min(ts_col).alias("_t0"))
+    diff = F.expr(f"timestampdiff(MICROSECOND, _t0, {ts_col})")
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    return (
+        events.crossJoin(F.broadcast(t0))
+        .select(
+            (diff - diff % F.lit(window_us)).cast("long").alias("_off"),
+            F.col(type_col).alias("event_type"),
+            cents.alias("_cents"),
+        )
+        .select(
+            (F.col("_off") / F.lit(window_us)).cast("long").alias("window_idx"),
+            "event_type",
+            "_cents",
+        )
+        .groupBy("window_idx", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("_cents").alias("value_cents"),
+        )
+    )
+
+
+def turn_latency(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation inter-turn latency: ``(conv_id, n_turns,
+    total_gap_us, max_gap_us, avg_gap_us)`` over consecutive turns in
+    stable ``turn_idx`` order.
+
+    Gaps are integer-microsecond DIFFERENCES (``timestampdiff`` — the
+    same tz-free convention as :func:`sessionize`), so every aggregate
+    is an exact BIGINT; ``avg_gap_us = total / (n_turns - 1)`` is one
+    IEEE division (0.0 for single-turn conversations, which have no
+    gaps). The turn-ordering invariant (``turn_idx`` consistent with
+    ``ts``) makes every gap non-negative.
+
+    Scale shape: one hash shuffle on ``conv_id`` + within-partition
+    sort (the window never spans partitions), then a map-side-combined
+    per-conversation aggregate. Per-conversation turn count is the only
+    skew axis — same axis as sessionization.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gap = F.expr("timestampdiff(MICROSECOND, _prev_ts, ts)")
+    with_gap = transcripts.select(
+        "conv_id", "turn_idx", "ts"
+    ).withColumn("_prev_ts", F.lag("ts").over(w))
+    per = with_gap.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.coalesce(F.sum(gap), F.lit(0)).alias("total_gap_us"),
+        F.coalesce(F.max(gap), F.lit(0)).alias("max_gap_us"),
+    )
+    return per.select(
+        "conv_id",
+        "n_turns",
+        "total_gap_us",
+        "max_gap_us",
+        F.when(F.col("n_turns") <= 1, F.lit(0.0))
+        .otherwise(
+            F.col("total_gap_us").cast("double")
+            / (F.col("n_turns") - 1).cast("double")
+        )
+        .alias("avg_gap_us"),
+    )

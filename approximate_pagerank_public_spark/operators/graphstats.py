@@ -68,6 +68,70 @@ def degree_assortativity(graph: Graph) -> DataFrame:
     )
 
 
+def avg_neighbor_degree(graph: Graph) -> DataFrame:
+    """Per-vertex mean out-degree of out-neighbors (the directed knn
+    of Barrat et al. 2004): ``(id, deg, nbr_deg_sum, avg_nbr_deg)``.
+
+    ``deg`` and ``nbr_deg_sum`` are exact BIGINTs (neighbors with no
+    out-edges contribute 0); ``avg_nbr_deg`` is ONE IEEE division of
+    two exact integers, so the value is bit-identical cross-engine.
+    Only vertices with ``deg > 0`` appear (the mean over an empty
+    neighbor set is undefined, not 0).
+
+    Scale shape: one degree aggregation (map-side combinable) and one
+    edge-pass join against the |V|-row degree table — broadcast below
+    the ETL vertex gate, hash join above. No windows, no collects.
+    """
+    e = graph.edges.select("src", "dst")
+    od = e.groupBy("src").agg(F.count("*").alias("ndeg"))
+    nd = od.select(F.col("src").alias("dst"), "ndeg")
+    if _labels_broadcastable(graph):
+        nd = F.broadcast(nd)
+    j = e.join(nd, "dst", "left").select(
+        "src", F.coalesce("ndeg", F.lit(0)).alias("ndeg")
+    )
+    per = j.groupBy("src").agg(
+        F.count("*").alias("deg"),
+        F.sum("ndeg").alias("nbr_deg_sum"),
+    )
+    return per.select(
+        F.col("src").alias("id"),
+        "deg",
+        "nbr_deg_sum",
+        (F.col("nbr_deg_sum").cast("double") / F.col("deg").cast("double")).alias(
+            "avg_nbr_deg"
+        ),
+    )
+
+
+def reciprocity(graph: Graph) -> DataFrame:
+    """One row ``(m, reciprocal, reciprocity)`` over the directed
+    simple edge set: how many edges ``(u,v)`` have ``(v,u)`` present
+    (Garlaschelli & Loffredo 2004's raw ratio ``r = L↔ / L``).
+
+    ``m`` and ``reciprocal`` are exact counts; the ratio is one IEEE
+    division — hash-exact cross-engine. Self-loops cannot contribute:
+    the Graph's edge set has them removed at build time.
+
+    Scale shape: one left-semi self-join on ``(src, dst)`` — both
+    sides hash-partition on the same composite key, no broadcast
+    needed at any |E| — plus two scalar aggregates.
+    """
+    e = graph.edges.select("src", "dst")
+    r = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    rec = e.join(r, ["src", "dst"], "left_semi").agg(
+        F.count("*").alias("reciprocal")
+    )
+    m = e.agg(F.count("*").alias("m"))
+    return m.crossJoin(F.broadcast(rec)).select(
+        "m",
+        "reciprocal",
+        F.when(F.col("m") == 0, F.lit(0.0))
+        .otherwise(F.col("reciprocal").cast("double") / F.col("m").cast("double"))
+        .alias("reciprocity"),
+    )
+
+
 def modularity(graph: Graph, labels: DataFrame) -> DataFrame:
     """One row ``(n_communities, modularity)`` of a vertex partition
     (``labels``: ``(id, label)``) over the symmetrized simple graph.

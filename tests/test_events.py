@@ -207,3 +207,47 @@ def test_props_numeric_stats(spark):
     assert (got["a"]["n_events"], got["a"]["n_with_k"]) == (3, 2)
     assert (got["a"]["sum_k"], got["a"]["min_k"], got["a"]["max_k"]) == (12, 5, 7)
     assert (got["b"]["n_events"], got["b"]["n_with_k"], got["b"]["sum_k"]) == (2, 1, -2)
+
+
+def test_hourly_rollup_tumbling_windows(ev):
+    from approximate_pagerank_public_spark.operators.events import hourly_rollup
+
+    # 10-minute windows anchored at the first event (minute 0)
+    out = {
+        (r["window_idx"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in hourly_rollup(ev, window_us=600_000_000).collect()
+    }
+    assert out == {
+        (0, "view"): (2, 700),       # minutes 0 (1.00) + 5 (6.00)
+        (0, "click"): (2, 900),      # minutes 1 (2.00) + 7 (7.00)
+        (0, "purchase"): (2, 1100),  # minutes 2 (3.00) + 7 (8.00)
+        (2, "view"): (1, 400),       # minute 20
+        (2, "purchase"): (1, 500),   # minute 21
+    }
+
+
+def test_turn_latency_gap_aggregates(spark):
+    from approximate_pagerank_public_spark.operators.events import turn_latency
+
+    rows = [
+        ("A", 0, _ts(0)),
+        ("A", 1, _ts(0, 10)),
+        ("A", 2, _ts(0, 40)),
+        ("B", 0, _ts(1)),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
+    out = {r["conv_id"]: r for r in turn_latency(df).collect()}
+    a = out["A"]
+    assert (a["n_turns"], a["total_gap_us"], a["max_gap_us"]) == (
+        3,
+        40_000_000,
+        30_000_000,
+    )
+    assert a["avg_gap_us"] == 20_000_000.0
+    b = out["B"]
+    assert (b["n_turns"], b["total_gap_us"], b["max_gap_us"], b["avg_gap_us"]) == (
+        1,
+        0,
+        0,
+        0.0,
+    )

@@ -143,3 +143,51 @@ def test_community_conductance_single_community_empty(spark):
     # one community holds every endpoint: vol == m2, no complement -> no rows
     assert community_conductance(g, labels).count() == 0
     g.unpersist()
+
+
+def _golden_avg_nbr_degree(src, dst):
+    od = Counter(src.tolist())
+    per = {}
+    for u, v in zip(src.tolist(), dst.tolist()):
+        per.setdefault(u, []).append(od.get(v, 0))
+    return {
+        u: (len(vs), sum(vs), sum(vs) / len(vs)) for u, vs in per.items()
+    }
+
+
+def test_avg_neighbor_degree_matches_golden(g_rand):
+    from approximate_pagerank_public_spark.operators.graphstats import (
+        avg_neighbor_degree,
+    )
+
+    src, dst, _ = g_rand.edges_numpy()
+    gold = _golden_avg_nbr_degree(src, dst)
+    rows = avg_neighbor_degree(g_rand).collect()
+    assert len(rows) == len(gold)
+    for r in rows:
+        deg, s, avg = gold[r["id"]]
+        assert (r["deg"], r["nbr_deg_sum"]) == (deg, s)
+        assert abs(r["avg_nbr_deg"] - avg) < 1e-12
+
+
+def test_reciprocity_explicit(spark):
+    from approximate_pagerank_public_spark.operators.graphstats import reciprocity
+
+    # 1<->2 and 4<->5 reciprocated (4 edges); 1->3, 3->4 not (2 edges)
+    edges = [(1, 2), (2, 1), (1, 3), (3, 4), (4, 5), (5, 4)]
+    src, dst = zip(*edges)
+    g = Graph.from_edge_arrays(spark, src, dst, num_vertices=6, num_partitions=2)
+    row = reciprocity(g).first()
+    assert (row["m"], row["reciprocal"]) == (6, 4)
+    assert abs(row["reciprocity"] - 4 / 6) < 1e-12
+    g.unpersist()
+
+
+def test_reciprocity_random_matches_golden(g_rand):
+    from approximate_pagerank_public_spark.operators.graphstats import reciprocity
+
+    src, dst, _ = g_rand.edges_numpy()
+    es = set(zip(src.tolist(), dst.tolist()))
+    rec = sum(1 for (u, v) in es if (v, u) in es)
+    row = reciprocity(g_rand).first()
+    assert (row["m"], row["reciprocal"]) == (len(es), rec)
