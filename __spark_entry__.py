@@ -766,6 +766,27 @@ def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient 3T/W — T and W exact BIGINTs, one
+    IEEE division, bit-identical across engines (no truncation)."""
+    from approximate_pagerank_public_spark.operators.graphstats import (
+        global_transitivity,
+    )
+
+    g = _graph(spark, sf_dir)
+    return global_transitivity(g).select("n_triangles", "wedges", "transitivity")
+
+
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient phi(k) for every degree threshold present
+    (Zhou & Mondragón 2004) — exact-integer club sizes/edges, phi one
+    IEEE division."""
+    from approximate_pagerank_public_spark.operators.graphstats import rich_club
+
+    g = _graph(spark, sf_dir)
+    return rich_club(g).select("k", "n_k", "e_k", "phi")
+
+
 def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity of the LPA-5 communities — integer-numerator
     single-division form, replayed over the same unrolled-LPA oracle."""
@@ -1630,6 +1651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "avg_nbr_degree": q_avg_nbr_degree,
         "reciprocity": q_reciprocity,
+        "transitivity": q_transitivity,
+        "rich_club": q_rich_club,
         "stress": q_stress,
         "betweenness": q_betweenness,
         "bfs_dist": q_bfs_from_min_conv,
@@ -3038,6 +3061,56 @@ def _reciprocity_oracle() -> str:
     )
 
 
+def _transitivity_oracle() -> str:
+    """Same association as the Spark side: exact-BIGINT triangle and
+    wedge counts, transitivity = 3T/W in one IEEE division."""
+    e_sql = _duck_edges_sql()
+    return (
+        f"WITH e AS MATERIALIZED ({e_sql}), "
+        + _DUCK_SYM_CTES
+        + "deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src), "
+        "ab AS (SELECT u AS a, v AS b FROM canon), "
+        "bc AS (SELECT u AS b, v AS c FROM canon), "
+        "ac AS (SELECT u AS a, v AS c FROM canon), "
+        "t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles "
+        "      FROM ab JOIN bc USING (b) JOIN ac USING (a, c)), "
+        "w AS (SELECT CAST(sum(d * (d - 1)) AS BIGINT) AS w2 FROM deg) "
+        "SELECT n_triangles, CAST(w2 // 2 AS BIGINT) AS wedges, "
+        "CASE WHEN COALESCE(w2, 0) = 0 THEN 0.0 ELSE "
+        "CAST(3 * n_triangles AS DOUBLE) / CAST(w2 // 2 AS DOUBLE) END "
+        "AS transitivity FROM t CROSS JOIN w"
+    )
+
+
+def _rich_club_oracle() -> str:
+    """Descending cumulative sums over the merged degree histograms —
+    strictly-greater semantics via ROWS ... 1 PRECEDING, exact BIGINTs,
+    phi one IEEE division."""
+    e_sql = _duck_edges_sql()
+    return (
+        f"WITH e AS MATERIALIZED ({e_sql}), "
+        + _DUCK_SYM_CTES
+        + "deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d "
+        "         FROM sym GROUP BY src), "
+        "emin AS (SELECT least(du.d, dv.d) AS d FROM canon "
+        "         JOIN deg du ON du.id = canon.u "
+        "         JOIN deg dv ON dv.id = canon.v), "
+        "nh AS (SELECT d, CAST(count(*) AS BIGINT) AS nd FROM deg GROUP BY d), "
+        "eh AS (SELECT d, CAST(count(*) AS BIGINT) AS ne FROM emin GROUP BY d), "
+        "m AS (SELECT COALESCE(nh.d, eh.d) AS k, COALESCE(nd, 0) AS nd, "
+        "      COALESCE(ne, 0) AS ne FROM nh FULL OUTER JOIN eh ON nh.d = eh.d), "
+        "c AS (SELECT k, "
+        "CAST(COALESCE(sum(nd) OVER (ORDER BY k DESC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_k, "
+        "CAST(COALESCE(sum(ne) OVER (ORDER BY k DESC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS e_k "
+        "FROM m) "
+        "SELECT k, n_k, e_k, "
+        "CAST(2 * e_k AS DOUBLE) / CAST(n_k * (n_k - 1) AS DOUBLE) AS phi "
+        "FROM c WHERE n_k >= 2"
+    )
+
+
 def _turn_latency_oracle() -> str:
     """Inter-turn gap replay over the transcripts CTE — epoch_us
     DIFFERENCES only (tz cancels), exact BIGINT aggregates."""
@@ -3587,6 +3660,8 @@ def oracle_sql() -> dict[str, str]:
         "assortativity": _assortativity_oracle(),
         "avg_nbr_degree": _avg_nbr_degree_oracle(),
         "reciprocity": _reciprocity_oracle(),
+        "transitivity": _transitivity_oracle(),
+        "rich_club": _rich_club_oracle(),
         "turn_latency": _turn_latency_oracle(),
         "hourly_rollup": _HOURLY_ROLLUP_ORACLE,
         "stress": _stress_oracle(STRESS_SOURCES),

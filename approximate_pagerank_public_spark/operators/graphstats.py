@@ -132,6 +132,118 @@ def reciprocity(graph: Graph) -> DataFrame:
     )
 
 
+def global_transitivity(graph: Graph) -> DataFrame:
+    """One row ``(n_triangles, wedges, transitivity)`` over the
+    symmetrized simple graph: Newman's global clustering coefficient
+    ``3·T / W`` where ``T`` is the undirected triangle count and
+    ``W = Σ_v d(v)(d(v)−1)/2`` the wedge (connected-triple) count.
+
+    ``T`` and ``W`` are exact BIGINTs (each ``d(d−1)`` term is even, so
+    the ``/2`` is exact integer division); the ratio is computed as
+    ``3T / W`` — ONE IEEE division of two exact integers, bit-identical
+    cross-engine.
+
+    Scale shape: the same id-oriented wedge join as
+    :func:`~..operators.triangles.triangle_df` (the heaviest but
+    well-understood primitive — degree-capping applies upstream if a
+    corpus needs it) plus one |V|-row degree aggregation; both reduce
+    to scalars, so nothing large leaves the cluster.
+    """
+    from approximate_pagerank_public_spark.operators.triangles import (
+        canonical_edges,
+        triangle_df,
+    )
+
+    e = canonical_edges(graph)
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionAll(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    w2 = deg.agg(F.sum(F.col("d") * (F.col("d") - 1)).alias("w2"))
+    t = triangle_df(graph).agg(F.count("*").alias("n_triangles"))
+    return t.crossJoin(F.broadcast(w2)).select(
+        "n_triangles",
+        (F.col("w2") / 2).cast("long").alias("wedges"),
+        F.when(F.coalesce(F.col("w2"), F.lit(0)) == 0, F.lit(0.0))
+        .otherwise(
+            (F.col("n_triangles") * 3).cast("double")
+            / (F.col("w2") / 2).cast("long").cast("double")
+        )
+        .alias("transitivity"),
+    )
+
+
+def rich_club(graph: Graph) -> DataFrame:
+    """Rich-club coefficients ``(k, n_k, e_k, phi)`` for every degree
+    value ``k`` present in the symmetrized simple graph (Zhou & Mondragón
+    2004): ``n_k`` vertices with degree **strictly greater** than ``k``,
+    ``e_k`` undirected edges whose BOTH endpoints have degree > ``k``,
+    and ``phi = 2·e_k / (n_k·(n_k−1))`` — the density of the subgraph
+    induced by the rich club. Rows with ``n_k < 2`` are dropped (phi is
+    undefined on <2 vertices).
+
+    ``n_k``/``e_k`` are exact BIGINTs; ``phi`` is ONE IEEE division of
+    exact integers — hash-exact cross-engine, no truncation.
+
+    Scale shape: a |V|-row degree aggregation, one edge pass joining the
+    degree table on both endpoints (broadcast below the ETL vertex gate),
+    then two DEGREE-HISTOGRAM-sized relations (distinct degree values —
+    thousands of rows at any |E|) merged and cumulated with a single
+    descending window. The global window runs over the histogram, never
+    over vertices or edges, so the single-partition sort is O(distinct
+    degrees) — the one place a global window is acceptable.
+    """
+    from pyspark.sql import Window
+
+    from approximate_pagerank_public_spark.operators.triangles import (
+        canonical_edges,
+    )
+
+    e = canonical_edges(graph)
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionAll(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("id").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("d").alias("dv"))
+    if _labels_broadcastable(graph):
+        du, dv = F.broadcast(du), F.broadcast(dv)
+    emin = e.join(du, "u").join(dv, "v").select(
+        F.least("du", "dv").alias("d")
+    )
+    nh = deg.groupBy("d").agg(F.count("*").alias("nd"))
+    eh = emin.groupBy("d").agg(F.count("*").alias("ne"))
+    merged = (
+        nh.join(eh, "d", "full_outer")
+        .select(
+            F.col("d").alias("k"),
+            F.coalesce("nd", F.lit(0)).alias("nd"),
+            F.coalesce("ne", F.lit(0)).alias("ne"),
+        )
+    )
+    w = Window.orderBy(F.col("k").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = merged.select(
+        "k",
+        F.coalesce(F.sum("nd").over(w), F.lit(0)).alias("n_k"),
+        F.coalesce(F.sum("ne").over(w), F.lit(0)).alias("e_k"),
+    ).where(F.col("n_k") >= 2)
+    return cum.select(
+        "k",
+        "n_k",
+        "e_k",
+        (
+            (F.col("e_k") * 2).cast("double")
+            / (F.col("n_k") * (F.col("n_k") - 1)).cast("double")
+        ).alias("phi"),
+    )
+
+
 def modularity(graph: Graph, labels: DataFrame) -> DataFrame:
     """One row ``(n_communities, modularity)`` of a vertex partition
     (``labels``: ``(id, label)``) over the symmetrized simple graph.

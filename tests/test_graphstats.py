@@ -191,3 +191,90 @@ def test_reciprocity_random_matches_golden(g_rand):
     rec = sum(1 for (u, v) in es if (v, u) in es)
     row = reciprocity(g_rand).first()
     assert (row["m"], row["reciprocal"]) == (len(es), rec)
+
+
+def _und_edges(src, dst):
+    return {
+        (min(u, v), max(u, v))
+        for u, v in zip(src.tolist(), dst.tolist())
+        if u != v
+    }
+
+
+def test_global_transitivity_triangle_plus_tail(spark):
+    from approximate_pagerank_public_spark.operators.graphstats import (
+        global_transitivity,
+    )
+
+    # triangle 1-2-3 plus tail 3->4: T=1, degrees {1:2, 2:2, 3:3, 4:1}
+    # wedges = (1+1+3+0) = 5, transitivity = 3/5
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    src, dst = zip(*edges)
+    g = Graph.from_edge_arrays(spark, src, dst, num_vertices=5, num_partitions=2)
+    row = global_transitivity(g).first()
+    assert (row["n_triangles"], row["wedges"]) == (1, 5)
+    assert abs(row["transitivity"] - 3 / 5) < 1e-12
+    g.unpersist()
+
+
+def test_global_transitivity_matches_golden(g_rand):
+    from itertools import combinations
+
+    from approximate_pagerank_public_spark.operators.graphstats import (
+        global_transitivity,
+    )
+
+    src, dst, _ = g_rand.edges_numpy()
+    es = _und_edges(src, dst)
+    adj = {}
+    for u, v in es:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = sum(
+        1
+        for u, v in es
+        for w in adj[u]
+        if w > v and w in adj[v]
+    )
+    wedges = sum(len(ns) * (len(ns) - 1) // 2 for ns in adj.values())
+    row = global_transitivity(g_rand).first()
+    assert (row["n_triangles"], row["wedges"]) == (tri, wedges)
+    assert abs(row["transitivity"] - 3 * tri / wedges) < 1e-12
+
+
+def test_rich_club_explicit(spark):
+    from approximate_pagerank_public_spark.operators.graphstats import rich_club
+
+    # K4 on {1,2,3,4} plus pendant 4-5: degrees {1:3, 2:3, 3:3, 4:4, 5:1}
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    src, dst = zip(*edges)
+    g = Graph.from_edge_arrays(spark, src, dst, num_vertices=6, num_partitions=2)
+    got = {r["k"]: (r["n_k"], r["e_k"], r["phi"]) for r in rich_club(g).collect()}
+    # k=1: club {1,2,3,4} (deg>1) -> 6 edges of K4, phi=1.0
+    # k=3: club {4} -> n_k=1 dropped; k=4: empty dropped
+    assert got == {1: (4, 6, 1.0)}
+    g.unpersist()
+
+
+def test_rich_club_matches_golden(g_rand):
+    from approximate_pagerank_public_spark.operators.graphstats import rich_club
+
+    src, dst, _ = g_rand.edges_numpy()
+    es = _und_edges(src, dst)
+    deg = Counter()
+    for u, v in es:
+        deg[u] += 1
+        deg[v] += 1
+    gold = {}
+    for k in sorted(set(deg.values())):
+        club = {u for u, d in deg.items() if d > k}
+        if len(club) < 2:
+            continue
+        ek = sum(1 for u, v in es if u in club and v in club)
+        gold[k] = (len(club), ek, 2 * ek / (len(club) * (len(club) - 1)))
+    rows = rich_club(g_rand).collect()
+    got = {r["k"]: (r["n_k"], r["e_k"], r["phi"]) for r in rows}
+    assert set(got) == set(gold)
+    for k, (n, ek, phi) in gold.items():
+        assert (got[k][0], got[k][1]) == (n, ek)
+        assert abs(got[k][2] - phi) < 1e-12
