@@ -787,6 +787,16 @@ def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rich_club(g).select("k", "n_k", "e_k", "phi")
 
 
+def q_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round Weisfeiler-Lehman color refinement (hashed-multiset,
+    hub-safe) — 60-bit integer colors, hash-exact; the oracle unrolls
+    the identical md5 chain (operators/wlhash.py)."""
+    from approximate_pagerank_public_spark.operators.wlhash import wl_refinement
+
+    g = _graph(spark, sf_dir)
+    return wl_refinement(g, rounds=3).select("id", "wl")
+
+
 def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity of the LPA-5 communities — integer-numerator
     single-division form, replayed over the same unrolled-LPA oracle."""
@@ -888,6 +898,19 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return token_count(docs)
+
+
+def q_doclen_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p95/p99 of document whitespace-token counts —
+    histogram + cumsum selection, every output column an exact BIGINT
+    (functions/quantiles.py)."""
+    from approximate_pagerank_public_spark.functions.quantiles import (
+        exact_int_quantiles,
+    )
+    from approximate_pagerank_public_spark.operators.textstats import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_int_quantiles(token_count(docs), "n_ws_tokens")
 
 
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1653,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,
         "transitivity": q_transitivity,
         "rich_club": q_rich_club,
+        "wl_colors": q_wl_colors,
         "stress": q_stress,
         "betweenness": q_betweenness,
         "bfs_dist": q_bfs_from_min_conv,
@@ -1666,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "eccentricity": q_eccentricity,
         "token_count": q_token_count,
+        "doclen_quantiles": q_doclen_quantiles,
         "vocab_topk": q_vocab_topk,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -3061,6 +3086,44 @@ def _reciprocity_oracle() -> str:
     )
 
 
+def _wl_oracle(rounds: int = 3) -> str:
+    """Unrolls the WL hashed-multiset refinement round by round — the
+    identical 28-bit-sum / 60-bit-recolor md5 chain as
+    operators/wlhash.py, all-integer throughout."""
+    e_sql = _duck_edges_sql()
+    v_sql = _duck_vertices_sql()
+
+    def h28(lab: str) -> str:
+        return (
+            f"CAST('0x' || substr(md5('wl:' || CAST({lab} AS VARCHAR)), 1, 7) "
+            "AS BIGINT)"
+        )
+
+    parts = [
+        f"WITH e AS MATERIALIZED ({e_sql}), ",
+        _DUCK_SYM_CTES,
+        f"verts AS MATERIALIZED (SELECT id FROM ({v_sql})), ",
+        "deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d "
+        "FROM sym GROUP BY src), ",
+        "l0 AS MATERIALIZED (SELECT v.id, CAST(COALESCE(deg.d, 0) AS BIGINT) "
+        "AS lab FROM verts v LEFT JOIN deg USING (id)), ",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"s{r + 1} AS (SELECT s.dst AS id, "
+            f"CAST(sum({h28('l.lab')}) AS BIGINT) AS ns "
+            f"FROM sym s JOIN l{r} l ON l.id = s.src GROUP BY s.dst), "
+        )
+        parts.append(
+            f"l{r + 1} AS MATERIALIZED (SELECT l.id, "
+            "CAST('0x' || substr(md5(CAST(l.lab AS VARCHAR) || ':' || "
+            "CAST(COALESCE(s.ns, 0) AS VARCHAR)), 1, 15) AS BIGINT) AS lab "
+            f"FROM l{r} l LEFT JOIN s{r + 1} s USING (id)), "
+        )
+    body = "".join(parts).rstrip(", ")
+    return f"{body} SELECT id, lab AS wl FROM l{rounds}"
+
+
 def _transitivity_oracle() -> str:
     """Same association as the Spark side: exact-BIGINT triangle and
     wedge counts, transitivity = 3T/W in one IEEE division."""
@@ -3662,6 +3725,7 @@ def oracle_sql() -> dict[str, str]:
         "reciprocity": _reciprocity_oracle(),
         "transitivity": _transitivity_oracle(),
         "rich_club": _rich_club_oracle(),
+        "wl_colors": _wl_oracle(3),
         "turn_latency": _turn_latency_oracle(),
         "hourly_rollup": _HOURLY_ROLLUP_ORACLE,
         "stress": _stress_oracle(STRESS_SOURCES),
@@ -3744,6 +3808,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(length(string_split_regex(trim(text), '\\s+')) "
             "     + ceil(CAST(length(text) AS DOUBLE) / 8) AS BIGINT) AS n_subword_est "
             "FROM documents"
+        ),
+        "doclen_quantiles": (
+            "WITH base AS (SELECT CAST(length(string_split_regex(trim(text), "
+            "'\\s+')) AS BIGINT) AS v FROM documents), "
+            "hist AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY v), "
+            "cum AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hi "
+            "FROM hist), "
+            "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist), "
+            "ps AS (SELECT CAST(p AS BIGINT) AS p FROM "
+            "(VALUES (50), (90), (95), (99)) AS t(p)) "
+            "SELECT p, n, CAST((n - 1) * p // 100 AS BIGINT) AS rank, "
+            "v AS value FROM cum CROSS JOIN tot CROSS JOIN ps "
+            "WHERE (n - 1) * p // 100 >= hi - c AND (n - 1) * p // 100 < hi"
         ),
         "vocab_topk": (
             "WITH toks AS (SELECT unnest(string_split_regex("

@@ -248,3 +248,39 @@ def test_duplicate_clusters_broadcast_star_parity(spark):
     assert a == b
     got = {d: rep for d, rep, _ in a}
     assert got[4] == 1 and got[20] == 10 and got[30] == 10
+
+
+def test_exact_int_quantiles_matches_numpy_lower(spark):
+    import numpy as np
+
+    from approximate_pagerank_public_spark.functions.quantiles import (
+        exact_int_quantiles,
+    )
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 40, size=500).tolist()
+    df = spark.createDataFrame([(int(v),) for v in vals], "x long")
+    got = {
+        r["p"]: (r["n"], r["rank"], r["value"])
+        for r in exact_int_quantiles(df, "x", (0, 50, 90, 95, 99, 100)).collect()
+    }
+    arr = np.sort(np.array(vals))
+    n = len(arr)
+    for p in (0, 50, 90, 95, 99, 100):
+        rank = (n - 1) * p // 100
+        assert got[p] == (n, rank, int(arr[rank])), p
+
+
+def test_exact_int_quantiles_ties_and_single_row(spark):
+    from approximate_pagerank_public_spark.functions.quantiles import (
+        exact_int_quantiles,
+    )
+
+    # all-equal column: every percentile is that value
+    df = spark.createDataFrame([(5,)] * 9, "x long")
+    rows = exact_int_quantiles(df, "x", (50, 99)).collect()
+    assert {(r["p"], r["value"]) for r in rows} == {(50, 5), (99, 5)}
+    # single row
+    one = spark.createDataFrame([(42,)], "x long")
+    r = exact_int_quantiles(one, "x", (50,)).first()
+    assert (r["n"], r["rank"], r["value"]) == (1, 0, 42)
