@@ -1352,6 +1352,19 @@ def q_ktruss4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges
 
 
+def q_greedy_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jones-Plassmann greedy coloring, md5-derandomized static
+    priorities — the oracle unrolls the identical rounds in SQL (round
+    count replayed in pure Python over the oracle's own edge table)."""
+    from approximate_pagerank_public_spark.operators.coloring import (
+        greedy_coloring,
+    )
+
+    g = _graph(spark, sf_dir)
+    colors, _rounds = greedy_coloring(g, seed="col")
+    return colors
+
+
 def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Luby maximal independent set, md5-derandomized — the oracle
     unrolls the identical rounds in SQL (round count replayed in pure
@@ -1725,6 +1738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram": q_skipgram,
         "ktruss4": q_ktruss4,
         "mis": q_mis,
+        "greedy_coloring": q_greedy_coloring,
         "harmonic": q_harmonic,
         "dedup_clusters": q_dedup_clusters,
         "dataset_split": q_dataset_split,
@@ -1958,6 +1972,87 @@ def _ktruss_oracle(k: int = 4) -> str:
             f"JOIN s{r} s ON s.u = x.u AND s.v = x.v AND s.sup >= {thr}), "
         )
     return "".join(parts).rstrip(", ") + f" SELECT u, v FROM e{rounds + 1}"
+
+
+def _replay_coloring_rounds(seed: str = "col", sf_dir: str | None = None) -> int:
+    """Replay Jones-Plassmann coloring over the oracle's own DuckDB edge
+    table (pure Python + hashlib md5 — identical static priorities) and
+    return the round count for the unrolled SQL oracle."""
+    import hashlib
+
+    sf_dir = sf_dir or _oracle_sf_dir()
+    key = ("coloring_rounds", sf_dir, seed)
+    if key in _REPLAY_CACHE:
+        return _REPLAY_CACHE[key]
+    src, dst, _w, n = _duck_edge_arrays(sf_dir)
+    nbrs: dict[int, set[int]] = {}
+    for a, b in zip(src.tolist(), dst.tolist()):
+        if a != b:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+    pri = {
+        v: hashlib.md5(f"{seed}:{v}".encode()).hexdigest() + str(v).zfill(12)
+        for v in range(n)
+    }
+    active = set(range(n))
+    rnd = 0
+    while active:
+        rnd += 1
+        win = {
+            v
+            for v in active
+            if all(pri[v] < pri[u] for u in nbrs.get(v, ()) if u in active)
+        }
+        active -= win
+    _REPLAY_CACHE[key] = rnd
+    return rnd
+
+
+def _coloring_oracle(seed: str = "col") -> str:
+    """Unrolled JP rounds (count replayed by
+    :func:`_replay_coloring_rounds`) — md5-string priorities compare
+    identically in both engines; the min-free-color step enumerates
+    candidates 0..|forbidden| and takes the min not forbidden."""
+    rounds = _replay_coloring_rounds(seed)
+    e_sql = _duck_edges_sql()
+    parts = [
+        f"WITH e AS MATERIALIZED ({e_sql}), ",
+        "sym AS MATERIALIZED (SELECT DISTINCT a, b FROM ("
+        "SELECT src AS a, dst AS b FROM e WHERE src <> dst "
+        "UNION ALL SELECT dst, src FROM e WHERE src <> dst)), ",
+        "verts AS (SELECT DISTINCT src AS id FROM "
+        "(SELECT src FROM e UNION ALL SELECT dst AS src FROM e)), ",
+        f"p AS MATERIALIZED (SELECT id, md5('{seed}:' || CAST(id AS VARCHAR)) "
+        "|| lpad(CAST(id AS VARCHAR), 12, '0') AS pr FROM verts), ",
+        "a1 AS MATERIALIZED (SELECT id FROM verts), ",
+        "col0 AS (SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS INT) "
+        "AS color WHERE 1 = 0), ",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"n{r} AS (SELECT s.a AS id, min(p.pr) AS npr FROM sym s "
+            f"JOIN a{r} x ON x.id = s.a JOIN a{r} y ON y.id = s.b "
+            "JOIN p ON p.id = s.b GROUP BY s.a), "
+            f"s{r} AS MATERIALIZED (SELECT act.id FROM a{r} act "
+            "JOIN p ON p.id = act.id "
+            f"LEFT JOIN n{r} n ON n.id = act.id "
+            "WHERE p.pr < coalesce(n.npr, '~')), "
+            f"f{r} AS (SELECT s.a AS id, c.color FROM sym s "
+            f"JOIN s{r} w ON w.id = s.a JOIN col{r - 1} c ON c.id = s.b), "
+            f"nf{r} AS (SELECT id, count(*) AS n FROM f{r} GROUP BY id), "
+            f"cand{r} AS (SELECT w.id, "
+            "unnest(range(0, coalesce(nf.n, 0) + 1)) AS c "
+            f"FROM s{r} w LEFT JOIN nf{r} nf ON nf.id = w.id), "
+            f"mf{r} AS (SELECT cand.id, CAST(min(cand.c) AS INT) AS color "
+            f"FROM cand{r} cand WHERE NOT EXISTS (SELECT 1 FROM f{r} f "
+            "WHERE f.id = cand.id AND f.color = cand.c) GROUP BY cand.id), "
+            f"col{r} AS MATERIALIZED (SELECT * FROM col{r - 1} "
+            f"UNION ALL SELECT * FROM mf{r}), "
+            f"a{r + 1} AS MATERIALIZED (SELECT id FROM a{r} "
+            f"WHERE id NOT IN (SELECT id FROM s{r})), "
+        )
+    body = "".join(parts).rstrip(", ")
+    return f"{body} SELECT id, color FROM col{rounds}"
 
 
 def _mis_oracle(seed: str = "mis") -> str:
@@ -3903,6 +3998,7 @@ def oracle_sql() -> dict[str, str]:
         "skipgram": _skipgram_oracle(4, 2, "rw"),
         "ktruss4": _ktruss_oracle(4),
         "mis": _mis_oracle(),
+        "greedy_coloring": _coloring_oracle(),
         "harmonic": (
             f"WITH RECURSIVE e AS ({e_sql}), "
             "srcs(source) AS (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT)), "
