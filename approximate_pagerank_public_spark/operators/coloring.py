@@ -17,9 +17,14 @@ the SORTED DISTINCT neighbor-color array with a fold
 are bounded by the number of DISTINCT neighbor colors (≤ chromatic
 bound), never by hub degree.
 
-Scale shape per round: active-subgraph edge selection (two semi-joins),
-one map-side-combined min per vertex, one bounded collect_set, state
-rotated through ``plans/checkpoint.py::local_ckpt``.
+Scale shape: the loop carries a SHRINKING active-subgraph edge table
+(edges drop as their endpoints color) and pushes each fresh color to
+still-active neighbors incrementally, so the cumulative edge work is
+O(|E|) over the whole run — the full edge set and the full colored set
+are never rejoined after round 1. Per round: one map-side-combined min
+per vertex, one bounded collect_set over the incrementally-accumulated
+forbidden-color pairs, anti-join shrinks, state rotated through
+``plans/checkpoint.py::local_ckpt``.
 """
 
 from __future__ import annotations
@@ -125,28 +130,33 @@ def greedy_coloring(
         )
         .distinct()
     )
-    sym, sym_ids = local_ckpt(sym.repartition(p, "src"))
-
-    pri_all = graph.vertices.select("id", _prio(seed).alias("pr"))
+    # The loop keeps FOUR rotating state tables so per-round work is
+    # proportional to the REMAINING active subgraph, not |E|·rounds:
+    #   esub   — active↔active edges with the dst priority attached
+    #            (shrinks every round as endpoints color);
+    #   active — (id, pr) uncolored vertices;
+    #   forbid — (id, color) pairs pushed to a still-active vertex when
+    #            a neighbor colors (accumulated incrementally — the
+    #            full colored set is never rejoined);
+    #   colored — the output accumulator.
+    pri = _prio(seed)
+    pri_all = graph.vertices.select("id", pri.alias("pr"))
+    esub = sym.join(
+        pri_all.select(F.col("id").alias("dst"), F.col("pr").alias("np")), "dst"
+    ).select("src", "dst", "np")
+    esub, esub_ids = local_ckpt(esub.repartition(p, "src"))
     active, act_ids = local_ckpt(pri_all.repartition(p, "id"))
+    n_active = active.count()
+    forbid: DataFrame | None = None
+    forbid_ids: set[int] = set()
     colored: DataFrame | None = None
     col_ids: set[int] = set()
     rounds = 0
-    while True:
-        if active.limit(1).count() == 0:
-            break
+    while n_active > 0:
         rounds += 1
         if rounds > max_rounds:  # pragma: no cover
             raise RuntimeError(f"JP coloring did not finish in {max_rounds} rounds")
-        act_e = (
-            sym.join(active.select(F.col("id").alias("src")), "src")
-            .join(
-                active.select(F.col("id").alias("dst"), F.col("pr").alias("np")),
-                "dst",
-            )
-            .select("src", "np")
-        )
-        nbr_min = act_e.groupBy("src").agg(F.min("np").alias("npr")).select(
+        nbr_min = esub.groupBy("src").agg(F.min("np").alias("npr")).select(
             F.col("src").alias("id"), "npr"
         )
         winners = (
@@ -154,18 +164,13 @@ def greedy_coloring(
             .where(F.col("pr") < F.coalesce("npr", F.lit(_NO_NEIGHBOR)))
             .select("id")
         )
-        if colored is None:
-            forb = winners.select("id", F.array().cast("array<int>").alias("arr"))
-        else:
-            fpairs = (
-                sym.join(winners.select(F.col("id").alias("src")), "src")
-                .join(
-                    colored.select(F.col("id").alias("dst"), "color"), "dst"
-                )
-                .select(F.col("src").alias("id"), "color")
+        if forbid is None:
+            arrs = winners.select(
+                "id", F.array().cast("array<int>").alias("arr")
             )
-            forb = winners.join(
-                fpairs.groupBy("id").agg(
+        else:
+            arrs = winners.join(
+                forbid.groupBy("id").agg(
                     F.array_sort(F.collect_set("color")).alias("arr")
                 ),
                 "id",
@@ -174,24 +179,52 @@ def greedy_coloring(
                 "id",
                 F.coalesce("arr", F.array().cast("array<int>")).alias("arr"),
             )
-        newly = forb.select(
+        newly = arrs.select(
             "id",
             F.expr(
                 "aggregate(arr, 0, (acc, c) -> IF(c = acc, acc + 1, acc))"
             ).alias("color"),
         )
+        newly, new_ids = local_ckpt(newly.repartition(p, "id"))
+
         nxt_colored = newly if colored is None else colored.unionAll(newly)
-        nxt_colored, new_col_ids = local_ckpt(nxt_colored.repartition(p, "id"))
+        nxt_colored, new_col_ids = local_ckpt(nxt_colored)
         if col_ids:
             free_local_ckpt(spark, col_ids)
         colored, col_ids = nxt_colored, new_col_ids
 
-        nxt_active = active.join(winners, "id", "left_anti")
+        # push the fresh colors to still-active neighbors, retire the
+        # forbid rows of vertices that just colored
+        win_ids_df = newly.select("id")
+        fpairs = esub.join(
+            newly.select(F.col("id").alias("dst"), "color"), "dst"
+        ).select(F.col("src").alias("id"), "color")
+        nxt_forbid = fpairs if forbid is None else forbid.unionAll(fpairs)
+        nxt_forbid = nxt_forbid.join(win_ids_df, "id", "left_anti")
+        nxt_forbid, new_forbid_ids = local_ckpt(
+            nxt_forbid.repartition(p, "id")
+        )
+        if forbid_ids:
+            free_local_ckpt(spark, forbid_ids)
+        forbid, forbid_ids = nxt_forbid, new_forbid_ids
+
+        nxt_active = active.join(win_ids_df, "id", "left_anti")
         nxt_active, new_act_ids = local_ckpt(nxt_active.repartition(p, "id"))
         free_local_ckpt(spark, act_ids)
         active, act_ids = nxt_active, new_act_ids
+        n_active = active.count()
 
-    free_local_ckpt(spark, sym_ids)
+        nxt_esub = esub.join(
+            win_ids_df.select(F.col("id").alias("src")), "src", "left_anti"
+        ).join(win_ids_df.select(F.col("id").alias("dst")), "dst", "left_anti")
+        nxt_esub, new_esub_ids = local_ckpt(nxt_esub)
+        free_local_ckpt(spark, esub_ids)
+        free_local_ckpt(spark, new_ids)
+        esub, esub_ids = nxt_esub, new_esub_ids
+
+    free_local_ckpt(spark, esub_ids)
     free_local_ckpt(spark, act_ids)
+    if forbid_ids:
+        free_local_ckpt(spark, forbid_ids)
     assert colored is not None
     return colored.select("id", F.col("color").cast("int").alias("color")), rounds
