@@ -51,12 +51,20 @@ _NO_NEIGHBOR = "~"  # sorts after every md5 hex digit
 COLORING_DRIVER_MAX_EDGES = 2_000_000
 
 
-def _prio(seed: str) -> F.Column:
-    """Static unique priority: md5('<seed>:<id>') || zero-padded id."""
+def _prio_of(seed: str, col: F.Column) -> F.Column:
+    """Static unique priority of a vertex id: md5('<seed>:<id>') ||
+    zero-padded id. A pure codegen expression — NEVER stored in loop
+    state (a 44-char string per edge is the difference between a 16 B
+    edge row and a ~150 B one; recomputing the md5 per round is cheap
+    CPU inside whole-stage codegen)."""
     return F.concat(
-        F.md5(F.concat_ws(":", F.lit(seed), F.col("id"))),
-        F.lpad(F.col("id").cast("string"), 12, "0"),
+        F.md5(F.concat_ws(":", F.lit(seed), col)),
+        F.lpad(col.cast("string"), 12, "0"),
     )
+
+
+def _prio(seed: str) -> F.Column:
+    return _prio_of(seed, F.col("id"))
 
 
 def coloring_python(src, dst, n: int, seed: str = "col") -> tuple[dict, int]:
@@ -139,13 +147,10 @@ def greedy_coloring(
     #            a neighbor colors (accumulated incrementally — the
     #            full colored set is never rejoined);
     #   colored — the output accumulator.
-    pri = _prio(seed)
-    pri_all = graph.vertices.select("id", pri.alias("pr"))
-    esub = sym.join(
-        pri_all.select(F.col("id").alias("dst"), F.col("pr").alias("np")), "dst"
-    ).select("src", "dst", "np")
-    esub, esub_ids = local_ckpt(esub.repartition(p, "src"))
-    active, act_ids = local_ckpt(pri_all.repartition(p, "id"))
+    esub, esub_ids = local_ckpt(sym.repartition(p, "src"))
+    active, act_ids = local_ckpt(
+        graph.vertices.select("id").repartition(p, "id")
+    )
     n_active = active.count()
     forbid: DataFrame | None = None
     forbid_ids: set[int] = set()
@@ -156,12 +161,17 @@ def greedy_coloring(
         rounds += 1
         if rounds > max_rounds:  # pragma: no cover
             raise RuntimeError(f"JP coloring did not finish in {max_rounds} rounds")
-        nbr_min = esub.groupBy("src").agg(F.min("np").alias("npr")).select(
-            F.col("src").alias("id"), "npr"
+        nbr_min = (
+            esub.groupBy("src")
+            .agg(F.min(_prio_of(seed, F.col("dst"))).alias("npr"))
+            .select(F.col("src").alias("id"), "npr")
         )
         winners = (
             active.join(nbr_min, "id", "left")
-            .where(F.col("pr") < F.coalesce("npr", F.lit(_NO_NEIGHBOR)))
+            .where(
+                _prio_of(seed, F.col("id"))
+                < F.coalesce("npr", F.lit(_NO_NEIGHBOR))
+            )
             .select("id")
         )
         if forbid is None:
