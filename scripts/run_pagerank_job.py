@@ -40,7 +40,7 @@ def main(argv: list[str] | None = None) -> int:
             "bfs", "bfs_stats", "fbfs",
             "scc", "sssp", "stress", "betweenness", "hits", "kcore",
             "katz", "harmonic", "mis", "ktruss", "node2vec", "diameter",
-            "eigenvector", "ppr_push",
+            "eigenvector", "ppr_push", "coloring", "wl",
         ],
     )
     p.add_argument(
@@ -258,6 +258,22 @@ def main(argv: list[str] | None = None) -> int:
         )
         res.state().write.mode("overwrite").parquet(args.output)
         summary.update(rounds=res.rounds, converged=res.converged)
+    elif args.algorithm == "coloring":
+        from approximate_pagerank_public_spark.operators.coloring import (
+            greedy_coloring,
+        )
+
+        colors, rounds = greedy_coloring(graph)
+        colors.write.mode("overwrite").parquet(args.output)
+        summary.update(rounds=rounds)
+    elif args.algorithm == "wl":
+        from approximate_pagerank_public_spark.operators.wlhash import (
+            wl_refinement,
+        )
+
+        wl_refinement(graph, rounds=min(args.max_iter, 10)).write.mode(
+            "overwrite"
+        ).parquet(args.output)
     elif args.algorithm == "diameter":
         from approximate_pagerank_public_spark.operators.traversal import (
             approx_diameter,
