@@ -91,3 +91,49 @@ def test_barrier_parity_on_random_digraphs(spark, g, monkeypatch):
         assert np.allclose(res_b.ranks_np, res_c.ranks_np, rtol=0, atol=1e-13)
     finally:
         graph.unpersist()
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(g=digraphs())
+def test_coloring_proper_and_replay_on_random_digraphs(spark, g):
+    from approximate_pagerank_public_spark.operators.coloring import (
+        coloring_python,
+        greedy_coloring,
+    )
+
+    n, src, dst = g
+    graph = Graph.from_edge_arrays(spark, src, dst, num_vertices=n, num_partitions=4)
+    try:
+        gold, gold_rounds = coloring_python(src.tolist(), dst.tolist(), n)
+        df, rounds = greedy_coloring(graph)
+        got = {r["id"]: r["color"] for r in df.collect()}
+        assert (rounds, got) == (gold_rounds, gold)
+        es = set(zip(src.tolist(), dst.tolist()))
+        assert all(got[u] != got[v] for u, v in es if u != v)
+    finally:
+        graph.unpersist()
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=200),
+    p=st.integers(min_value=0, max_value=100),
+)
+def test_exact_quantiles_match_numpy_lower_on_random_lists(spark, vals, p):
+    from approximate_pagerank_public_spark.functions.quantiles import (
+        exact_int_quantiles,
+    )
+
+    df = spark.createDataFrame([(int(v),) for v in vals], "x long")
+    r = exact_int_quantiles(df, "x", (p,)).first()
+    arr = np.sort(np.array(vals))
+    rank = (len(arr) - 1) * p // 100
+    assert (r["n"], r["rank"], r["value"]) == (len(arr), rank, int(arr[rank]))
