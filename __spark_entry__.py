@@ -1125,6 +1125,18 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("a_id", "b_id", _stable6("cosine").alias("cosine"))
 
 
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic spherical k-means cell per embedding (the IVF
+    coarse quantizer standalone) — integer cells, hash-exact; the
+    oracle replays the literal trained centroids + argmax tie rule."""
+    from approximate_pagerank_public_spark.operators.similarity import (
+        kmeans_assign,
+    )
+
+    emb = _emb_double(spark, sf_dir)
+    return kmeans_assign(emb, n_cells=8)
+
+
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from approximate_pagerank_public_spark.operators.similarity import ivf_ann_topk
 
@@ -1721,6 +1733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "kmeans_assign": q_kmeans_assign,
         "ngram_jaccard": q_ngram_jaccard,
         "session_stats": q_session_stats,
         "hourly_rollup": q_hourly_rollup,
@@ -2906,6 +2919,25 @@ def _ivf_ann_oracle(n_cells: int = 8, n_probe: int = 4, k: int = 5) -> str:
     )
 
 
+def _kmeans_assign_oracle(n_cells: int = 8) -> str:
+    """Literal trained centroids (same NumPy trainer as the engine) →
+    argmax cell per vector with the (dot desc, cell asc) tie rule."""
+    cents = _ivf_centroids(n_cells)
+    rows = [
+        f"({i}, CAST([{', '.join(repr(float(x)) for x in c)}] AS DOUBLE[]))"
+        for i, c in enumerate(cents)
+    ]
+    return (
+        f"WITH emb AS ({_DUCK_EMB}), "
+        f"cents(cell, cv) AS (VALUES {', '.join(rows)}), "
+        "cd AS (SELECT e.vec_id, c.cell, list_dot_product(e.v, c.cv) AS d "
+        "FROM emb e CROSS JOIN cents c) "
+        "SELECT vec_id, CAST(cell AS INT) AS cell FROM (SELECT vec_id, cell, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) "
+        "AS rn FROM cd) t WHERE rn = 1"
+    )
+
+
 def _semantic_dedup_oracle(n_cells: int = 8, threshold: float = 0.45) -> str:
     """SemDeDup replay: literal centroids (same NumPy trainer as the
     engine — see ``_ivf_centroids``) → argmax cell assignment → within-
@@ -3945,6 +3977,7 @@ def oracle_sql() -> dict[str, str]:
         "multi_ppr_top10": _multi_ppr_top10_oracle(),
         "simhash": _simhash_oracle(),
         "ivf_ann_topk": _ivf_ann_oracle(),
+        "kmeans_assign": _kmeans_assign_oracle(),
         "pagerank_fixed8": _pagerank_fixed_oracle(8, 0.8),
         "pagerank_warm": _pagerank_warm_oracle(8, 4, 0.8),
         "hits": _hits_oracle(8),

@@ -296,6 +296,37 @@ def _cell_sorted(col: str | F.Column, cents: np.ndarray) -> F.Column:
     return F.array_sort(F.array(*entries))
 
 
+def kmeans_assign(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    kmeans_iters: int = 5,
+    train_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(vec_id, cell)`` — the IVF coarse quantizer exposed as a
+    standalone clustering op: spherical k-means centroids trained on
+    the deterministic bounded driver-side sample
+    (:func:`_train_sample_centroids`), then EVERY vector assigned
+    distributed-side by a codegen'd argmax over ``n_cells`` literal
+    dot products (dot desc, cell asc tie rule — ``_cell_sorted``).
+
+    Scale shape: training is O(sample·cells·iters) on the driver by
+    design; assignment is a pure projection — no shuffle, no UDF, no
+    join. Useful on its own for corpus bucketing / semantic sharding
+    (the SemDeDup and IVF ops build on exactly this assignment).
+    """
+    cents = _train_sample_centroids(
+        embeddings, id_col, vec_col, n_cells, kmeans_iters, train_sample
+    )
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        _cell_sorted(F.col(vec_col).cast("array<double>"), cents)[0][
+            "cell"
+        ].alias("cell"),
+    )
+
+
 def ivf_ann_topk(
     embeddings: DataFrame,
     queries: DataFrame,

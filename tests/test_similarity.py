@@ -217,3 +217,29 @@ def test_semantic_dedup_pairs_are_cell_scoped_subset(spark, embeddings):
     }
     got = {(int(a), int(b)) for a, b in sem[["a_id", "b_id"]].values}
     assert got == want
+
+
+def test_kmeans_assign_matches_numpy_argmax(spark, embeddings):
+    from approximate_pagerank_public_spark.operators.similarity import (
+        _train_sample_centroids,
+        kmeans_assign,
+    )
+
+    n_cells = 4
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in kmeans_assign(embeddings, n_cells=n_cells).collect()
+    }
+    cents = _train_sample_centroids(
+        embeddings, "vec_id", "embedding", n_cells, 5, 4096
+    )
+    pdf = embeddings.toPandas()
+    for _, row in pdf.iterrows():
+        v = np.asarray(row["embedding"], dtype=np.float64)
+        dots = cents @ v
+        # tie rule: dot desc, cell asc
+        best = int(np.lexsort((np.arange(len(dots)), -dots))[0])
+        assert got[row["vec_id"]] == best, row["vec_id"]
+    # every vector got exactly one cell
+    assert len(got) == pdf.shape[0]
+    assert set(got.values()) <= set(range(n_cells))
