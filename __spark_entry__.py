@@ -1205,6 +1205,22 @@ def q_turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tool_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool response-time proxy (gap from the preceding turn to
+    each tool turn) — exact BIGINT µs aggregates, avg one IEEE
+    division."""
+    from approximate_pagerank_public_spark.operators.events import tool_latency
+
+    t = _transcripts(spark, sf_dir)
+    return tool_latency(t).select(
+        "tool",
+        "n_calls",
+        "total_gap_us",
+        "max_gap_us",
+        _stable6("avg_gap_us").alias("avg_gap_us"),
+    )
+
+
 def q_event_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS OF join: each click event gains the latest prior-or-same-ts
     purchase (id + value) of the same user — union+window formulation,
@@ -1738,6 +1754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "hourly_rollup": q_hourly_rollup,
         "turn_latency": q_turn_latency,
+        "tool_latency": q_tool_latency,
         "event_asof": q_event_asof,
         "funnel_steps": q_funnel_steps,
         "event_transitions": q_event_transitions,
@@ -3301,6 +3318,24 @@ def _rich_club_oracle() -> str:
     )
 
 
+def _tool_latency_oracle() -> str:
+    """Identical window program over the transcripts CTE — epoch_us
+    DIFFERENCES only, exact BIGINT aggregates, avg stable6-truncated."""
+    return (
+        f"WITH tr AS ({_duck_transcripts_cte()}), "
+        "g AS (SELECT tool, role, "
+        "epoch_us(ts) - lag(epoch_us(ts)) OVER "
+        "(PARTITION BY conv_id ORDER BY turn_idx) AS gap FROM tr) "
+        "SELECT tool, CAST(count(*) AS BIGINT) AS n_calls, "
+        "CAST(sum(gap) AS BIGINT) AS total_gap_us, "
+        "CAST(max(gap) AS BIGINT) AS max_gap_us, "
+        "floor((CAST(sum(gap) AS DOUBLE) / CAST(count(*) AS DOUBLE)) "
+        "* 1000000.0) / 1000000.0 AS avg_gap_us "
+        "FROM g WHERE role = 'tool' AND tool IS NOT NULL "
+        "AND gap IS NOT NULL GROUP BY tool"
+    )
+
+
 def _turn_latency_oracle() -> str:
     """Inter-turn gap replay over the transcripts CTE — epoch_us
     DIFFERENCES only (tz cancels), exact BIGINT aggregates."""
@@ -3854,6 +3889,7 @@ def oracle_sql() -> dict[str, str]:
         "rich_club": _rich_club_oracle(),
         "wl_colors": _wl_oracle(3),
         "turn_latency": _turn_latency_oracle(),
+        "tool_latency": _tool_latency_oracle(),
         "hourly_rollup": _HOURLY_ROLLUP_ORACLE,
         "stress": _stress_oracle(STRESS_SOURCES),
         "scc": (

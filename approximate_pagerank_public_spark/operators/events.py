@@ -360,3 +360,40 @@ def turn_latency(transcripts: DataFrame) -> DataFrame:
         )
         .alias("avg_gap_us"),
     )
+
+
+def tool_latency(transcripts: DataFrame) -> DataFrame:
+    """Per-tool response-time proxy over agent transcripts: for every
+    tool turn, the integer-microsecond gap from the PREVIOUS turn in
+    the same conversation (the time between the call being issued and
+    the tool result landing), aggregated per tool as ``(tool, n_calls,
+    total_gap_us, max_gap_us, avg_gap_us)``.
+
+    Gaps use the same tz-free ``timestampdiff`` convention as
+    :func:`sessionize`/:func:`turn_latency`; sums and maxes are exact
+    BIGINTs, the mean is one IEEE division. Tool turns at ``turn_idx``
+    0 have no predecessor and are excluded (no gap exists).
+
+    Scale shape: one conv_id shuffle + lag window, then a map-side
+    combined aggregate over ≤ |tools| groups.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gap = F.expr("timestampdiff(MICROSECOND, _prev_ts, ts)")
+    g = (
+        transcripts.select("conv_id", "turn_idx", "role", "tool", "ts")
+        .withColumn("_prev_ts", F.lag("ts").over(w))
+        .where(
+            (F.col("role") == "tool")
+            & F.col("tool").isNotNull()
+            & F.col("_prev_ts").isNotNull()
+        )
+        .select("tool", gap.alias("gap"))
+    )
+    return g.groupBy("tool").agg(
+        F.count("*").alias("n_calls"),
+        F.sum("gap").alias("total_gap_us"),
+        F.max("gap").alias("max_gap_us"),
+        (F.sum("gap").cast("double") / F.count("*").cast("double")).alias(
+            "avg_gap_us"
+        ),
+    )

@@ -251,3 +251,29 @@ def test_turn_latency_gap_aggregates(spark):
         0,
         0.0,
     )
+
+
+def test_tool_latency_per_tool_gaps(spark):
+    from approximate_pagerank_public_spark.operators.events import tool_latency
+
+    rows = [
+        ("A", 0, "user", None, _ts(0)),
+        ("A", 1, "tool", "t_search", _ts(0, 5)),    # gap 5 s
+        ("A", 2, "assistant", None, _ts(0, 6)),
+        ("A", 3, "tool", "t_search", _ts(0, 7)),    # gap 1 s
+        ("B", 0, "tool", "t_click", _ts(1)),        # turn 0: no gap, excluded
+        ("B", 1, "tool", "t_click", _ts(1, 2)),     # gap 2 s
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string, ts timestamp"
+    )
+    got = {r["tool"]: r for r in tool_latency(df).collect()}
+    s = got["t_search"]
+    assert (s["n_calls"], s["total_gap_us"], s["max_gap_us"]) == (
+        2,
+        6_000_000,
+        5_000_000,
+    )
+    assert s["avg_gap_us"] == 3_000_000.0
+    c = got["t_click"]
+    assert (c["n_calls"], c["total_gap_us"]) == (1, 2_000_000)
