@@ -13,6 +13,8 @@ on local[$SPARK_GRAFT_CPUS]):
 - q_scc              strongly connected components (directed)
 - q_sssp             weighted SSSP (min-plus over 1/outdeg weights)
 - q_stress4          stress centrality, 4 pivot sources (Brandes sweeps)
+- q_wl3              Weisfeiler-Lehman color refinement, 3 rounds
+- q_coloring         Jones-Plassmann greedy coloring (auto path)
 - q_node2vec_sg      node2vec 8-hop corpus + skip-gram pairs (embedding
                      training-data generation over the transcript graph)
 - q_triangles_pc     triangle count on the powerlaw-cluster (pc) family
@@ -149,6 +151,8 @@ def main() -> None:
             "q_scc",
             "q_sssp",
             "q_stress4",
+            "q_wl3",
+            "q_coloring",
             "q_node2vec_sg",
         }
         if need_graph:
@@ -233,9 +237,26 @@ def main() -> None:
             corpus = node2vec_corpus(g, walk_length=8, seed="n2v")
             return skipgram_pairs(corpus, window=2).count()
 
+        def _wl(_rep):
+            from approximate_pagerank_public_spark.operators.wlhash import (
+                wl_refinement,
+            )
+
+            return wl_refinement(g, rounds=3).count()
+
+        def _coloring(_rep):
+            from approximate_pagerank_public_spark.operators.coloring import (
+                greedy_coloring,
+            )
+
+            colors, _rounds = greedy_coloring(g)
+            return colors.count()
+
         run("q_scc", _scc)
         run("q_sssp", _sssp)
         run("q_stress4", _stress)
+        run("q_wl3", _wl, n=min(REPEATS, 3))
+        run("q_coloring", _coloring, n=min(REPEATS, 3))
         # full n reps since the r4 hop-latency cuts (cached ranked
         # adjacency, hoisted degt, size-scaled checkpoints) — the r3 n=2
         # cap existed only because one rep cost 34-42 s
