@@ -766,6 +766,16 @@ def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davis-Leinhardt 16-class directed triad census — exact integer
+    counts via the Batagelj-Mrvar wedge + closed-form split; the oracle
+    is an INDEPENDENT brute-force all-triples formulation."""
+    from approximate_pagerank_public_spark.operators.triads import triad_census
+
+    g = _graph(spark, sf_dir)
+    return triad_census(g)
+
+
 def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global clustering coefficient 3T/W — T and W exact BIGINTs, one
     IEEE division, bit-identical across engines (no truncation)."""
@@ -1718,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitivity": q_transitivity,
         "rich_club": q_rich_club,
         "wl_colors": q_wl_colors,
+        "triad_census": q_triad_census,
         "stress": q_stress,
         "betweenness": q_betweenness,
         "bfs_dist": q_bfs_from_min_conv,
@@ -3268,6 +3279,47 @@ def _wl_oracle(rounds: int = 3) -> str:
     return f"{body} SELECT id, lab AS wl FROM l{rounds}"
 
 
+def _triad_census_oracle() -> str:
+    """Brute force: every v1<v2<v3 triple, six edge left-joins build the
+    labeled 6-bit code, the same 64-entry lookup classifies — an
+    independent O(n³) formulation, feasible at the oracle's sf0.01."""
+    from approximate_pagerank_public_spark.operators.triads import (
+        LOOKUP,
+        TRIAD_LABELS,
+    )
+
+    e_sql = _duck_edges_sql()
+    code_rows = ", ".join(f"({c}, '{lab}')" for c, lab in LOOKUP.items())
+    label_rows = ", ".join(f"('{lab}')" for lab in TRIAD_LABELS)
+    bit = (
+        "(CASE WHEN j{i}.src IS NOT NULL THEN {w} ELSE 0 END)"
+    )
+    joins = []
+    bits = []
+    for i, (x, y) in enumerate(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"), ("b", "c"), ("c", "b")]
+    ):
+        joins.append(
+            f"LEFT JOIN d j{i} ON j{i}.src = t.{x} AND j{i}.dst = t.{y} "
+        )
+        bits.append(bit.format(i=i, w=1 << i))
+    return (
+        f"WITH e AS MATERIALIZED ({e_sql}), "
+        "d AS MATERIALIZED (SELECT DISTINCT src, dst FROM e WHERE src <> dst), "
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM "
+        "(SELECT src FROM e UNION ALL SELECT dst AS src FROM e)), "
+        f"codes(code, triad) AS (VALUES {code_rows}), "
+        f"labels(triad) AS (VALUES {label_rows}), "
+        "t AS (SELECT a.id AS a, b.id AS b, c.id AS c FROM verts a "
+        "JOIN verts b ON a.id < b.id JOIN verts c ON b.id < c.id), "
+        f"coded AS (SELECT {' + '.join(bits)} AS code FROM t {''.join(joins)}), "
+        "g AS (SELECT triad, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM coded JOIN codes USING (code) GROUP BY triad) "
+        "SELECT l.triad, CAST(COALESCE(g.cnt, 0) AS BIGINT) AS n "
+        "FROM labels l LEFT JOIN g USING (triad)"
+    )
+
+
 def _transitivity_oracle() -> str:
     """Same association as the Spark side: exact-BIGINT triangle and
     wedge counts, transitivity = 3T/W in one IEEE division."""
@@ -3888,6 +3940,7 @@ def oracle_sql() -> dict[str, str]:
         "transitivity": _transitivity_oracle(),
         "rich_club": _rich_club_oracle(),
         "wl_colors": _wl_oracle(3),
+        "triad_census": _triad_census_oracle(),
         "turn_latency": _turn_latency_oracle(),
         "tool_latency": _tool_latency_oracle(),
         "hourly_rollup": _HOURLY_ROLLUP_ORACLE,
