@@ -1200,6 +1200,15 @@ def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping 1-hour/15-minute rollup anchored at the stream origin —
+    overlapping windows, bounded 4x fan-out, exact integer counts."""
+    from approximate_pagerank_public_spark.operators.events import sliding_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sliding_rollup(ev).select("window_idx", "event_type", "n_events")
+
+
 def q_turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation inter-turn latency stats over the transcripts —
     integer-microsecond gap aggregates, avg is one IEEE division."""
@@ -1764,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "session_stats": q_session_stats,
         "hourly_rollup": q_hourly_rollup,
+        "sliding_rollup": q_sliding_rollup,
         "turn_latency": q_turn_latency,
         "tool_latency": q_tool_latency,
         "event_asof": q_event_asof,
@@ -3407,6 +3417,18 @@ def _turn_latency_oracle() -> str:
     )
 
 
+_SLIDING_ROLLUP_ORACLE = (
+    "WITH t0 AS (SELECT min(ts) AS t0 FROM events), "
+    "b AS (SELECT epoch_us(ts) - epoch_us(t0) AS diff, event_type "
+    "FROM events CROSS JOIN t0), "
+    "w AS (SELECT unnest(generate_series("
+    "greatest(CAST(0 AS BIGINT), diff // 900000000 - 3), "
+    "diff // 900000000)) AS window_idx, event_type FROM b) "
+    "SELECT CAST(window_idx AS BIGINT) AS window_idx, event_type, "
+    "CAST(count(*) AS BIGINT) AS n_events FROM w GROUP BY 1, 2"
+)
+
+
 _HOURLY_ROLLUP_ORACLE = (
     "WITH t0 AS (SELECT min(ts) AS t0 FROM events), "
     "b AS (SELECT epoch_us(ts) - epoch_us(t0) AS diff, event_type, "
@@ -3944,6 +3966,7 @@ def oracle_sql() -> dict[str, str]:
         "turn_latency": _turn_latency_oracle(),
         "tool_latency": _tool_latency_oracle(),
         "hourly_rollup": _HOURLY_ROLLUP_ORACLE,
+        "sliding_rollup": _SLIDING_ROLLUP_ORACLE,
         "stress": _stress_oracle(STRESS_SOURCES),
         "scc": (
             f"WITH RECURSIVE e AS ({e_sql}), "

@@ -397,3 +397,46 @@ def tool_latency(transcripts: DataFrame) -> DataFrame:
             "avg_gap_us"
         ),
     )
+
+
+def sliding_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window_us: int = 3_600_000_000,
+    slide_us: int = 900_000_000,
+) -> DataFrame:
+    """Hopping-window rollup (the overlapping-window sibling of
+    :func:`hourly_rollup`, i.e. the batch twin of
+    ``F.window(ts, "1 hour", "15 minutes")``): each event lands in
+    ``window_us / slide_us`` windows; window ``w`` covers
+    ``[w·slide, w·slide + window)`` microseconds after the stream's
+    first event. Output ``(window_idx, event_type, n_events)``.
+
+    Window indices are exact BIGINT arithmetic on integer-microsecond
+    DIFFERENCES (tz-free, hash-exact). The per-event explode is bounded
+    by the window/slide ratio (a constant), so the op stays one
+    scalar-min broadcast + one bounded fan-out + one map-side-combined
+    aggregation at any scale.
+    """
+    if window_us % slide_us != 0:
+        raise ValueError("window_us must be a multiple of slide_us")
+    k = window_us // slide_us
+    t0 = events.agg(F.min(ts_col).alias("_t0"))
+    # all-integer window math on BIGINT µs differences; an event in
+    # slide-slot w_max belongs to the k windows [w_max-k+1, w_max]
+    # clamped at 0 — phrased this way so no negative quantity is ever
+    # divided (both engines' integer division truncates toward zero,
+    # which would silently drop the earliest window for early events)
+    diff_sql = f"timestampdiff(MICROSECOND, _t0, {ts_col})"
+    w_max = F.expr(f"({diff_sql}) div {slide_us}")
+    w_min = F.greatest(F.lit(0).cast("long"), w_max - F.lit(k - 1))
+    return (
+        events.crossJoin(F.broadcast(t0))
+        .select(
+            F.explode(F.sequence(w_min, w_max)).alias("window_idx"),
+            F.col(type_col).alias("event_type"),
+        )
+        .groupBy("window_idx", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )

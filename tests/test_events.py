@@ -277,3 +277,25 @@ def test_tool_latency_per_tool_gaps(spark):
     assert s["avg_gap_us"] == 3_000_000.0
     c = got["t_click"]
     assert (c["n_calls"], c["total_gap_us"]) == (1, 2_000_000)
+
+
+def test_sliding_rollup_overlapping_windows(ev):
+    from approximate_pagerank_public_spark.operators.events import sliding_rollup
+
+    # 10-min windows sliding by 5 min: event at minute 7 lands in the
+    # windows starting at minutes 0 and 5 (idx 0 and 1)
+    out = {}
+    for r in sliding_rollup(
+        ev, window_us=600_000_000, slide_us=300_000_000
+    ).collect():
+        out.setdefault((r["window_idx"], r["event_type"]), 0)
+        out[(r["window_idx"], r["event_type"])] += r["n_events"]
+    # fixture minutes: view 0,5,20; click 1,7; purchase 2,7(+21)
+    # window 0 covers [0,10): view@0,5 click@1,7 purchase@2,7
+    assert out[(0, "view")] == 2 and out[(0, "click")] == 2
+    assert out[(0, "purchase")] == 2
+    # window 1 covers [5,15): view@5 click@7 purchase@7
+    assert out[(1, "view")] == 1 and out[(1, "click")] == 1
+    # window 4 covers [20,30): view@20 purchase@21; window 3 [15,25) too
+    assert out[(4, "view")] == 1 and out[(4, "purchase")] == 1
+    assert out[(3, "view")] == 1 and out[(3, "purchase")] == 1
