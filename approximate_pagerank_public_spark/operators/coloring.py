@@ -140,9 +140,10 @@ def greedy_coloring(
     )
     # The loop keeps FOUR rotating state tables so per-round work is
     # proportional to the REMAINING active subgraph, not |E|·rounds:
-    #   esub   — active↔active edges with the dst priority attached
-    #            (shrinks every round as endpoints color);
-    #   active — (id, pr) uncolored vertices;
+    #   esub   — active↔active edges, (src, dst) longs only (priorities
+    #            are recomputed per round as a codegen expression —
+    #            never stored); shrinks every round as endpoints color;
+    #   active — (id) uncolored vertices;
     #   forbid — (id, color) pairs pushed to a still-active vertex when
     #            a neighbor colors (accumulated incrementally — the
     #            full colored set is never rejoined);
