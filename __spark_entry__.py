@@ -593,6 +593,21 @@ def q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return component_sizes(connected_components(g)).orderBy("component")
 
 
+def q_seeded_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation from 5 clamped seed vertices
+    (ids 0-4, label = id), 4 synchronous rounds — same exact-rational
+    vote arithmetic as label_propagation, unrolled-CTE oracle."""
+    from approximate_pagerank_public_spark.operators.labelprop import (
+        seeded_label_propagation,
+    )
+
+    g = _graph(spark, sf_dir)
+    seeds = g.vertices.select("id").where(F.col("id") < 5).select(
+        "id", F.col("id").alias("label")
+    )
+    return seeded_label_propagation(g, seeds, rounds=4)
+
+
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from approximate_pagerank_public_spark.operators.labelprop import label_propagation
     from approximate_pagerank_public_spark.plans.graph import Graph
@@ -1726,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_star": q_cc_star,
         "component_sizes": q_component_sizes,
         "label_propagation": q_label_propagation,
+        "seeded_lpa": q_seeded_lpa,
         "louvain": q_louvain,
         "conductance": q_conductance,
         "louvain_multilevel": q_louvain_multilevel,
@@ -3038,6 +3054,38 @@ def _lpa_cte_chain(rounds: int = 5) -> str:
     return "".join(parts).rstrip(", ")
 
 
+def _seeded_lpa_oracle(rounds: int = 4, n_seeds: int = 5) -> str:
+    """Unrolled semi-supervised LPA: the labeled state is exactly
+    ``seeds ∪ per-dst argmax over labeled-neighbor votes`` each round
+    (same vote/tie arithmetic as the LPA chain)."""
+    e_sql = _duck_edges_sql()
+    parts = [
+        f"WITH e AS MATERIALIZED ({e_sql}), ",
+        "symd AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e) "
+        "WHERE src <> dst), ",
+        "und AS MATERIALIZED (SELECT src, dst, "
+        "1.0 / count(*) OVER (PARTITION BY src) AS weight FROM symd), ",
+        f"seeds AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label "
+        f"FROM symd WHERE src < {n_seeds}), ",
+        "l0 AS (SELECT * FROM seeds), ",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"v{k} AS MATERIALIZED (SELECT u.dst, l.label, sum(u.weight) AS w "
+            f"FROM und u JOIN l{k} l ON l.id = u.src GROUP BY u.dst, l.label), "
+            f"b{k} AS MATERIALIZED (SELECT dst, label FROM "
+            f"(SELECT dst, label, row_number() OVER "
+            f"(PARTITION BY dst ORDER BY w DESC, label ASC) AS rn FROM v{k}) "
+            "WHERE rn = 1), "
+            f"l{k + 1} AS MATERIALIZED (SELECT id, label FROM seeds "
+            f"UNION ALL SELECT b.dst AS id, b.label FROM b{k} b "
+            "WHERE b.dst NOT IN (SELECT id FROM seeds)), "
+        )
+    body = "".join(parts).rstrip(", ")
+    return f"{body} SELECT id, label FROM l{rounds}"
+
+
 def _lpa_oracle(rounds: int = 5) -> str:
     """Deterministic synchronous label propagation unrolled as chained
     CTEs: per round, each vertex adopts the incoming label with the
@@ -4098,6 +4146,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr_push": _ppr_push_oracle(0, 0.8, 1e-5),
         "ppr_norm_off": _pagerank_fixed_oracle(8, 0.8, source=0, dangling_norm=False),
         "label_propagation": _lpa_oracle(5),
+        "seeded_lpa": _seeded_lpa_oracle(4, 5),
         "louvain": _louvain_oracle(4),
         "conductance": _conductance_oracle(5),
         "louvain_multilevel": _louvain_multilevel_oracle(2, 2),

@@ -534,3 +534,58 @@ def golden_louvain_multilevel(
     for i, c in fine.items():
         out[i] = coarse[c]
     return out
+
+
+def seeded_label_propagation(
+    graph: Graph, seeds: DataFrame, rounds: int = 4
+) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002 shape):
+    ``seeds`` is ``(id, label)`` with CLAMPED labels; each synchronous
+    round every vertex with >=1 labeled in-neighbor (symmetrized,
+    1/outdeg weights) adopts the label with the greatest summed weight
+    (ties -> smallest label), except seeds which never change. Returns
+    ``(id, label)`` for the vertices labeled after ``rounds`` rounds —
+    vertices not yet reached are absent, not null.
+
+    The labeled set only grows and a labeled vertex always retains >=1
+    labeled neighbor, so the state is exactly
+    ``seeds ∪ (per-dst argmax over labeled-neighbor votes)`` each round
+    — no carry-forward join needed. Same vote/tie arithmetic as
+    :func:`label_propagation` (exact-rational 1/k weights), so the
+    unrolled-CTE oracle replays it.
+
+    Scale shape per round: one edge-pass join against the labeled set
+    (grows toward |V|), one map-side-combined (dst, label) weight sum,
+    one per-dst window argmax, `local_ckpt` rotation.
+    """
+    spark = graph.spark
+    p = graph.num_partitions
+    und = graph.undirected()
+    seeds = seeds.select("id", "label")
+    try:
+        labels, label_ids = local_ckpt(seeds.repartition(p, "id"))
+        for _ in range(rounds):
+            votes = (
+                und.edges.join(
+                    labels.select(F.col("id").alias("src"), "label"), "src"
+                )
+                .groupBy("dst", "label")
+                .agg(F.sum("weight").alias("w"))
+            )
+            w = Window.partitionBy("dst").orderBy(
+                F.col("w").desc(), F.col("label").asc()
+            )
+            best = (
+                votes.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .select(F.col("dst").alias("id"), "label")
+            )
+            nxt = seeds.unionAll(
+                best.join(seeds.select("id"), "id", "left_anti")
+            )
+            nxt, new_ids = local_ckpt(nxt.repartition(p, "id"))
+            free_local_ckpt(spark, label_ids)
+            labels, label_ids = nxt, new_ids
+        return labels
+    finally:
+        und.unpersist()

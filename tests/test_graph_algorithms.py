@@ -291,3 +291,67 @@ def test_louvain_multilevel_coarse_phase_can_merge(spark):
     q = modularity(g, labels).toPandas()["modularity"].iloc[0]
     assert q > 0.4  # the clique structure must be found
     g.unpersist()
+
+
+def _golden_seeded_lpa(src, dst, seeds, rounds):
+    """Pure-Python replay of seeded_label_propagation (symmetrized
+    simple graph, 1/outdeg weights, max-weight tie->min-label)."""
+    es = {(u, v) for u, v in zip(src, dst) if u != v}
+    es |= {(v, u) for u, v in es}
+    outdeg = {}
+    for u, _v in es:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    labels = dict(seeds)
+    for _ in range(rounds):
+        votes = {}
+        for u, v in es:
+            if u in labels:
+                key = (v, labels[u])
+                votes[key] = votes.get(key, 0.0) + 1.0 / outdeg[u]
+        best = {}
+        for (v, lbl), w in votes.items():
+            cur = best.get(v)
+            if cur is None or (w, -lbl) > (cur[0], -cur[1]):
+                best[v] = (w, lbl)
+        labels = dict(seeds)
+        for v, (_w, lbl) in best.items():
+            if v not in dict(seeds):
+                labels[v] = lbl
+    return labels
+
+
+def test_seeded_lpa_matches_golden(spark, g_rand):
+    from approximate_pagerank_public_spark.operators.labelprop import (
+        seeded_label_propagation,
+    )
+
+    src, dst, _ = g_rand.edges_numpy()
+    seeds = {0: 0, 1: 1, 2: 2}
+    sdf = spark.createDataFrame(list(seeds.items()), "id long, label long")
+    got = {
+        r["id"]: r["label"]
+        for r in seeded_label_propagation(g_rand, sdf, rounds=3).collect()
+    }
+    gold = _golden_seeded_lpa(src.tolist(), dst.tolist(), seeds, 3)
+    assert got == gold
+    # seeds clamped
+    assert all(got[s] == l for s, l in seeds.items())
+
+
+def test_seeded_lpa_two_islands(spark):
+    from approximate_pagerank_public_spark.operators.labelprop import (
+        seeded_label_propagation,
+    )
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    # path 0-1-2 seeded at 0; path 10-11 seeded at 10; 20 isolated
+    edges = [(0, 1), (1, 2), (10, 11)]
+    src, dst = zip(*edges)
+    g = Graph.from_edge_arrays(spark, src, dst, num_vertices=21, num_partitions=2)
+    seeds = spark.createDataFrame([(0, 7), (10, 9)], "id long, label long")
+    got = {
+        r["id"]: r["label"]
+        for r in seeded_label_propagation(g, seeds, rounds=3).collect()
+    }
+    assert got == {0: 7, 1: 7, 2: 7, 10: 9, 11: 9}
+    g.unpersist()
