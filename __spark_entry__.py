@@ -901,6 +901,18 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anf_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall approximate neighborhood function NF(0..4) over
+    out-balls — md5 HLL registers with tabulated linear-counting
+    correction, per-vertex estimates truncated to exact micro-units so
+    the cross-vertex sum is order-free; the oracle replays the registers
+    over an unrolled 4-hop reachability CTE."""
+    from approximate_pagerank_public_spark.operators.anf import anf_hyperball
+
+    g = _graph(spark, sf_dir)
+    return anf_hyperball(g, rounds=4).neighborhood_function()
+
+
 def q_exact_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup exercised on a column with real collisions (events.props)."""
     from approximate_pagerank_public_spark.operators.dedup import exact_duplicates
@@ -1765,6 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "exact_dedup_events": q_exact_dedup_events,
         "hll_distinct": q_hll_distinct,
+        "anf_hyperball": q_anf_hyperball,
         "eccentricity": q_eccentricity,
         "token_count": q_token_count,
         "doclen_quantiles": q_doclen_quantiles,
@@ -3505,6 +3518,12 @@ def _hll_distinct_oracle() -> str:
     )
 
 
+def _anf_hyperball_oracle(rounds: int) -> str:
+    from approximate_pagerank_public_spark.operators.anf import anf_oracle_sql
+
+    return anf_oracle_sql(_duck_edges_sql(), _duck_vertices_sql(), rounds)
+
+
 def _stress_oracle(sources: list[int]) -> str:
     """Stress centrality replayed as unrolled level-synchronous sweeps
     per source: ``g{l}`` = vertices first reached at level l with their
@@ -3996,6 +4015,7 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT max(dist) FROM d2) AS diameter_lb"
         ),
         "hll_distinct": _hll_distinct_oracle(),
+        "anf_hyperball": _anf_hyperball_oracle(4),
         "modularity": _modularity_oracle(5),
         "community_graph": (
             f"WITH {_lpa_cte_chain(5)} "

@@ -1,0 +1,290 @@
+"""Approximate neighborhood function (ANF / HyperBall) — hop-plot and
+effective-diameter estimation at web scale.
+
+The canonical algorithm for "how far apart is this graph" when exact
+all-pairs BFS is impossible (Palmer, Gibbons & Faloutsos, *ANF*, KDD
+2002; Boldi, Rosa & Vigna, *HyperBall*, 2011): every vertex keeps a
+HyperLogLog sketch of its out-ball ``B(v, r)`` (vertices reachable from
+``v`` in ≤ r hops); one round merges each vertex's sketch with its
+out-neighbors' sketches (register-wise max), so after ``r`` rounds the
+sketch estimates ``|B(v, r)|``. The neighborhood function
+``NF(r) = Σ_v |B(v, r)|`` then gives the hop plot, and the effective
+diameter is the smallest ``r`` with ``NF(r) ≥ 0.9 · NF(∞)``.
+
+Everything is derived from md5 exactly like ``functions/sketch.py``
+(m=256 registers, 60-bit hash, integer rho) so the DuckDB oracle can
+replay it register-for-register over an unrolled reachability CTE.
+Beyond the raw HLL estimator this module ALSO applies Flajolet's
+small-range (linear-counting) correction — essential here because early
+rounds have tiny balls — made bit-replayable by precomputing the 256
+possible values ``m·ln(m/z)`` as shared f64 literals (no engine libm in
+the estimate path; both engines look the value up in the same table).
+
+Scale shape: state is the SPARSE register relation
+``(id, register, rho)`` — ≤ 256·|V| rows, typically far fewer early on.
+One round = one equi-join edges⋈state on the pull side + one map-side
+combinable ``groupBy(id, register).max(rho)``; message volume is
+bounded by 256·|E| rows of three small ints in the worst round and by
+``Σ_v ball_registers(v)`` in practice. No per-vertex set ever
+materializes — that is the whole point of the algorithm. Rounds rotate
+state through ``local_ckpt`` (CLAUDE.md lineage invariant).
+
+Dual paths, bit-identical (parity-tested):
+
+- broadcast (≤ ``BROADCAST_MAX_EDGES``): dense ``(n, 256)`` uint8
+  register matrix on the driver, one vectorized ``np.maximum.at`` per
+  round.
+- distributed: the sparse-relation rounds described above.
+
+Reference scope note: the reference engine (approximate-pagerank-public)
+ships ranking kernels; ANF is the standard companion reachability
+statistic for the same link graphs (PGX ships it as
+``adamicAdar``-family analytics), added on the engine's own dual-path +
+replayable-oracle idiom.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from approximate_pagerank_public_spark.functions.sketch import ALPHA_M2, M
+from approximate_pagerank_public_spark.plans.checkpoint import (
+    free_local_ckpt,
+    local_ckpt,
+)
+from approximate_pagerank_public_spark.plans.graph import Graph
+
+BROADCAST_MAX_EDGES = 50_000_000
+
+# Flajolet small-range correction, tabulated so no engine evaluates ln():
+# LC_TABLE[z-1] = m * ln(m / z) for z = n_zero ∈ 1..256. repr() round-trips
+# exactly, so Spark and DuckDB parse the SAME doubles.
+LC_TABLE = [float(M) * math.log(M / z) for z in range(1, M + 1)]
+# raw-estimate threshold below which linear counting applies (HLL paper)
+LC_THRESHOLD = 2.5 * M
+
+
+def _estimate_cols():
+    """(s_present, n_present) -> corrected estimate Column. Shared shape
+    with the DuckDB replay in ``anf_oracle_sql`` — identical constants,
+    identical branch condition, one division / one table lookup."""
+    s = F.col("s_present") + (F.lit(M) - F.col("n_present")).cast("double")
+    raw = F.lit(float(ALPHA_M2)) / s
+    n_zero = (F.lit(M) - F.col("n_present")).cast("int")
+    lc = F.element_at(F.array(*[F.lit(v) for v in LC_TABLE]), n_zero)
+    return F.when((raw <= F.lit(LC_THRESHOLD)) & (n_zero > 0), lc).otherwise(raw)
+
+
+@dataclass
+class ANFResult:
+    rounds: int
+    _nf: DataFrame  # (round, nf_micro, frac_micro)
+
+    def neighborhood_function(self) -> DataFrame:
+        return self._nf
+
+    def effective_diameter(self, q: float = 0.9) -> int:
+        """Smallest round r with NF(r) >= q * NF(rounds) — integer
+        comparison over the exact micro-unit sums (≤ rounds+1 rows)."""
+        rows = sorted(
+            self._nf.select("round", "nf_micro").collect(),
+            key=lambda x: x["round"],
+        )
+        target = q * rows[-1]["nf_micro"]
+        for row in rows:
+            if row["nf_micro"] >= target:
+                return int(row["round"])
+        return int(rows[-1]["round"])
+
+
+# ----------------------------------------------------------- broadcast path
+def _hash60(val: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(val.encode()).hexdigest()[:15], 16)
+
+
+def _rho_of(v60: int) -> tuple[int, int]:
+    reg = v60 % M
+    w = (v60 >> 8) & 0xFFFFFFFF
+    rho = 33 - w.bit_length() if w else 33
+    return reg, rho
+
+
+def anf_numpy(
+    src: np.ndarray, dst: np.ndarray, n: int, rounds: int
+) -> list[int]:
+    """Pure-NumPy HyperBall replay: dense (n, 256) uint8 registers,
+    ``np.maximum.at`` merge per round. Returns nf_micro per round
+    0..rounds. Shared by the broadcast path and tests."""
+    regs = np.zeros((n, M), dtype=np.uint8)
+    for v in range(n):
+        reg, rho = _rho_of(_hash60(str(v)))
+        regs[v, reg] = rho
+    # 2^-mr lookup (mr=0 means absent => contributes 2^0 = 1.0); every
+    # term is an exact power of two so the f64 row sum is order-exact.
+    pow_tbl = 1.0 / (1 << np.arange(34, dtype=np.int64)).astype(np.float64)
+    lc_tbl = np.asarray(LC_TABLE, dtype=np.float64)
+
+    def nf_micro(r: np.ndarray) -> int:
+        s = pow_tbl[r].sum(axis=1)
+        raw = float(ALPHA_M2) / s
+        n_zero = (r == 0).sum(axis=1)
+        use_lc = (raw <= LC_THRESHOLD) & (n_zero > 0)
+        est = np.where(use_lc, lc_tbl[np.maximum(n_zero, 1) - 1], raw)
+        return int(np.floor(est * 1e6).astype(np.int64).sum())
+
+    out = [nf_micro(regs)]
+    for _ in range(rounds):
+        nxt = regs.copy()
+        # pull: sketch(src) <- max(sketch(src), sketch(dst)) per edge
+        np.maximum.at(nxt, src, regs[dst])
+        regs = nxt
+        out.append(nf_micro(regs))
+    return out
+
+
+# --------------------------------------------------------- distributed path
+def _init_state(g: Graph) -> DataFrame:
+    h = F.conv(
+        F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = F.shiftright(h, 8).bitwiseAND(F.lit(4294967295))
+    return g.vertices.select(
+        "id",
+        F.pmod(h, F.lit(M)).cast("int").alias("register"),
+        F.when(w == 0, F.lit(33))
+        .otherwise(F.lit(33) - F.length(F.bin(w)))
+        .cast("int")
+        .alias("rho"),
+    )
+
+
+def _nf_micro_scalar(state: DataFrame) -> int:
+    term = F.expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), rho) AS DOUBLE)")
+    per_v = state.groupBy("id").agg(
+        F.sum(term).alias("s_present"), F.count("*").alias("n_present")
+    )
+    ball = F.floor(_estimate_cols() * F.lit(1e6)).cast("long")
+    row = per_v.select(ball.alias("b")).agg(F.sum("b").alias("nf")).collect()[0]
+    return int(row["nf"])
+
+
+def _anf_distributed(g: Graph, rounds: int) -> list[int]:
+    spark = g.spark
+    edges = g.edges.select("src", "dst")
+    state, ids = local_ckpt(_init_state(g))
+    out = [_nf_micro_scalar(state)]
+    for _ in range(rounds):
+        msgs = (
+            edges.alias("e")
+            .join(state.alias("s"), F.col("s.id") == F.col("e.dst"))
+            .select(
+                F.col("e.src").alias("id"), F.col("s.register"), F.col("s.rho")
+            )
+        )
+        nxt = (
+            state.unionByName(msgs)
+            .groupBy("id", "register")
+            .agg(F.max("rho").alias("rho"))
+        )
+        nxt, nxt_ids = local_ckpt(nxt)
+        free_local_ckpt(spark, ids)
+        state, ids = nxt, nxt_ids
+        out.append(_nf_micro_scalar(state))
+    return out
+
+
+def anf_hyperball(g: Graph, rounds: int = 4, mode: str = "auto") -> ANFResult:
+    """Neighborhood function NF(0..rounds) over OUT-balls as exact
+    micro-unit integers (``nf_micro = Σ_v floor(est_v · 1e6)`` — the
+    truncation makes the cross-vertex sum order-independent), plus
+    ``frac_micro = stable6(nf_r / nf_rounds)`` for the hop plot /
+    effective-diameter read-off."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    if mode == "auto":
+        mode = "broadcast" if g.num_edges <= BROADCAST_MAX_EDGES else "distributed"
+    if mode == "broadcast":
+        src, dst, _w = g.edges_numpy()
+        nf = anf_numpy(src, dst, g.num_vertices, rounds)
+    elif mode == "distributed":
+        nf = _anf_distributed(g, rounds)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"round": np.arange(rounds + 1, dtype=np.int64), "nf_micro": nf}
+    )
+    df = g.spark.createDataFrame(pdf).select(
+        "round",
+        F.col("nf_micro").cast("long"),
+        (
+            F.floor(
+                F.col("nf_micro").cast("double")
+                / F.lit(float(nf[-1]))
+                * F.lit(1e6)
+            )
+            / F.lit(1e6)
+        ).alias("frac_micro"),
+    )
+    return ANFResult(rounds=rounds, _nf=df)
+
+
+# ------------------------------------------------------------------- oracle
+def anf_oracle_sql(edges_sql: str, vertices_sql: str, rounds: int) -> str:
+    """DuckDB replay: exact reach sets via ``rounds`` unrolled join CTEs,
+    then the identical md5 register derivation, identical corrected
+    estimator (same ALPHA_M2 / LC_TABLE literals), identical micro-unit
+    truncation and integer NF sum. ``edges_sql`` must yield (src, dst);
+    ``vertices_sql`` must yield (id)."""
+    lc_list = ", ".join(repr(v) for v in LC_TABLE)
+    parts = [
+        f"e AS MATERIALIZED (SELECT src, dst FROM ({edges_sql}))",
+        f"r0 AS MATERIALIZED (SELECT id AS v, id AS u FROM ({vertices_sql}))",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"r{r} AS MATERIALIZED (SELECT v, u FROM r{r - 1} UNION "
+            f"SELECT p.v, e.dst AS u FROM r{r - 1} p JOIN e ON e.src = p.u)"
+        )
+    rounds_union = " UNION ALL ".join(
+        f"SELECT {r} AS round, v, u FROM r{r}" for r in range(rounds + 1)
+    )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f", reach AS ({rounds_union}), "
+        "h AS (SELECT round, v, "
+        "CAST('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15) AS BIGINT) AS hv "
+        "FROM reach), "
+        f"rr AS (SELECT round, v, hv % {M} AS register, "
+        "CASE WHEN ((hv >> 8) & 4294967295) = 0 THEN 33 "
+        "     ELSE 33 - length(bin((hv >> 8) & 4294967295)) END AS rho "
+        "FROM h), "
+        "regs AS (SELECT round, v, register, max(rho) AS mr FROM rr "
+        "GROUP BY round, v, register), "
+        "pv AS (SELECT round, v, "
+        "sum(1.0 / CAST((CAST(1 AS BIGINT) << mr) AS DOUBLE)) AS s_present, "
+        "count(*) AS n_present FROM regs GROUP BY round, v), "
+        "est AS (SELECT round, v, "
+        f"CASE WHEN ({ALPHA_M2} / (s_present + CAST({M} - n_present AS DOUBLE)))"
+        f" <= {LC_THRESHOLD!r} AND {M} - n_present > 0 "
+        f"THEN list_extract([{lc_list}], CAST({M} - n_present AS INT)) "
+        f"ELSE {ALPHA_M2} / (s_present + CAST({M} - n_present AS DOUBLE)) END "
+        "AS est FROM pv), "
+        "nf AS (SELECT round, "
+        "CAST(sum(CAST(floor(est * 1000000.0) AS BIGINT)) AS BIGINT) "
+        "AS nf_micro FROM est GROUP BY round), "
+        f"total AS (SELECT nf_micro AS nf_last FROM nf WHERE round = {rounds}) "
+        "SELECT round, nf_micro, "
+        "floor(CAST(nf_micro AS DOUBLE) / CAST(nf_last AS DOUBLE) * 1000000.0)"
+        " / 1000000.0 AS frac_micro "
+        "FROM nf CROSS JOIN total ORDER BY round"
+    )
