@@ -913,6 +913,24 @@ def q_anf_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anf_hyperball(g, rounds=4).neighborhood_function()
 
 
+def q_landmark_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark distance sketches (Potamias et al. CIKM'09): top-4
+    in-degree landmarks (ties → smaller id), batched multi-source BFS
+    forward + on the reversed graph, min-plus upper-bound estimates for
+    all ordered pairs over ids 0..7; unreachable ⇒ -1. Oracle replays
+    the pick, both sweeps (recursive CTEs), and the combine."""
+    from approximate_pagerank_public_spark.operators.landmarks import (
+        landmark_distance_estimates,
+    )
+
+    g = _graph(spark, sf_dir)
+    ids = list(range(8))
+    pairs = (
+        spark.createDataFrame([(u, v) for u in ids for v in ids if u != v], "u long, v long")
+    )
+    return landmark_distance_estimates(g, pairs, k=4)
+
+
 def q_exact_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup exercised on a column with real collisions (events.props)."""
     from approximate_pagerank_public_spark.operators.dedup import exact_duplicates
@@ -1778,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_events": q_exact_dedup_events,
         "hll_distinct": q_hll_distinct,
         "anf_hyperball": q_anf_hyperball,
+        "landmark_dist": q_landmark_dist,
         "eccentricity": q_eccentricity,
         "token_count": q_token_count,
         "doclen_quantiles": q_doclen_quantiles,
@@ -3524,6 +3543,14 @@ def _anf_hyperball_oracle(rounds: int) -> str:
     return anf_oracle_sql(_duck_edges_sql(), _duck_vertices_sql(), rounds)
 
 
+def _landmark_dist_oracle() -> str:
+    from approximate_pagerank_public_spark.operators.landmarks import (
+        landmark_oracle_sql,
+    )
+
+    return landmark_oracle_sql(_duck_edges_sql(), 4, list(range(8)))
+
+
 def _stress_oracle(sources: list[int]) -> str:
     """Stress centrality replayed as unrolled level-synchronous sweeps
     per source: ``g{l}`` = vertices first reached at level l with their
@@ -4016,6 +4043,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hll_distinct": _hll_distinct_oracle(),
         "anf_hyperball": _anf_hyperball_oracle(4),
+        "landmark_dist": _landmark_dist_oracle(),
         "modularity": _modularity_oracle(5),
         "community_graph": (
             f"WITH {_lpa_cte_chain(5)} "

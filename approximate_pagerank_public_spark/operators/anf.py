@@ -20,21 +20,27 @@ rounds have tiny balls — made bit-replayable by precomputing the 256
 possible values ``m·ln(m/z)`` as shared f64 literals (no engine libm in
 the estimate path; both engines look the value up in the same table).
 
-Scale shape: state is the SPARSE register relation
-``(id, register, rho)`` — ≤ 256·|V| rows, typically far fewer early on.
-One round = one equi-join edges⋈state on the pull side + one map-side
-combinable ``groupBy(id, register).max(rho)``; message volume is
-bounded by 256·|E| rows of three small ints in the worst round and by
-``Σ_v ball_registers(v)`` in practice. No per-vertex set ever
-materializes — that is the whole point of the algorithm. Rounds rotate
-state through ``local_ckpt`` (CLAUDE.md lineage invariant).
-
-Dual paths, bit-identical (parity-tested):
+Scale shape — three paths, all bit-identical (parity-tested):
 
 - broadcast (≤ ``BROADCAST_MAX_EDGES``): dense ``(n, 256)`` uint8
   register matrix on the driver, one vectorized ``np.maximum.at`` per
   round.
-- distributed: the sparse-relation rounds described above.
+- **packed** (the cluster-scale default): the whole sketch as ONE
+  256-byte binary column ``(id, sk)``; a round is one pull-side
+  equi-join + an Arrow-native segment merge (``repartition(id)`` →
+  ``mapInArrow`` → ``np.maximum.reduceat`` over a zero-copy
+  ``(rows, 256)`` view of the Arrow buffers). Shuffle volume per round
+  is exactly ``(|E| + |V|)`` rows × 256 B — the algorithm's true
+  communication cost — independent of how full the balls are. No
+  per-vertex set ever materializes.
+- distributed (sparse relation ``(id, register, rho)``): the
+  oracle-shaped twin — one join + map-side-combinable
+  ``groupBy(id, register).max(rho)`` per round. Fine at contract
+  scale but its fan-out saturates at 256 rows PER EDGE once balls
+  fill, which is why ``packed`` is the big-graph default.
+
+Rounds rotate state through ``local_ckpt`` (CLAUDE.md lineage
+invariant).
 
 Reference scope note: the reference engine (approximate-pagerank-public)
 ships ranking kernels; ANF is the standard companion reachability
@@ -126,26 +132,149 @@ def anf_numpy(
     for v in range(n):
         reg, rho = _rho_of(_hash60(str(v)))
         regs[v, reg] = rho
-    # 2^-mr lookup (mr=0 means absent => contributes 2^0 = 1.0); every
-    # term is an exact power of two so the f64 row sum is order-exact.
-    pow_tbl = 1.0 / (1 << np.arange(34, dtype=np.int64)).astype(np.float64)
-    lc_tbl = np.asarray(LC_TABLE, dtype=np.float64)
-
-    def nf_micro(r: np.ndarray) -> int:
-        s = pow_tbl[r].sum(axis=1)
-        raw = float(ALPHA_M2) / s
-        n_zero = (r == 0).sum(axis=1)
-        use_lc = (raw <= LC_THRESHOLD) & (n_zero > 0)
-        est = np.where(use_lc, lc_tbl[np.maximum(n_zero, 1) - 1], raw)
-        return int(np.floor(est * 1e6).astype(np.int64).sum())
-
-    out = [nf_micro(regs)]
+    out = [int(_est_micro(regs).sum())]
     for _ in range(rounds):
         nxt = regs.copy()
         # pull: sketch(src) <- max(sketch(src), sketch(dst)) per edge
         np.maximum.at(nxt, src, regs[dst])
         regs = nxt
-        out.append(nf_micro(regs))
+        out.append(int(_est_micro(regs).sum()))
+    return out
+
+
+# ------------------------------------------------------------- packed path
+# The sparse (id, register, rho) relation is oracle-shaped but its join
+# fan-out saturates at 256 rows PER EDGE once balls fill up — fine for
+# the small contract graphs, wrong at 10^8 edges. The cluster-scale
+# representation is the classic HyperBall-on-MapReduce one: the whole
+# 256-register sketch as ONE 256-byte binary column, merged by an
+# Arrow-native segment max. Shuffle volume per round is then exactly
+# (|E| + |V|) rows x 256 B — the algorithm's true communication cost —
+# and the merge is one vectorized np.maximum.reduceat per partition.
+
+
+def _bin_to_mat(arr) -> np.ndarray:
+    """(rows, 256) uint8 view of an Arrow binary column whose values are
+    all exactly 256 bytes — zero-copy via the offsets/data buffers, with
+    a per-row fallback if the layout ever differs."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, M), dtype=np.uint8)
+    bufs = arr.buffers()
+    if len(bufs) == 3 and bufs[1] is not None and bufs[2] is not None:
+        offs = np.frombuffer(bufs[1], dtype=np.int32)[
+            arr.offset : arr.offset + n + 1
+        ]
+        if offs[-1] - offs[0] == n * M and np.all(np.diff(offs) == M):
+            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            return data[offs[0] : offs[-1]].reshape(n, M)
+    return np.stack(
+        [np.frombuffer(v.as_py(), dtype=np.uint8) for v in arr]
+    )
+
+
+def _mat_to_bin(mat: np.ndarray):
+    """Arrow binary Array from a (rows, 256) uint8 matrix — buffers
+    built directly (no per-row Python bytes objects)."""
+    import pyarrow as pa
+
+    n = mat.shape[0]
+    offsets = pa.py_buffer((np.arange(n + 1, dtype=np.int32) * M).tobytes())
+    data = pa.py_buffer(np.ascontiguousarray(mat).tobytes())
+    return pa.Array.from_buffers(pa.binary(), n, [None, offsets, data])
+
+
+def _est_micro(mat: np.ndarray) -> np.ndarray:
+    """Per-row corrected-estimate micro-units (int64) for a (rows, 256)
+    register matrix — the single shared estimator (same constants as the
+    SQL oracle and the column path)."""
+    pow_tbl = 1.0 / (1 << np.arange(34, dtype=np.int64)).astype(np.float64)
+    s = pow_tbl[mat].sum(axis=1)
+    raw = float(ALPHA_M2) / s
+    n_zero = (mat == 0).sum(axis=1)
+    use_lc = (raw <= LC_THRESHOLD) & (n_zero > 0)
+    lc_tbl = np.asarray(LC_TABLE, dtype=np.float64)
+    est = np.where(use_lc, lc_tbl[np.maximum(n_zero, 1) - 1], raw)
+    return np.floor(est * 1e6).astype(np.int64)
+
+
+def _packed_init(g: Graph) -> DataFrame:
+    import pyarrow as pa
+
+    def init(batches):
+        for b in batches:
+            ids = b.column(0).to_numpy(zero_copy_only=False)
+            mat = np.zeros((len(ids), M), dtype=np.uint8)
+            for i, vid in enumerate(ids):
+                reg, rho = _rho_of(_hash60(str(int(vid))))
+                mat[i, reg] = rho
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), _mat_to_bin(mat)], names=["id", "sk"]
+            )
+
+    return g.vertices.mapInArrow(init, "id long, sk binary")
+
+
+def _packed_merge(df: DataFrame, parts: int) -> DataFrame:
+    import pyarrow as pa
+
+    def merge(batches):
+        ids_l, mats = [], []
+        for b in batches:
+            ids_l.append(b.column(0).to_numpy(zero_copy_only=False))
+            mats.append(_bin_to_mat(b.column(1)))
+        if not ids_l:
+            return
+        ids = np.concatenate(ids_l)
+        mat = np.vstack(mats)
+        order = np.argsort(ids, kind="stable")
+        ids_s, mat_s = ids[order], mat[order]
+        starts = np.flatnonzero(np.r_[True, ids_s[1:] != ids_s[:-1]])
+        out = np.maximum.reduceat(mat_s, starts, axis=0)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(ids_s[starts]), _mat_to_bin(out)], names=["id", "sk"]
+        )
+
+    return df.repartition(parts, "id").mapInArrow(merge, "id long, sk binary")
+
+
+def _nf_from_packed(state: DataFrame) -> int:
+    import pyarrow as pa
+
+    def est(batches):
+        tot = 0
+        for b in batches:
+            tot += int(_est_micro(_bin_to_mat(b.column(1))).sum())
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([tot], type=pa.int64())], names=["nf_part"]
+        )
+
+    parts = state.mapInArrow(est, "nf_part long")
+    return int(parts.agg(F.sum("nf_part").alias("nf")).collect()[0]["nf"])
+
+
+def _anf_packed(g: Graph, rounds: int) -> list[int]:
+    spark = g.spark
+    parts = g.num_partitions
+    edges = g.edges.select("src", "dst")
+    state, ids = local_ckpt(_packed_merge(_packed_init(g), parts))
+    out = [_nf_from_packed(state)]
+    for _ in range(rounds):
+        msgs = (
+            edges.alias("e")
+            .join(state.alias("s"), F.col("s.id") == F.col("e.dst"))
+            .select(F.col("e.src").alias("id"), F.col("s.sk"))
+        )
+        nxt, nxt_ids = local_ckpt(
+            _packed_merge(state.unionByName(msgs), parts)
+        )
+        free_local_ckpt(spark, ids)
+        state, ids = nxt, nxt_ids
+        out.append(_nf_from_packed(state))
     return out
 
 
@@ -209,11 +338,15 @@ def anf_hyperball(g: Graph, rounds: int = 4, mode: str = "auto") -> ANFResult:
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     if mode == "auto":
-        mode = "broadcast" if g.num_edges <= BROADCAST_MAX_EDGES else "distributed"
+        mode = "broadcast" if g.num_edges <= BROADCAST_MAX_EDGES else "packed"
     if mode == "broadcast":
         src, dst, _w = g.edges_numpy()
         nf = anf_numpy(src, dst, g.num_vertices, rounds)
+    elif mode == "packed":
+        nf = _anf_packed(g, rounds)
     elif mode == "distributed":
+        # oracle-shaped sparse-relation twin; saturates at 256 rows/edge
+        # once balls fill — use 'packed' beyond contract scale
         nf = _anf_distributed(g, rounds)
     else:
         raise ValueError(f"unknown mode {mode!r}")
