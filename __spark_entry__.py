@@ -931,6 +931,20 @@ def q_landmark_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return landmark_distance_estimates(g, pairs, k=4)
 
 
+def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded stream-stream join (batch twin of the watermarked
+    streaming interval join): every (click, purchase) pair of the same
+    user with the purchase 1 µs – 1 h after the click; gap as exact
+    BIGINT µs. One equi-shuffle on user_id, band predicate on the join."""
+    from approximate_pagerank_public_spark.operators.events import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return interval_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+    )
+
+
 def q_exact_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup exercised on a column with real collisions (events.props)."""
     from approximate_pagerank_public_spark.operators.dedup import exact_duplicates
@@ -1797,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "anf_hyperball": q_anf_hyperball,
         "landmark_dist": q_landmark_dist,
+        "click_attribution": q_click_attribution,
         "eccentricity": q_eccentricity,
         "token_count": q_token_count,
         "doclen_quantiles": q_doclen_quantiles,
@@ -4044,6 +4059,13 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_distinct_oracle(),
         "anf_hyperball": _anf_hyperball_oracle(4),
         "landmark_dist": _landmark_dist_oracle(),
+        "click_attribution": (
+            "SELECT c.event_id AS left_id, p.event_id AS right_id, "
+            "epoch_us(p.ts) - epoch_us(c.ts) AS gap_us "
+            "FROM events c JOIN events p ON p.user_id = c.user_id "
+            "WHERE c.event_type = 'click' AND p.event_type = 'purchase' "
+            "AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 1 AND 3600000000"
+        ),
         "modularity": _modularity_oracle(5),
         "community_graph": (
             f"WITH {_lpa_cte_chain(5)} "

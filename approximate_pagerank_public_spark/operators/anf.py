@@ -278,6 +278,180 @@ def _anf_packed(g: Graph, rounds: int) -> list[int]:
     return out
 
 
+# -------------------------------------------------------------- blocks path
+# The message-minimized variant on the engine's shared-FS CSR block
+# store (plans/distblocks.py): the store is built over the REVERSED
+# edges plus one self-loop per vertex, so "max over the block's in-edge
+# srcs per dst" IS the ANF pull (sketch(v) <- max of v's own sketch and
+# its out-neighbors') — no post-join merge needed. Each vertex's
+# 256-byte sketch ships ONCE per consuming block (the PageRank twin's
+# measured 0.13 msgs/edge routing), not once per edge: per-round
+# shuffle is Σ_p unique_srcs(p) x 260 B + one V-row contrib exchange,
+# vs (|E|+|V|) x 260 B for the packed path.
+
+
+def _tiled_umax_u8(state_local: np.ndarray, blk: tuple) -> tuple:
+    """(udst, per-dst register max) over one CSR block — the uint8 /
+    max-reduce sibling of ``plans/blocks.py::tiled_spmv`` (max is
+    order-free, so tile association needs no pinning)."""
+    srcl, _w, u_dst, starts, seg_map, tb, sb = blk
+    p = np.zeros((len(u_dst), M), dtype=np.uint8)
+    for ti in range(len(tb) - 1):
+        e0, e1 = int(tb[ti]), int(tb[ti + 1])
+        s0, s1 = int(sb[ti]), int(sb[ti + 1])
+        contrib = state_local[np.asarray(srcl[e0:e1]), :]
+        tp = np.maximum.reduceat(contrib, np.asarray(starts[s0:s1]) - e0, axis=0)
+        rows = np.asarray(seg_map[s0:s1])  # unique within a tile
+        p[rows] = np.maximum(p[rows], tp)
+    return u_dst, p
+
+
+def _sketch_contribs(store, state: DataFrame, shuffle_partitions: int) -> DataFrame:
+    """One ANF superstep over a DistBlockStore: outbox pack (one packed
+    (pid, idxs, sketches) message per state partition x target block) →
+    token-routed shuffle → per-block scatter + tiled segment max.
+    ``state`` must expose (id, pids, sk)."""
+    import pyarrow as pa
+
+    from approximate_pagerank_public_spark.plans.distblocks import (
+        _load_dist_block,
+        _slot_tokens,
+    )
+
+    block_dir = store.dir
+
+    def outbox(batches):
+        flat_l, cnt_l, sk_l = [], [], []
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            la = b.column("pids")
+            cnt = np.diff(la.offsets.to_numpy(zero_copy_only=False))
+            if cnt.sum() == 0:
+                continue
+            flat_l.append(la.flatten().to_numpy(zero_copy_only=False))
+            cnt_l.append(cnt)
+            sk_l.append(_bin_to_mat(b.column("sk")))
+        if not flat_l:
+            return
+        flat_code = np.concatenate(flat_l)
+        counts = np.concatenate(cnt_l)
+        sks = np.vstack(sk_l)
+        rep_rows = np.repeat(np.arange(len(counts)), counts)
+        order = np.argsort(flat_code, kind="stable")
+        fc = flat_code[order]
+        fp = (fc >> 32).astype(np.int32)
+        fi = (fc & 0xFFFFFFFF).astype(np.int32)
+        brk = np.r_[0, np.flatnonzero(fp[1:] != fp[:-1]) + 1, len(fp)]
+        out_pid, out_idx, out_sk = [], [], []
+        for a, bnd in zip(brk[:-1], brk[1:]):
+            out_pid.append(int(fp[a]))
+            out_idx.append(fi[a:bnd].tobytes())
+            out_sk.append(
+                np.ascontiguousarray(sks[rep_rows[order[a:bnd]]]).tobytes()
+            )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(out_pid, type=pa.int32()),
+                pa.array(out_idx, type=pa.binary()),
+                pa.array(out_sk, type=pa.binary()),
+            ],
+            names=["pid", "srcs", "sks"],
+        )
+
+    def kernel(batches):
+        per_pid: dict[int, list[tuple[bytes, bytes]]] = {}
+        for b in batches:
+            pids = b.column("pid").to_pylist()
+            srcs = b.column("srcs").to_pylist()
+            sks = b.column("sks").to_pylist()
+            for p_, s_, v_ in zip(pids, srcs, sks):
+                per_pid.setdefault(p_, []).append((s_, v_))
+        for pid, msgs in per_pid.items():
+            usrc, srcl, w, udst, starts, segmap, tb, sb = _load_dist_block(
+                block_dir, pid
+            )
+            idx_cat = np.concatenate(
+                [np.frombuffer(m[0], dtype=np.int32) for m in msgs]
+            )
+            sk_cat = np.concatenate(
+                [
+                    np.frombuffer(m[1], dtype=np.uint8).reshape(-1, M)
+                    for m in msgs
+                ]
+            )
+            if len(idx_cat) != len(usrc):  # pragma: no cover — invariant
+                raise RuntimeError(
+                    f"block {pid}: {len(idx_cat)} message entries != "
+                    f"{len(usrc)} expected"
+                )
+            state_local = np.empty((len(usrc), M), dtype=np.uint8)
+            state_local[idx_cat] = sk_cat
+            ids, p = _tiled_umax_u8(
+                state_local, (srcl, w, udst, starts, segmap, tb, sb)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.asarray(ids)), _mat_to_bin(p)], names=["id", "sk"]
+            )
+
+    msgs = state.select("id", "pids", "sk").mapInArrow(
+        outbox, "pid int, srcs binary, sks binary"
+    )
+    n_slots = max(1, int(shuffle_partitions))
+    toks = _slot_tokens(n_slots)
+    route = F.create_map(
+        *[
+            lit
+            for i, pid in enumerate(store.pids)
+            for lit in (F.lit(pid), F.lit(toks[i % n_slots]))
+        ]
+    )[F.col("pid")]
+    return (
+        msgs.withColumn("_route", route)
+        .repartition(n_slots, "_route")
+        .drop("_route")
+        .mapInArrow(kernel, "id long, sk binary")
+    )
+
+
+def _anf_blocks(g: Graph, rounds: int) -> list[int]:
+    from approximate_pagerank_public_spark.plans.distblocks import DistBlockStore
+
+    spark = g.spark
+    p = g.num_partitions
+    rev = g.edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+    )
+    loops = g.vertices.select(
+        F.col("id").alias("src"),
+        F.col("id").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    store_edges = rev.unionByName(loops).repartition(p, "dst")
+    store = DistBlockStore(
+        spark, store_edges, num_edges=g.num_edges + g.num_vertices
+    )
+    try:
+        routing = store.attach_routing(g.vertices)
+        state, ids = local_ckpt(
+            routing.join(_packed_merge(_packed_init(g), p), "id").select(
+                "id", "pids", "sk"
+            )
+        )
+        out = [_nf_from_packed(state.select("id", "sk"))]
+        for _ in range(rounds):
+            contribs = _sketch_contribs(store, state, p)
+            nxt, nxt_ids = local_ckpt(
+                routing.join(contribs, "id").select("id", "pids", "sk")
+            )
+            free_local_ckpt(spark, ids)
+            state, ids = nxt, nxt_ids
+            out.append(_nf_from_packed(state.select("id", "sk")))
+        return out
+    finally:
+        store.cleanup()
+
+
 # --------------------------------------------------------- distributed path
 def _init_state(g: Graph) -> DataFrame:
     h = F.conv(
@@ -338,10 +512,19 @@ def anf_hyperball(g: Graph, rounds: int = 4, mode: str = "auto") -> ANFResult:
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     if mode == "auto":
-        mode = "broadcast" if g.num_edges <= BROADCAST_MAX_EDGES else "packed"
+        if g.num_edges <= BROADCAST_MAX_EDGES:
+            mode = "broadcast"
+        else:
+            from approximate_pagerank_public_spark.plans.blocks import (
+                shm_available,
+            )
+
+            mode = "blocks" if shm_available(g.spark) else "packed"
     if mode == "broadcast":
         src, dst, _w = g.edges_numpy()
         nf = anf_numpy(src, dst, g.num_vertices, rounds)
+    elif mode == "blocks":
+        nf = _anf_blocks(g, rounds)
     elif mode == "packed":
         nf = _anf_packed(g, rounds)
     elif mode == "distributed":

@@ -440,3 +440,53 @@ def sliding_rollup(
         .groupBy("window_idx", "event_type")
         .agg(F.count("*").alias("n_events"))
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    min_gap_us: int = 1,
+    max_gap_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Time-bounded stream-stream join (attribution): every
+    ``(left, right)`` pair of the same key with
+    ``min_gap_us <= right.ts - left.ts <= max_gap_us`` — e.g. each
+    click paired with every purchase by that user inside the next hour.
+    Output ``(left_id, right_id, gap_us)``, gap as exact BIGINT
+    microseconds (tz-free, hash-exact across engines).
+
+    This is the batch twin of Structured Streaming's watermarked
+    interval join (``streaming/join_stream.py::stream_interval_join``
+    runs the identical predicate through ``readStream`` and is
+    parity-tested against this). Plan shape: ONE equi-shuffle on the
+    key; the band predicate rides the join as a post-condition, so
+    there is no inequality-only (nested-loop) join anywhere. Fan-out is
+    pairs-within-window per key — the same output the streaming side
+    must retain in state, i.e. inherent to the semantics, not to the
+    plan. At 100 TB the key shuffle partitions by user; a hot key's
+    pair count is bounded by its events inside ``max_gap_us``, which a
+    watermark bounds in the streaming twin.
+    """
+    lt = left.select(
+        F.col(key_col), F.col(ts_col), F.col(id_col).alias("left_id")
+    )
+    rt = right.select(
+        F.col(key_col),
+        F.col(ts_col).alias("_r_ts"),
+        F.col(id_col).alias("right_id"),
+    )
+    # integer-µs difference; timestampdiff works for both TIMESTAMP and
+    # the parquet reader's TIMESTAMP_NTZ (unix_micros rejects NTZ)
+    gap = F.expr(f"timestampdiff(MICROSECOND, {ts_col}, _r_ts)")
+    return (
+        lt.join(rt, key_col)
+        .where(gap.between(F.lit(min_gap_us), F.lit(max_gap_us)))
+        .select(
+            "left_id",
+            "right_id",
+            gap.alias("gap_us"),
+        )
+    )

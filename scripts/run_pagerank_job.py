@@ -41,6 +41,7 @@ def main(argv: list[str] | None = None) -> int:
             "scc", "sssp", "stress", "betweenness", "hits", "kcore",
             "katz", "harmonic", "mis", "ktruss", "node2vec", "diameter",
             "eigenvector", "ppr_push", "coloring", "wl",
+            "anf", "landmark_dist",
         ],
     )
     p.add_argument(
@@ -280,6 +281,24 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         approx_diameter(graph).write.mode("overwrite").parquet(args.output)
+    elif args.algorithm == "anf":
+        from approximate_pagerank_public_spark.operators.anf import anf_hyperball
+
+        res = anf_hyperball(graph, rounds=min(args.max_iter, 16))
+        summary["effective_diameter"] = res.effective_diameter()
+        res.neighborhood_function().write.mode("overwrite").parquet(args.output)
+    elif args.algorithm == "landmark_dist":
+        from approximate_pagerank_public_spark.operators.landmarks import (
+            landmark_distance_estimates,
+        )
+
+        ids = list(range(8))
+        pairs = spark.createDataFrame(
+            [(u, v) for u in ids for v in ids if u != v], "u long, v long"
+        )
+        landmark_distance_estimates(graph, pairs, k=4).write.mode(
+            "overwrite"
+        ).parquet(args.output)
     else:
         from approximate_pagerank_public_spark.operators.triangles import triangle_df
 

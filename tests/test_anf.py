@@ -47,15 +47,19 @@ def test_anf_monotone_and_parity(g_rand):
     b = anf_hyperball(g_rand, rounds=4, mode="broadcast")
     d = anf_hyperball(g_rand, rounds=4, mode="distributed")
     p = anf_hyperball(g_rand, rounds=4, mode="packed")
+    k = anf_hyperball(g_rand, rounds=4, mode="blocks")
     pb = b.neighborhood_function().toPandas().sort_values("round")
     pd_ = d.neighborhood_function().toPandas().sort_values("round")
     pp = p.neighborhood_function().toPandas().sort_values("round")
-    # bit parity between the dense-NumPy, sparse-relation, and
-    # packed-binary (Arrow segment-merge) paths
+    pk = k.neighborhood_function().toPandas().sort_values("round")
+    # bit parity between the dense-NumPy, sparse-relation, packed-binary
+    # (Arrow segment-merge), and dist-block (routed-message) paths
     assert list(pb["nf_micro"]) == list(pd_["nf_micro"])
     assert list(pb["nf_micro"]) == list(pp["nf_micro"])
+    assert list(pb["nf_micro"]) == list(pk["nf_micro"])
     assert list(pb["frac_micro"]) == list(pd_["frac_micro"])
     assert list(pb["frac_micro"]) == list(pp["frac_micro"])
+    assert list(pb["frac_micro"]) == list(pk["frac_micro"])
     # NF is monotone non-decreasing and frac ends at exactly 1.0
     nf = list(pb["nf_micro"])
     assert nf == sorted(nf)
