@@ -913,6 +913,24 @@ def q_anf_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anf_hyperball(g, rounds=4).neighborhood_function()
 
 
+def q_hyperball_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall geometric centrality (Boldi–Vigna 2013): approximate
+    harmonic centrality for ALL vertices from the per-round ball deltas
+    — all-integer (micro-units × lcm(1..4) weights, clamped deltas);
+    top-20, ties → smaller id. The exact operator needs one BFS per
+    source; this needs 4 supersteps total."""
+    from approximate_pagerank_public_spark.operators.anf import (
+        hyperball_harmonic,
+    )
+
+    g = _graph(spark, sf_dir)
+    return (
+        hyperball_harmonic(g, rounds=4)
+        .orderBy(F.col("h_micro_lcm").desc(), F.col("id").asc())
+        .limit(20)
+    )
+
+
 def q_landmark_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark distance sketches (Potamias et al. CIKM'09): top-4
     in-degree landmarks (ties → smaller id), batched multi-source BFS
@@ -1810,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_events": q_exact_dedup_events,
         "hll_distinct": q_hll_distinct,
         "anf_hyperball": q_anf_hyperball,
+        "hyperball_harmonic": q_hyperball_harmonic,
         "landmark_dist": q_landmark_dist,
         "click_attribution": q_click_attribution,
         "eccentricity": q_eccentricity,
@@ -3558,6 +3577,16 @@ def _anf_hyperball_oracle(rounds: int) -> str:
     return anf_oracle_sql(_duck_edges_sql(), _duck_vertices_sql(), rounds)
 
 
+def _hyperball_harmonic_oracle(rounds: int) -> str:
+    from approximate_pagerank_public_spark.operators.anf import (
+        hyperball_harmonic_oracle_sql,
+    )
+
+    return hyperball_harmonic_oracle_sql(
+        _duck_edges_sql(), _duck_vertices_sql(), rounds, topk=20
+    )
+
+
 def _landmark_dist_oracle() -> str:
     from approximate_pagerank_public_spark.operators.landmarks import (
         landmark_oracle_sql,
@@ -4058,6 +4087,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hll_distinct": _hll_distinct_oracle(),
         "anf_hyperball": _anf_hyperball_oracle(4),
+        "hyperball_harmonic": _hyperball_harmonic_oracle(4),
         "landmark_dist": _landmark_dist_oracle(),
         "click_attribution": (
             "SELECT c.event_id AS left_id, p.event_id AS right_id, "

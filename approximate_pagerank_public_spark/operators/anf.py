@@ -132,11 +132,31 @@ def anf_numpy(
     for v in range(n):
         reg, rho = _rho_of(_hash60(str(v)))
         regs[v, reg] = rho
+    # sort-once + segment reduceat: np.maximum.at is a scalar inner
+    # loop (measured 141 s/round at 2e7 edges x 256 registers); the
+    # vectorized gather + maximum.reduceat per src segment is ~10x
+    # faster and max is order-free, so results are bit-identical.
+    order = np.argsort(src, kind="stable")
+    s_s, d_s = src[order], dst[order]
+    starts = np.flatnonzero(np.r_[True, s_s[1:] != s_s[:-1]])
+    seg_src = s_s[starts]
+    # chunk segment spans to bound the (edges, 256) gather at ~1 GB
+    max_edges = 4_000_000
+    bounds = [0]
+    for si in range(1, len(starts)):
+        if starts[si] - starts[bounds[-1]] >= max_edges:
+            bounds.append(si)
+    bounds.append(len(starts))
     out = [int(_est_micro(regs).sum())]
     for _ in range(rounds):
         nxt = regs.copy()
-        # pull: sketch(src) <- max(sketch(src), sketch(dst)) per edge
-        np.maximum.at(nxt, src, regs[dst])
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            e0 = int(starts[a])
+            e1 = int(starts[b]) if b < len(starts) else len(s_s)
+            contrib = regs[d_s[e0:e1]]
+            seg_max = np.maximum.reduceat(contrib, starts[a:b] - e0, axis=0)
+            rows = seg_src[a:b]
+            nxt[rows] = np.maximum(nxt[rows], seg_max)
         regs = nxt
         out.append(int(_est_micro(regs).sum()))
     return out
@@ -428,9 +448,13 @@ def _anf_blocks(g: Graph, rounds: int) -> list[int]:
         F.lit(1.0).alias("weight"),
     )
     store_edges = rev.unionByName(loops).repartition(p, "dst")
-    store = DistBlockStore(
-        spark, store_edges, num_edges=g.num_edges + g.num_vertices
-    )
+    # ANF payloads are 256 B/vertex (vs PageRank's 64 B), so kernel
+    # parallelism beats message-volume minimization: the nb sweep at
+    # |E|=2e7 measured warm contribs 57.5 s at 3 blocks / 32.4 s at 8 /
+    # 36.3 s at 32 — target ~2.5M edges per block, floor of 4.
+    n_edges = g.num_edges + g.num_vertices
+    nb = max(4, min(p, -(-n_edges // 2_500_000)))
+    store = DistBlockStore(spark, store_edges, num_blocks=nb, num_edges=n_edges)
     try:
         routing = store.attach_routing(g.vertices)
         state, ids = local_ckpt(
@@ -553,13 +577,122 @@ def anf_hyperball(g: Graph, rounds: int = 4, mode: str = "auto") -> ANFResult:
     return ANFResult(rounds=rounds, _nf=df)
 
 
+# ------------------------------------------------- HyperBall centralities
+# The application HyperBall was built for (Boldi & Vigna, "In-core
+# computation of geometric centralities with HyperBall", 2013): the
+# per-round ball DELTAS give every vertex's distance distribution at
+# once, so harmonic centrality ≈ Σ_r (1/r)·(|B(v,r)| − |B(v,r−1)|) for
+# ALL vertices in R supersteps — where the exact operator needs one BFS
+# per source. All arithmetic is exact integers: ball sizes in
+# micro-units, 1/r scaled by lcm(1..R) so no engine divides, deltas
+# clamped at 0 (the LC→raw estimator handoff can dip), giving an
+# order-free BIGINT both engines agree on bit-for-bit.
+
+
+def _lcm_upto(r: int) -> int:
+    import math
+
+    out = 1
+    for k in range(1, r + 1):
+        out = out * k // math.gcd(out, k)
+    return out
+
+
+def hyperball_harmonic(
+    g: Graph, rounds: int = 4, mode: str = "auto"
+) -> DataFrame:
+    """``(id, h_micro_lcm)`` for every vertex: harmonic-centrality
+    estimate scaled by 1e6·lcm(1..rounds) — exact BIGINT. Divide by
+    that constant for the float value; ranking needs no division."""
+    if mode == "auto":
+        mode = "broadcast" if g.num_edges <= BROADCAST_MAX_EDGES else "packed"
+    lcm = _lcm_upto(rounds)
+    if mode == "broadcast":
+        src, dst, _w = g.edges_numpy()
+        n = g.num_vertices
+        regs = np.zeros((n, M), dtype=np.uint8)
+        for v in range(n):
+            reg, rho = _rho_of(_hash60(str(v)))
+            regs[v, reg] = rho
+        order = np.argsort(src, kind="stable")
+        s_s, d_s = src[order], dst[order]
+        starts = np.flatnonzero(np.r_[True, s_s[1:] != s_s[:-1]])
+        seg_src = s_s[starts]
+        prev = _est_micro(regs)
+        h = np.zeros(n, dtype=np.int64)
+        for r in range(1, rounds + 1):
+            nxt = regs.copy()
+            contrib = regs[d_s]
+            seg_max = np.maximum.reduceat(contrib, starts, axis=0)
+            nxt[seg_src] = np.maximum(nxt[seg_src], seg_max)
+            regs = nxt
+            cur = _est_micro(regs)
+            h += (lcm // r) * np.maximum(cur - prev, 0)
+            prev = cur
+        import pandas as pd
+
+        pdf = pd.DataFrame({"id": np.arange(n, dtype=np.int64), "h": h})
+        return g.spark.createDataFrame(pdf).select(
+            "id", F.col("h").cast("long").alias("h_micro_lcm")
+        )
+    if mode != "packed":
+        raise ValueError(f"unknown mode {mode!r}")
+    # packed path: same rounds as _anf_packed, carrying (prev, h) columns
+    import pyarrow as pa
+
+    spark = g.spark
+    parts = g.num_partitions
+    edges = g.edges.select("src", "dst")
+
+    def est_col(state: DataFrame) -> DataFrame:
+        def est(batches):
+            for b in batches:
+                mat = _bin_to_mat(b.column(1))
+                yield pa.RecordBatch.from_arrays(
+                    [b.column(0), pa.array(_est_micro(mat))],
+                    names=["id", "ball"],
+                )
+
+        return state.select("id", "sk").mapInArrow(est, "id long, ball long")
+
+    state, ids = local_ckpt(_packed_merge(_packed_init(g), parts))
+    acc, acc_ids = local_ckpt(
+        est_col(state).select(
+            "id",
+            F.col("ball").alias("prev"),
+            F.lit(0).cast("long").alias("h"),
+        )
+    )
+    for r in range(1, rounds + 1):
+        msgs = (
+            edges.alias("e")
+            .join(state.alias("s"), F.col("s.id") == F.col("e.dst"))
+            .select(F.col("e.src").alias("id"), F.col("s.sk"))
+        )
+        nxt, nxt_ids = local_ckpt(_packed_merge(state.unionByName(msgs), parts))
+        free_local_ckpt(spark, ids)
+        state, ids = nxt, nxt_ids
+        cur = est_col(state)
+        nacc, nacc_ids = local_ckpt(
+            acc.join(cur, "id").select(
+                "id",
+                F.col("ball").alias("prev"),
+                (
+                    F.col("h")
+                    + F.lit(lcm // r)
+                    * F.greatest(F.col("ball") - F.col("prev"), F.lit(0).cast("long"))
+                ).alias("h"),
+            )
+        )
+        free_local_ckpt(spark, acc_ids)
+        acc, acc_ids = nacc, nacc_ids
+    return acc.select("id", F.col("h").alias("h_micro_lcm"))
+
+
 # ------------------------------------------------------------------- oracle
-def anf_oracle_sql(edges_sql: str, vertices_sql: str, rounds: int) -> str:
-    """DuckDB replay: exact reach sets via ``rounds`` unrolled join CTEs,
-    then the identical md5 register derivation, identical corrected
-    estimator (same ALPHA_M2 / LC_TABLE literals), identical micro-unit
-    truncation and integer NF sum. ``edges_sql`` must yield (src, dst);
-    ``vertices_sql`` must yield (id)."""
+def _anf_est_cte(edges_sql: str, vertices_sql: str, rounds: int) -> str:
+    """Shared oracle prefix: unrolled reach CTEs → md5 registers →
+    corrected per-(round, v) estimate relation ``est(round, v, est)``."""
     lc_list = ", ".join(repr(v) for v in LC_TABLE)
     parts = [
         f"e AS MATERIALIZED (SELECT src, dst FROM ({edges_sql}))",
@@ -574,8 +707,7 @@ def anf_oracle_sql(edges_sql: str, vertices_sql: str, rounds: int) -> str:
         f"SELECT {r} AS round, v, u FROM r{r}" for r in range(rounds + 1)
     )
     return (
-        "WITH "
-        + ", ".join(parts)
+        ", ".join(parts)
         + f", reach AS ({rounds_union}), "
         "h AS (SELECT round, v, "
         "CAST('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15) AS BIGINT) AS hv "
@@ -594,8 +726,20 @@ def anf_oracle_sql(edges_sql: str, vertices_sql: str, rounds: int) -> str:
         f" <= {LC_THRESHOLD!r} AND {M} - n_present > 0 "
         f"THEN list_extract([{lc_list}], CAST({M} - n_present AS INT)) "
         f"ELSE {ALPHA_M2} / (s_present + CAST({M} - n_present AS DOUBLE)) END "
-        "AS est FROM pv), "
-        "nf AS (SELECT round, "
+        "AS est FROM pv)"
+    )
+
+
+def anf_oracle_sql(edges_sql: str, vertices_sql: str, rounds: int) -> str:
+    """DuckDB replay: exact reach sets via ``rounds`` unrolled join CTEs,
+    then the identical md5 register derivation, identical corrected
+    estimator (same ALPHA_M2 / LC_TABLE literals), identical micro-unit
+    truncation and integer NF sum. ``edges_sql`` must yield (src, dst);
+    ``vertices_sql`` must yield (id)."""
+    return (
+        "WITH "
+        + _anf_est_cte(edges_sql, vertices_sql, rounds)
+        + ", nf AS (SELECT round, "
         "CAST(sum(CAST(floor(est * 1000000.0) AS BIGINT)) AS BIGINT) "
         "AS nf_micro FROM est GROUP BY round), "
         f"total AS (SELECT nf_micro AS nf_last FROM nf WHERE round = {rounds}) "
@@ -603,4 +747,28 @@ def anf_oracle_sql(edges_sql: str, vertices_sql: str, rounds: int) -> str:
         "floor(CAST(nf_micro AS DOUBLE) / CAST(nf_last AS DOUBLE) * 1000000.0)"
         " / 1000000.0 AS frac_micro "
         "FROM nf CROSS JOIN total ORDER BY round"
+    )
+
+
+def hyperball_harmonic_oracle_sql(
+    edges_sql: str, vertices_sql: str, rounds: int, topk: int = 20
+) -> str:
+    """DuckDB replay of :func:`hyperball_harmonic`'s top-k: per-(round,
+    v) ball micro-units, clamped deltas, lcm-scaled integer weights —
+    identical BIGINTs, ties → smaller id."""
+    lcm = _lcm_upto(rounds)
+    wgt_vals = ", ".join(f"({r}, {lcm // r})" for r in range(1, rounds + 1))
+    return (
+        "WITH "
+        + _anf_est_cte(edges_sql, vertices_sql, rounds)
+        + ", bm AS (SELECT round, v, "
+        "CAST(floor(est * 1000000.0) AS BIGINT) AS ball FROM est), "
+        f"w(round, wgt) AS (VALUES {wgt_vals}), "
+        "dl AS (SELECT c.v, c.round, "
+        "greatest(c.ball - p.ball, CAST(0 AS BIGINT)) AS d "
+        "FROM bm c JOIN bm p ON p.v = c.v AND p.round = c.round - 1), "
+        "hh AS (SELECT dl.v AS id, CAST(sum(w.wgt * dl.d) AS BIGINT) "
+        "AS h_micro_lcm FROM dl JOIN w ON w.round = dl.round GROUP BY dl.v) "
+        f"SELECT id, h_micro_lcm FROM hh "
+        f"ORDER BY h_micro_lcm DESC, id ASC LIMIT {topk}"
     )

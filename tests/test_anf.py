@@ -109,3 +109,38 @@ def test_anf_dangling_only_graph(spark):
         assert abs(pdf["nf_micro"].iloc[0] / 1e6 - 4.0) < 0.1
     finally:
         g.unpersist()
+
+
+def test_hyperball_harmonic_paths_and_accuracy(g_rand):
+    from approximate_pagerank_public_spark.operators.anf import (
+        hyperball_harmonic,
+    )
+
+    b = hyperball_harmonic(g_rand, rounds=4, mode="broadcast").toPandas()
+    p = hyperball_harmonic(g_rand, rounds=4, mode="packed").toPandas()
+    bb = b.sort_values("id").reset_index(drop=True)
+    pp = p.sort_values("id").reset_index(drop=True)
+    assert list(bb["h_micro_lcm"]) == list(pp["h_micro_lcm"])
+    # accuracy: compare against exact truncated harmonic (4 rounds)
+    src, dst, _ = g_rand.edges_numpy()
+    n = g_rand.num_vertices
+    exact = np.zeros(n)
+    reach_prev = [{v} for v in range(n)]
+    adj = [[] for _ in range(n)]
+    for s, d in zip(src, dst):
+        adj[s].append(d)
+    for r in range(1, 5):
+        reach = []
+        for v in range(n):
+            cur = set(reach_prev[v])
+            for u in reach_prev[v]:
+                cur.update(adj[u])
+            reach.append(cur)
+        for v in range(n):
+            exact[v] += len(reach[v] - reach_prev[v]) / r
+        reach_prev = reach
+    got = bb["h_micro_lcm"].to_numpy() / (1e6 * 12)
+    # HLL m=256: ~6.5% rel. std error per ball; deltas are noisier —
+    # check aggregate correlation-ish bounds, not per-vertex tightness
+    big = exact > 5
+    assert np.all(np.abs(got[big] - exact[big]) < 0.35 * exact[big] + 1.0)
