@@ -367,6 +367,19 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.agg(F.count("*").alias("n_triangles"))
 
 
+def q_sampled_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION sparsify-then-count triangle estimate (KDD'09):
+    deterministic md5 edge sample at p=1/3, triangles on the sample,
+    estimate = tri·27 — all BIGINT, the oracle reproduces the exact
+    sample and joins."""
+    from approximate_pagerank_public_spark.operators.triangles import (
+        sampled_triangle_estimate,
+    )
+
+    g = _graph(spark, sf_dir)
+    return sampled_triangle_estimate(g, q=3)
+
+
 def q_four_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-cycle (square) count by the common-neighbor-pair identity —
     all-integer, hash-exact vs the DuckDB wedge-join replay."""
@@ -960,6 +973,40 @@ def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_join(
         ev.where(F.col("event_type") == "click"),
         ev.where(F.col("event_type") == "purchase"),
+    )
+
+
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination pre-filter: md5-split the corpus
+    50/50 (last md5 hex digit of doc_id < '8'), build an m=2048/k=3
+    filter over train texts, probe every eval doc — bloom_hit next to
+    exact membership, so the hash check pins both the bit construction
+    and the (deliberately nonzero) false-positive behavior."""
+    from approximate_pagerank_public_spark.functions.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    is_train = F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1) < F.lit("8")
+    train = docs.where(is_train)
+    ev = docs.where(~is_train)
+    bits = bloom_build(train, "text", m=2048, k=3)
+    hits = bloom_probe(bits, ev, "text", m=2048, k=3)
+    exact = (
+        train.select(F.col("text").alias("value"))
+        .distinct()
+        .withColumn("_ex", F.lit(1))
+    )
+    return (
+        ev.select("doc_id", F.col("text").alias("value"))
+        .join(hits, "value")
+        .join(exact, "value", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.col("_ex").isNotNull().alias("exact_hit"),
+        )
     )
 
 
@@ -1831,6 +1878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball_harmonic": q_hyperball_harmonic,
         "landmark_dist": q_landmark_dist,
         "click_attribution": q_click_attribution,
+        "bloom_membership": q_bloom_membership,
+        "sampled_triangles": q_sampled_triangles,
         "eccentricity": q_eccentricity,
         "token_count": q_token_count,
         "doclen_quantiles": q_doclen_quantiles,
@@ -3587,6 +3636,45 @@ def _hyperball_harmonic_oracle(rounds: int) -> str:
     )
 
 
+def _sampled_triangles_oracle(q: int) -> str:
+    e_sql = _duck_edges_sql()
+    key = (
+        "CAST('0x' || substr(md5('tri:' || CAST(u AS VARCHAR) || ':' || "
+        f"CAST(v AS VARCHAR)), 1, 15) AS BIGINT) % {q}"
+    )
+    return (
+        f"WITH e AS ({e_sql}), "
+        "canon AS (SELECT DISTINCT least(src,dst) AS u, greatest(src,dst) AS v "
+        "          FROM e WHERE src <> dst), "
+        f"samp AS MATERIALIZED (SELECT u, v FROM canon WHERE {key} = 0), "
+        "tri AS (SELECT count(*) AS t FROM "
+        "  (SELECT u AS a, v AS b FROM samp) ab "
+        "  JOIN (SELECT u AS b, v AS c FROM samp) bc USING (b) "
+        "  JOIN (SELECT u AS a, v AS c FROM samp) ac USING (a, c)) "
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM samp) AS sampled_edges, "
+        "CAST(t AS BIGINT) AS tri_sampled, "
+        f"CAST(t * {q**3} AS BIGINT) AS est_triangles FROM tri"
+    )
+
+
+def _bloom_membership_oracle() -> str:
+    from approximate_pagerank_public_spark.functions.bloom import (
+        bloom_oracle_sql,
+    )
+
+    split = "substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) < '8'"
+    bp = bloom_oracle_sql("tr", "text", "ev", "text", m=2048, k=3)
+    return (
+        f"WITH tr AS (SELECT text FROM documents WHERE {split}), "
+        f"ev AS (SELECT doc_id, text FROM documents WHERE NOT ({split})), "
+        f"bp AS ({bp}), "
+        "ex AS (SELECT DISTINCT text FROM tr) "
+        "SELECT e.doc_id, bp.bloom_hit, ex.text IS NOT NULL AS exact_hit "
+        "FROM ev e JOIN bp ON bp.value = e.text "
+        "LEFT JOIN ex ON ex.text = e.text"
+    )
+
+
 def _landmark_dist_oracle() -> str:
     from approximate_pagerank_public_spark.operators.landmarks import (
         landmark_oracle_sql,
@@ -4089,6 +4177,8 @@ def oracle_sql() -> dict[str, str]:
         "anf_hyperball": _anf_hyperball_oracle(4),
         "hyperball_harmonic": _hyperball_harmonic_oracle(4),
         "landmark_dist": _landmark_dist_oracle(),
+        "bloom_membership": _bloom_membership_oracle(),
+        "sampled_triangles": _sampled_triangles_oracle(3),
         "click_attribution": (
             "SELECT c.event_id AS left_id, p.event_id AS right_id, "
             "epoch_us(p.ts) - epoch_us(c.ts) AS gap_us "

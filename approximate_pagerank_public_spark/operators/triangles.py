@@ -254,3 +254,48 @@ def k_truss(graph: Graph, k: int = 4, max_rounds: int = 100) -> tuple[DataFrame,
             stacklevel=2,
         )
     return e, rounds
+
+
+def sampled_triangle_estimate(
+    graph: Graph, q: int = 3, salt: str = "tri"
+) -> DataFrame:
+    """DOULION (Tsourakakis et al., KDD 2009) sampled triangle count:
+    keep each canonical edge with probability 1/q — here DETERMINISTIC
+    via md5("salt:u:v") mod q (the repo's standard replayable-sampling
+    recipe), so the DuckDB oracle reproduces the exact sample — count
+    triangles on the sparsified graph, scale by q³.
+
+    One row: ``(sampled_edges, tri_sampled, est_triangles)`` — all
+    BIGINT (the estimate is tri·q³, exact integer arithmetic).
+
+    The 100-TB move: triangle counting's wedge join is the quadratic
+    hot spot; sparsifying first cuts the wedge volume by ~q² and the
+    join input by q while keeping the estimator unbiased (variance
+    bounds in the paper). The sample predicate is a pure map over the
+    edge relation — no extra shuffle before the (much smaller) count.
+    """
+    e = canonical_edges(graph)
+    key = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col("u"), F.col("v"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(int(q)),
+    )
+    s = e.where(key == 0).persist()
+    ab = s.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    bc = s.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    ac = s.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"], "left_semi")
+    n_edges = s.count()
+    n_tri = tri.count()
+    s.unpersist()
+    return graph.spark.createDataFrame(
+        [(n_edges, n_tri, n_tri * q**3)],
+        "sampled_edges long, tri_sampled long, est_triangles long",
+    )

@@ -144,3 +144,22 @@ def test_hyperball_harmonic_paths_and_accuracy(g_rand):
     # check aggregate correlation-ish bounds, not per-vertex tightness
     big = exact > 5
     assert np.all(np.abs(got[big] - exact[big]) < 0.35 * exact[big] + 1.0)
+
+
+def test_sampled_triangle_estimate_deterministic_and_sane(g_rand):
+    from approximate_pagerank_public_spark.operators.triangles import (
+        sampled_triangle_estimate,
+        triangle_count,
+    )
+
+    a = sampled_triangle_estimate(g_rand, q=2).collect()[0]
+    b = sampled_triangle_estimate(g_rand, q=2).collect()[0]
+    # md5 sampling: same input -> same sample -> same estimate
+    assert a == b
+    exact = triangle_count(g_rand)
+    # q=2 keeps ~half the edges; estimate = tri_sampled * 8. DOULION's
+    # variance at this size is substantial — assert the right order of
+    # magnitude and the exact arithmetic, not tightness.
+    assert a["est_triangles"] == a["tri_sampled"] * 8
+    if exact:
+        assert 0 <= a["est_triangles"] <= 8 * exact
