@@ -148,6 +148,7 @@ def main() -> None:
             "q_lpa5",
             "q_louvain4",
             "q_triangles",
+            "q_anf4",
             "q_scc",
             "q_sssp",
             "q_stress4",
@@ -252,6 +253,16 @@ def main() -> None:
             colors, _rounds = greedy_coloring(g)
             return colors.count()
 
+        def _anf(_rep):
+            from approximate_pagerank_public_spark.operators.anf import (
+                anf_hyperball,
+            )
+
+            res = anf_hyperball(g, rounds=4)
+            res.neighborhood_function().count()
+            return res.effective_diameter()
+
+        run("q_anf4", _anf)
         run("q_scc", _scc)
         run("q_sssp", _sssp)
         run("q_stress4", _stress)
