@@ -944,6 +944,27 @@ def q_hyperball_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condensation DAG: the directed graph with SCCs contracted to
+    single nodes — ``(scc_src, scc_dst, n_edges)`` per cross-component
+    edge class. Two broadcast-sized label joins over the edge relation;
+    self-pairs dropped (those are the intra-SCC edges)."""
+    from approximate_pagerank_public_spark.operators.scc import (
+        strongly_connected_components,
+    )
+
+    g = _graph(spark, sf_dir)
+    labels = strongly_connected_components(g).select("id", "scc")
+    e = g.edges.select("src", "dst")
+    return (
+        e.join(labels.select(F.col("id").alias("src"), F.col("scc").alias("scc_src")), "src")
+        .join(labels.select(F.col("id").alias("dst"), F.col("scc").alias("scc_dst")), "dst")
+        .where(F.col("scc_src") != F.col("scc_dst"))
+        .groupBy("scc_src", "scc_dst")
+        .agg(F.count("*").alias("n_edges"))
+    )
+
+
 def q_landmark_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark distance sketches (Potamias et al. CIKM'09): top-4
     in-degree landmarks (ties → smaller id), batched multi-source BFS
@@ -1880,6 +1901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "click_attribution": q_click_attribution,
         "bloom_membership": q_bloom_membership,
         "sampled_triangles": q_sampled_triangles,
+        "scc_condensation": q_scc_condensation,
         "eccentricity": q_eccentricity,
         "token_count": q_token_count,
         "doclen_quantiles": q_doclen_quantiles,
@@ -4179,6 +4201,21 @@ def oracle_sql() -> dict[str, str]:
         "landmark_dist": _landmark_dist_oracle(),
         "bloom_membership": _bloom_membership_oracle(),
         "sampled_triangles": _sampled_triangles_oracle(3),
+        "scc_condensation": (
+            f"WITH RECURSIVE e AS ({_duck_edges_sql()}), "
+            "verts AS (SELECT DISTINCT src AS id FROM "
+            "  (SELECT src FROM e UNION ALL SELECT dst AS src FROM e)), "
+            "r(a, b) AS ("
+            "  SELECT id, id FROM verts "
+            "  UNION "
+            "  SELECT r.a, e.dst FROM r JOIN e ON r.b = e.src), "
+            "l AS (SELECT r1.a AS id, min(r1.b) AS scc FROM r r1 "
+            "JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a GROUP BY r1.a) "
+            "SELECT ls.scc AS scc_src, ld.scc AS scc_dst, "
+            "CAST(count(*) AS BIGINT) AS n_edges "
+            "FROM e JOIN l ls ON ls.id = e.src JOIN l ld ON ld.id = e.dst "
+            "WHERE ls.scc <> ld.scc GROUP BY ls.scc, ld.scc"
+        ),
         "click_attribution": (
             "SELECT c.event_id AS left_id, p.event_id AS right_id, "
             "epoch_us(p.ts) - epoch_us(c.ts) AS gap_us "
