@@ -20,12 +20,17 @@ rounds have tiny balls — made bit-replayable by precomputing the 256
 possible values ``m·ln(m/z)`` as shared f64 literals (no engine libm in
 the estimate path; both engines look the value up in the same table).
 
-Scale shape — three paths, all bit-identical (parity-tested):
+Scale shape — four paths, all bit-identical (parity-tested):
 
 - broadcast (≤ ``BROADCAST_MAX_EDGES``): dense ``(n, 256)`` uint8
   register matrix on the driver, one vectorized ``np.maximum.at`` per
   round.
-- **packed** (the cluster-scale default): the whole sketch as ONE
+- **blocks** (the cluster-scale default when a shared FS is available):
+  routed messages over the dist-block CSR store built on the REVERSED
+  edges + self-loops — each sketch ships once per consuming block
+  (0.14 msgs/edge measured at |E|=2·10⁷), kernel = memoized dst-sorted
+  layout + one length-class segment max per block.
+- **packed** (cluster-valid with no shared FS): the whole sketch as ONE
   256-byte binary column ``(id, sk)``; a round is one pull-side
   equi-join + an Arrow-native segment merge (``repartition(id)`` →
   ``mapInArrow`` → ``np.maximum.reduceat`` over a zero-copy
