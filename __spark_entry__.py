@@ -835,6 +835,39 @@ def q_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wl_refinement(g, rounds=3).select("id", "wl")
 
 
+def q_wl_graph_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-graph WL fingerprint: md5 over the canonical (sorted)
+    color histogram of the 3-round refinement — the standard
+    graph-isomorphism-invariant signature for corpus-level graph dedup
+    / drift detection. Deterministic via array_sort (collect_list
+    order never reaches the hash)."""
+    from approximate_pagerank_public_spark.operators.wlhash import wl_refinement
+
+    g = _graph(spark, sf_dir)
+    hist = wl_refinement(g, rounds=3).groupBy("wl").agg(
+        F.count("*").alias("c")
+    )
+    arr = hist.agg(
+        F.array_sort(F.collect_list(F.struct("wl", "c"))).alias("a"),
+        F.count("*").alias("n_colors"),
+        F.sum("c").alias("n_vertices"),
+    )
+    canon = F.concat_ws(
+        "|",
+        F.transform(
+            "a",
+            lambda s: F.concat_ws(
+                ":", s["wl"].cast("string"), s["c"].cast("string")
+            ),
+        ),
+    )
+    return arr.select(
+        F.md5(canon).alias("graph_hash"),
+        F.col("n_colors").cast("long"),
+        F.col("n_vertices").cast("long"),
+    )
+
+
 def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity of the LPA-5 communities — integer-numerator
     single-division form, replayed over the same unrolled-LPA oracle."""
@@ -1902,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": q_bloom_membership,
         "sampled_triangles": q_sampled_triangles,
         "scc_condensation": q_scc_condensation,
+        "wl_graph_hash": q_wl_graph_hash,
         "eccentricity": q_eccentricity,
         "token_count": q_token_count,
         "doclen_quantiles": q_doclen_quantiles,
@@ -4237,6 +4271,14 @@ def oracle_sql() -> dict[str, str]:
         "transitivity": _transitivity_oracle(),
         "rich_club": _rich_club_oracle(),
         "wl_colors": _wl_oracle(3),
+        "wl_graph_hash": (
+            f"WITH base AS ({_wl_oracle(3)}), "
+            "hist AS (SELECT wl, count(*) AS c FROM base GROUP BY wl) "
+            "SELECT md5(string_agg(CAST(wl AS VARCHAR) || ':' || "
+            "CAST(c AS VARCHAR), '|' ORDER BY wl, c)) AS graph_hash, "
+            "CAST(count(*) AS BIGINT) AS n_colors, "
+            "CAST(sum(c) AS BIGINT) AS n_vertices FROM hist"
+        ),
         "triad_census": _triad_census_oracle(),
         "turn_latency": _turn_latency_oracle(),
         "tool_latency": _tool_latency_oracle(),
