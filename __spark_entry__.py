@@ -1064,6 +1064,48 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hrw_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash placement of every document onto 8 shards plus
+    the per-shard load — assignment is a pure projection (no shuffle);
+    the oracle replays the integer argmax code-for-code."""
+    from approximate_pagerank_public_spark.functions.sharding import hrw_assign
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assigned = hrw_assign(docs.select("doc_id"), "doc_id", 8)
+    return assigned.groupBy("shard").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc")
+    )
+
+
+def q_hourly_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed cardinality: per origin-anchored hour window, the HLL
+    distinct-user estimate next to the exact count — the streaming-
+    rollup shape composed with the replayable sketch."""
+    from approximate_pagerank_public_spark.functions.sketch import (
+        approx_distinct_hll,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t0 = ev.agg(F.min("ts").alias("_t0"))
+    b = ev.crossJoin(F.broadcast(t0)).select(
+        F.expr("timestampdiff(MICROSECOND, _t0, ts) div 3600000000").alias(
+            "window_idx"
+        ),
+        # md5 of the DECIMAL STRING on both engines (Spark md5 of a raw
+        # BIGINT would hash the 8-byte binary instead)
+        F.col("user_id").cast("string").alias("uid"),
+    )
+    approx = approx_distinct_hll(b, ["window_idx"], "uid")
+    exact = b.groupBy("window_idx").agg(
+        F.countDistinct("uid").alias("exact_users")
+    )
+    return approx.join(exact, "window_idx").select(
+        "window_idx",
+        _stable6("approx_distinct").alias("approx_users"),
+        "exact_users",
+    )
+
+
 def q_exact_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup exercised on a column with real collisions (events.props)."""
     from approximate_pagerank_public_spark.operators.dedup import exact_duplicates
@@ -1936,6 +1978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_triangles": q_sampled_triangles,
         "scc_condensation": q_scc_condensation,
         "wl_graph_hash": q_wl_graph_hash,
+        "hrw_shards": q_hrw_shards,
+        "hourly_distinct_users": q_hourly_distinct_users,
         "eccentricity": q_eccentricity,
         "token_count": q_token_count,
         "doclen_quantiles": q_doclen_quantiles,
@@ -3713,6 +3757,39 @@ def _sampled_triangles_oracle(q: int) -> str:
     )
 
 
+def _hrw_shards_oracle(num_shards: int) -> str:
+    from approximate_pagerank_public_spark.functions.sharding import (
+        hrw_oracle_sql,
+    )
+
+    shard = hrw_oracle_sql("CAST(doc_id AS VARCHAR)", num_shards)
+    return (
+        f"WITH a AS (SELECT doc_id, {shard} AS shard FROM documents) "
+        "SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, "
+        "min(doc_id) AS min_doc FROM a GROUP BY shard"
+    )
+
+
+def _hourly_distinct_users_oracle() -> str:
+    from approximate_pagerank_public_spark.functions.sketch import hll_oracle_sql
+
+    base = (
+        "SELECT CAST((epoch_us(ts) - epoch_us(t0)) // 3600000000 AS BIGINT) "
+        "AS window_idx, CAST(user_id AS VARCHAR) AS uid "
+        "FROM events CROSS JOIN (SELECT min(ts) AS t0 FROM events)"
+    )
+    hll = hll_oracle_sql(f"({base})", ["window_idx"], "uid")
+    return (
+        f"WITH hl AS ({hll}), "
+        f"ex AS (SELECT window_idx, count(DISTINCT uid) AS exact_users "
+        f"FROM ({base}) GROUP BY window_idx) "
+        "SELECT hl.window_idx, "
+        "floor(approx_distinct * 1000000.0) / 1000000.0 AS approx_users, "
+        "CAST(exact_users AS BIGINT) AS exact_users "
+        "FROM hl JOIN ex ON hl.window_idx = ex.window_idx"
+    )
+
+
 def _bloom_membership_oracle() -> str:
     from approximate_pagerank_public_spark.functions.bloom import (
         bloom_oracle_sql,
@@ -4234,6 +4311,8 @@ def oracle_sql() -> dict[str, str]:
         "hyperball_harmonic": _hyperball_harmonic_oracle(4),
         "landmark_dist": _landmark_dist_oracle(),
         "bloom_membership": _bloom_membership_oracle(),
+        "hrw_shards": _hrw_shards_oracle(8),
+        "hourly_distinct_users": _hourly_distinct_users_oracle(),
         "sampled_triangles": _sampled_triangles_oracle(3),
         "scc_condensation": (
             f"WITH RECURSIVE e AS ({_duck_edges_sql()}), "
