@@ -998,6 +998,19 @@ def q_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest (distributed Borůvka / Kruskal golden —
+    unique under the (w, u, v) total order). Oracle: unrolled Borůvka
+    rounds with recursive-CTE merges, identical edge set."""
+    from approximate_pagerank_public_spark.operators.msf import (
+        minimum_spanning_forest,
+    )
+
+    g = _graph(spark, sf_dir)
+    msf = minimum_spanning_forest(g)
+    return msf.select("u", "v", _stable6("w").alias("wt"))
+
+
 def q_landmark_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark distance sketches (Potamias et al. CIKM'09): top-4
     in-degree landmarks (ties → smaller id), batched multi-source BFS
@@ -1980,6 +1993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_graph_hash": q_wl_graph_hash,
         "hrw_shards": q_hrw_shards,
         "hourly_distinct_users": q_hourly_distinct_users,
+        "msf": q_msf,
         "eccentricity": q_eccentricity,
         "token_count": q_token_count,
         "doclen_quantiles": q_doclen_quantiles,
@@ -3757,6 +3771,12 @@ def _sampled_triangles_oracle(q: int) -> str:
     )
 
 
+def _msf_oracle(rounds: int) -> str:
+    from approximate_pagerank_public_spark.operators.msf import msf_oracle_sql
+
+    return msf_oracle_sql(_duck_edges_sql(), _duck_vertices_sql(), rounds)
+
+
 def _hrw_shards_oracle(num_shards: int) -> str:
     from approximate_pagerank_public_spark.functions.sharding import (
         hrw_oracle_sql,
@@ -4313,6 +4333,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_membership": _bloom_membership_oracle(),
         "hrw_shards": _hrw_shards_oracle(8),
         "hourly_distinct_users": _hourly_distinct_users_oracle(),
+        "msf": _msf_oracle(8),
         "sampled_triangles": _sampled_triangles_oracle(3),
         "scc_condensation": (
             f"WITH RECURSIVE e AS ({_duck_edges_sql()}), "
