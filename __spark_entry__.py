@@ -1011,6 +1011,16 @@ def q_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return msf.select("u", "v", _stable6("w").alias("wt"))
 
 
+def q_affinity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Affinity clustering (Bateni et al. 2017): labels after 2 Borůvka
+    rounds — MSF-based hierarchical clustering at MapReduce scale;
+    oracle = the same unrolled-Borůvka chain read at l2."""
+    from approximate_pagerank_public_spark.operators.msf import affinity_clusters
+
+    g = _graph(spark, sf_dir)
+    return affinity_clusters(g, rounds=2)
+
+
 def q_landmark_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark distance sketches (Potamias et al. CIKM'09): top-4
     in-degree landmarks (ties → smaller id), batched multi-source BFS
@@ -1994,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hrw_shards": q_hrw_shards,
         "hourly_distinct_users": q_hourly_distinct_users,
         "msf": q_msf,
+        "affinity_clusters": q_affinity_clusters,
         "eccentricity": q_eccentricity,
         "token_count": q_token_count,
         "doclen_quantiles": q_doclen_quantiles,
@@ -3777,6 +3788,14 @@ def _msf_oracle(rounds: int) -> str:
     return msf_oracle_sql(_duck_edges_sql(), _duck_vertices_sql(), rounds)
 
 
+def _affinity_oracle(rounds: int) -> str:
+    from approximate_pagerank_public_spark.operators.msf import (
+        affinity_oracle_sql,
+    )
+
+    return affinity_oracle_sql(_duck_edges_sql(), _duck_vertices_sql(), rounds)
+
+
 def _hrw_shards_oracle(num_shards: int) -> str:
     from approximate_pagerank_public_spark.functions.sharding import (
         hrw_oracle_sql,
@@ -4334,6 +4353,7 @@ def oracle_sql() -> dict[str, str]:
         "hrw_shards": _hrw_shards_oracle(8),
         "hourly_distinct_users": _hourly_distinct_users_oracle(),
         "msf": _msf_oracle(8),
+        "affinity_clusters": _affinity_oracle(2),
         "sampled_triangles": _sampled_triangles_oracle(3),
         "scc_condensation": (
             f"WITH RECURSIVE e AS ({_duck_edges_sql()}), "

@@ -94,7 +94,12 @@ def kruskal_numpy(
 
 
 # --------------------------------------------------------------- distributed
-def _msf_distributed(g: Graph) -> DataFrame:
+def _boruvka_distributed(
+    g: Graph, max_rounds: int
+) -> tuple[DataFrame | None, DataFrame]:
+    """Up to ``max_rounds`` Borůvka rounds; returns (forest, labels) —
+    shared by :func:`minimum_spanning_forest` (runs to convergence) and
+    :func:`affinity_clusters` (runs a fixed round budget)."""
     spark = g.spark
     p = g.num_partitions
     edges, e_ids = local_ckpt(undirected_weighted_edges(g).repartition(p, "u"))
@@ -103,7 +108,6 @@ def _msf_distributed(g: Graph) -> DataFrame:
     )
     forest: DataFrame | None = None
     f_ids: list = []
-    max_rounds = int(np.ceil(np.log2(max(g.num_vertices, 2)))) + 2
     for _ in range(max_rounds):
         lu = labels.select(F.col("id").alias("u"), F.col("lab").alias("lu"))
         lv = labels.select(F.col("id").alias("v"), F.col("lab").alias("lv"))
@@ -147,6 +151,12 @@ def _msf_distributed(g: Graph) -> DataFrame:
         free_local_ckpt(spark, ch_ids)
         labels, l_ids = nl, nl_ids
     free_local_ckpt(spark, e_ids)
+    return forest, labels
+
+
+def _msf_distributed(g: Graph) -> DataFrame:
+    max_rounds = int(np.ceil(np.log2(max(g.num_vertices, 2)))) + 2
+    forest, _labels = _boruvka_distributed(g, max_rounds)
     if forest is None:
         return g.spark.createDataFrame([], "u long, v long, w double")
     return forest.select("u", "v", "w")
@@ -174,12 +184,87 @@ def minimum_spanning_forest(g: Graph, mode: str = "auto") -> DataFrame:
     )
 
 
+# -------------------------------------------------------- affinity clusters
+def boruvka_labels_numpy(
+    u: np.ndarray, v: np.ndarray, w: np.ndarray, n: int, rounds: int
+) -> np.ndarray:
+    """Labels after ``rounds`` Borůvka rounds — the NumPy twin of the
+    distributed loop's merge semantics (per-label argmin under
+    (w, u, v, other), components of the chosen pairs → min label)."""
+    lab = np.arange(n, dtype=np.int64)
+    for _ in range(rounds):
+        lu, lv = lab[u], lab[v]
+        cross = lu != lv
+        if not cross.any():
+            break
+        labs = np.concatenate([lu[cross], lv[cross]])
+        others = np.concatenate([lv[cross], lu[cross]])
+        ws = np.concatenate([w[cross], w[cross]])
+        us = np.concatenate([u[cross], u[cross]])
+        vs = np.concatenate([v[cross], v[cross]])
+        order = np.lexsort((others, vs, us, ws, labs))
+        lsorted = labs[order]
+        first = np.flatnonzero(np.r_[True, lsorted[1:] != lsorted[:-1]])
+        a, b = lsorted[first], others[order][first]
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for x, y in zip(a, b):
+            rx, ry = find(int(x)), find(int(y))
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        comp_min: dict[int, int] = {}
+        for x in np.unique(np.concatenate([a, b])):
+            r = find(int(x))
+            comp_min[r] = min(comp_min.get(r, int(x)), int(x))
+        remap = {int(x): comp_min[find(int(x))] for x in np.unique(np.concatenate([a, b]))}
+        lab = np.array([remap.get(int(x), int(x)) for x in lab], dtype=np.int64)
+    return lab
+
+
+def affinity_clusters(g: Graph, rounds: int = 2, mode: str = "auto") -> DataFrame:
+    """Affinity clustering (Bateni et al., NeurIPS 2017): the cluster
+    labels after ``rounds`` Borůvka rounds — the MapReduce-scale
+    MSF-based hierarchical clustering; more rounds ⇒ coarser clusters.
+    ``(id, cluster)`` with cluster = min vertex id in the cluster."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    if mode == "auto":
+        mode = "broadcast" if g.num_edges <= BROADCAST_MAX_EDGES else "distributed"
+    if mode == "distributed":
+        _forest, labels = _boruvka_distributed(g, rounds)
+        return labels.select("id", F.col("lab").alias("cluster"))
+    if mode != "broadcast":
+        raise ValueError(f"unknown mode {mode!r}")
+    pdf = undirected_weighted_edges(g).toPandas()
+    import pandas as pd
+
+    n = g.num_vertices
+    if not len(pdf):
+        lab = np.arange(n, dtype=np.int64)
+    else:
+        lab = boruvka_labels_numpy(
+            pdf["u"].to_numpy(np.int64),
+            pdf["v"].to_numpy(np.int64),
+            pdf["w"].to_numpy(np.float64),
+            n,
+            rounds,
+        )
+    return g.spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(n, dtype=np.int64), "cluster": lab})
+    )
+
+
 # ------------------------------------------------------------------- oracle
-def msf_oracle_sql(edges_sql: str, vertices_sql: str, rounds: int) -> str:
-    """Unrolled Borůvka replay: per round a row_number argmin under
-    (w, u, v) and a recursive-CTE reachability merge over the chosen
-    (label, label) pairs — idempotent once the forest is complete, so
-    a fixed ``rounds ≥ ⌈log₂V⌉`` unroll is exact."""
+def boruvka_cte_parts(edges_sql: str, vertices_sql: str, rounds: int) -> list[str]:
+    """Shared unrolled-Borůvka CTE chain (see :func:`msf_oracle_sql`)."""
     parts = [
         f"e AS MATERIALIZED (SELECT src, dst, weight FROM ({edges_sql}))",
         "ue AS MATERIALIZED (SELECT least(src, dst) AS u, "
@@ -220,6 +305,15 @@ def msf_oracle_sql(edges_sql: str, vertices_sql: str, rounds: int) -> str:
             f"least(l.lab, coalesce(m.mn, l.lab)) AS lab "
             f"FROM l{r} l LEFT JOIN mn{r} m ON m.lab = l.lab)"
         )
+    return parts
+
+
+def msf_oracle_sql(edges_sql: str, vertices_sql: str, rounds: int) -> str:
+    """Unrolled Borůvka replay: per round a row_number argmin under
+    (w, u, v) and a recursive-CTE reachability merge over the chosen
+    (label, label) pairs — idempotent once the forest is complete, so
+    a fixed ``rounds ≥ ⌈log₂V⌉`` unroll is exact."""
+    parts = boruvka_cte_parts(edges_sql, vertices_sql, rounds)
     forest_union = " UNION ".join(
         f"SELECT u, v, w FROM ch{r}" for r in range(rounds)
     )
@@ -228,4 +322,14 @@ def msf_oracle_sql(edges_sql: str, vertices_sql: str, rounds: int) -> str:
         + ", ".join(parts)
         + f", forest AS ({forest_union}) "
         "SELECT u, v, floor(w * 1000000.0) / 1000000.0 AS wt FROM forest"
+    )
+
+
+def affinity_oracle_sql(edges_sql: str, vertices_sql: str, rounds: int) -> str:
+    """The label table after ``rounds`` unrolled Borůvka rounds."""
+    parts = boruvka_cte_parts(edges_sql, vertices_sql, rounds)
+    return (
+        "WITH RECURSIVE "
+        + ", ".join(parts)
+        + f" SELECT id, lab AS cluster FROM l{rounds}"
     )

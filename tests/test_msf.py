@@ -74,3 +74,24 @@ def test_kruskal_golden_unique_order():
     keep = kruskal_numpy(u, v, w)
     # ties broken by (u, v): edges (0,1) and (0,2) win
     assert list(keep) == [True, True, False]
+
+
+def test_affinity_clusters_paths_and_coarsening(g_rand):
+    from approximate_pagerank_public_spark.operators.msf import (
+        affinity_clusters,
+    )
+
+    b1 = affinity_clusters(g_rand, rounds=1, mode="broadcast").toPandas()
+    d1 = affinity_clusters(g_rand, rounds=1, mode="distributed").toPandas()
+    m1 = dict(zip(b1["id"], b1["cluster"]))
+    assert m1 == dict(zip(d1["id"], d1["cluster"]))
+    b2 = affinity_clusters(g_rand, rounds=2, mode="broadcast").toPandas()
+    m2 = dict(zip(b2["id"], b2["cluster"]))
+    # coarsening: round-2 clusters refine-merge round-1 clusters — every
+    # round-1 cluster maps entirely into one round-2 cluster
+    agg = {}
+    for vid, c1 in m1.items():
+        agg.setdefault(c1, set()).add(m2[vid])
+    assert all(len(s) == 1 for s in agg.values())
+    # fewer (or equal) clusters after more rounds
+    assert len(set(m2.values())) <= len(set(m1.values()))
