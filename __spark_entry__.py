@@ -1011,6 +1011,19 @@ def q_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return msf.select("u", "v", _stable6("w").alias("wt"))
 
 
+def q_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic maximal matching (Israeli–Itai rounds, md5 edge
+    priorities): an edge matches iff it is the min-priority active edge
+    at BOTH endpoints. Oracle unrolls the identical rounds (gate graph
+    empties in 2; 6 unrolled for margin — extra rounds idempotent)."""
+    from approximate_pagerank_public_spark.operators.matching import (
+        maximal_matching,
+    )
+
+    g = _graph(spark, sf_dir)
+    return maximal_matching(g)
+
+
 def q_affinity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Affinity clustering (Bateni et al. 2017): labels after 2 Borůvka
     rounds — MSF-based hierarchical clustering at MapReduce scale;
@@ -2005,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_distinct_users": q_hourly_distinct_users,
         "msf": q_msf,
         "affinity_clusters": q_affinity_clusters,
+        "maximal_matching": q_maximal_matching,
         "eccentricity": q_eccentricity,
         "token_count": q_token_count,
         "doclen_quantiles": q_doclen_quantiles,
@@ -3788,6 +3802,14 @@ def _msf_oracle(rounds: int) -> str:
     return msf_oracle_sql(_duck_edges_sql(), _duck_vertices_sql(), rounds)
 
 
+def _matching_oracle(rounds: int) -> str:
+    from approximate_pagerank_public_spark.operators.matching import (
+        matching_oracle_sql,
+    )
+
+    return matching_oracle_sql(_duck_edges_sql(), rounds)
+
+
 def _affinity_oracle(rounds: int) -> str:
     from approximate_pagerank_public_spark.operators.msf import (
         affinity_oracle_sql,
@@ -4354,6 +4376,7 @@ def oracle_sql() -> dict[str, str]:
         "hourly_distinct_users": _hourly_distinct_users_oracle(),
         "msf": _msf_oracle(8),
         "affinity_clusters": _affinity_oracle(2),
+        "maximal_matching": _matching_oracle(6),
         "sampled_triangles": _sampled_triangles_oracle(3),
         "scc_condensation": (
             f"WITH RECURSIVE e AS ({_duck_edges_sql()}), "
