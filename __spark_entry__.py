@@ -1066,6 +1066,51 @@ def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min inner-product join-cardinality estimate (CM'05 §4.2)
+    for clicks ⋈ purchases on user_id, exact size side-by-side — the
+    planner primitive that avoids shuffling either table by the key."""
+    from approximate_pagerank_public_spark.functions.sketch import (
+        cms_join_size_estimate,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cms_join_size_estimate(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        "user_id",
+    )
+
+
+def q_snm_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup blocking (Hernández & Stolfo 1995):
+    within each 2-char key-prefix block, docs sort by (normalized key,
+    doc_id) and pair with the next w−1=2 neighbors via lead() — the
+    sort-based complement of the MinHash/LSH blockers. Windows are
+    PARTITIONED by the prefix block so the sort is partition-parallel
+    (no global single-partition window); cross-block misses are the
+    standard SNM blocking trade. Pure window plan — no join."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from pyspark.sql.window import Window
+
+    key = F.substring(
+        F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")), 1, 12
+    )
+    ranked = docs.select("doc_id", key.alias("k")).withColumn(
+        "blk", F.substring("k", 1, 2)
+    )
+    w_ = Window.partitionBy("blk").orderBy(F.col("k"), F.col("doc_id"))
+    pairs = None
+    for gap in (1, 2):
+        p = ranked.select(
+            F.col("doc_id").alias("a"),
+            F.lead("doc_id", gap).over(w_).alias("b"),
+            F.lit(gap).cast("long").alias("rank_gap"),
+        ).where(F.col("b").isNotNull())
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs
+
+
 def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination pre-filter: md5-split the corpus
     50/50 (last md5 hex digit of doc_id < '8'), build an m=2048/k=3
@@ -2019,6 +2064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf": q_msf,
         "affinity_clusters": q_affinity_clusters,
         "maximal_matching": q_maximal_matching,
+        "join_size_estimate": q_join_size_estimate,
+        "snm_blocking": q_snm_blocking,
         "eccentricity": q_eccentricity,
         "token_count": q_token_count,
         "doclen_quantiles": q_doclen_quantiles,
@@ -3802,6 +3849,20 @@ def _msf_oracle(rounds: int) -> str:
     return msf_oracle_sql(_duck_edges_sql(), _duck_vertices_sql(), rounds)
 
 
+def _join_size_oracle() -> str:
+    from approximate_pagerank_public_spark.functions.sketch import (
+        cms_join_size_oracle_sql,
+    )
+
+    return cms_join_size_oracle_sql(
+        "(SELECT * FROM events WHERE event_type = 'click')",
+        "(SELECT * FROM events WHERE event_type = 'purchase')",
+        "CAST(user_id AS VARCHAR)",
+        width=1024,
+        depth=4,
+    )
+
+
 def _matching_oracle(rounds: int) -> str:
     from approximate_pagerank_public_spark.operators.matching import (
         matching_oracle_sql,
@@ -4377,6 +4438,22 @@ def oracle_sql() -> dict[str, str]:
         "msf": _msf_oracle(8),
         "affinity_clusters": _affinity_oracle(2),
         "maximal_matching": _matching_oracle(6),
+        "join_size_estimate": _join_size_oracle(),
+        "snm_blocking": (
+            "WITH r AS (SELECT doc_id, "
+            "substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), 1, 12) AS k "
+            "FROM documents), "
+            "rb AS (SELECT doc_id, k, substr(k, 1, 2) AS blk FROM r), "
+            "led AS (SELECT doc_id AS a, "
+            "lead(doc_id, 1) OVER (PARTITION BY blk ORDER BY k, doc_id) AS b1, "
+            "lead(doc_id, 2) OVER (PARTITION BY blk ORDER BY k, doc_id) AS b2 "
+            "FROM rb) "
+            "SELECT a, b1 AS b, CAST(1 AS BIGINT) AS rank_gap FROM led "
+            "WHERE b1 IS NOT NULL "
+            "UNION ALL "
+            "SELECT a, b2 AS b, CAST(2 AS BIGINT) AS rank_gap FROM led "
+            "WHERE b2 IS NOT NULL"
+        ),
         "sampled_triangles": _sampled_triangles_oracle(3),
         "scc_condensation": (
             f"WITH RECURSIVE e AS ({_duck_edges_sql()}), "

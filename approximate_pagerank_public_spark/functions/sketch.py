@@ -199,3 +199,71 @@ def cms_oracle_sql(
         "SELECT p.value, min(coalesce(sk.cnt, 0)) AS est FROM probes p "
         "LEFT JOIN sk ON sk.d = p.d AND sk.w = p.w GROUP BY p.value"
     )
+
+
+def cms_join_size_estimate(
+    a: DataFrame, b: DataFrame, value_col: str, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """One-row ``(est_join_size, exact_join_size)`` — equi-join
+    cardinality |A ⋈ B| estimated as the count-min inner product
+    ``min_d Σ_w cmsA[d,w]·cmsB[d,w]`` (Cormode & Muthukrishnan 2005,
+    §4.2; always ≥ the true size, one-sided like the point estimate).
+
+    The query-planning primitive at 100 TB: both sketches are
+    ``depth × width`` integers built in one map-side-combinable pass per
+    side and the estimate is a ``depth``-row reduction — no shuffle of
+    either table by the join key ever happens. All-integer ⇒ the DuckDB
+    oracle replays it cell-for-cell. Exact size rides along for the
+    contract check (and to show the estimator's upper-bound bias)."""
+    ca = count_min_build(a, value_col, width, depth)
+    cb = count_min_build(b, value_col, width, depth)
+    prod = (
+        ca.alias("x")
+        .join(cb.alias("y"), ["d", "w"])
+        .groupBy("d")
+        .agg(F.sum(F.col("x.cnt") * F.col("y.cnt")).alias("ip"))
+        .agg(F.min("ip").alias("est_join_size"))
+    )
+    exact = (
+        a.select(F.col(value_col).alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("na"))
+        .join(
+            b.select(F.col(value_col).alias("k"))
+            .groupBy("k")
+            .agg(F.count("*").alias("nb")),
+            "k",
+        )
+        .agg(F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0)).alias("exact_join_size"))
+    )
+    return prod.crossJoin(exact)
+
+
+def cms_join_size_oracle_sql(
+    rel_a: str, rel_b: str, value_expr: str, width: int, depth: int
+) -> str:
+    """DuckDB replay of :func:`cms_join_size_estimate`."""
+    hash_d = (
+        "CAST('0x' || substr(md5(CAST({d} AS VARCHAR) || ':' || {v}), 1, 15) "
+        f"AS BIGINT) % {width}"
+    )
+
+    def sketch(rel: str, name: str) -> str:
+        rows = " UNION ALL ".join(
+            f"SELECT {d} AS d, {hash_d.format(d=d, v=value_expr)} AS w "
+            f"FROM {rel}"
+            for d in range(depth)
+        )
+        return f"{name} AS (SELECT d, w, count(*) AS cnt FROM ({rows}) GROUP BY d, w)"
+
+    return (
+        f"WITH {sketch(rel_a, 'sa')}, {sketch(rel_b, 'sb')}, "
+        "ip AS (SELECT sa.d, sum(sa.cnt * sb.cnt) AS ip FROM sa "
+        "JOIN sb ON sb.d = sa.d AND sb.w = sa.w GROUP BY sa.d), "
+        f"ex AS (SELECT coalesce(sum(na * nb), 0) AS exact_join_size FROM "
+        f"(SELECT {value_expr} AS k, count(*) AS na FROM {rel_a} GROUP BY 1) x "
+        f"JOIN (SELECT {value_expr} AS k, count(*) AS nb FROM {rel_b} "
+        "GROUP BY 1) y USING (k)) "
+        "SELECT CAST((SELECT min(ip) FROM ip) AS BIGINT) AS est_join_size, "
+        "CAST(exact_join_size AS BIGINT) AS exact_join_size FROM ex"
+    )

@@ -101,3 +101,21 @@ def test_cms_shard_merge_additive(spark):
         for r in count_min_estimate(merged, q, "value", width=256, depth=2).collect()
     }
     assert est == {"x": 15, "y": 3}
+
+
+def test_cms_join_size_upper_bound_and_exactish(spark):
+    from approximate_pagerank_public_spark.functions.sketch import (
+        cms_join_size_estimate,
+    )
+    from pyspark.sql import functions as F
+
+    a = spark.range(500).select((F.col("id") % 50).cast("string").alias("k"))
+    b = spark.range(300).select((F.col("id") % 60).cast("string").alias("k"))
+    row = cms_join_size_estimate(a, b, "k", width=1024, depth=4).collect()[0]
+    # one-sided: the CM inner product never underestimates
+    assert row["est_join_size"] >= row["exact_join_size"]
+    # 50/60 keys in 1024 buckets: collisions are rare — estimate close
+    assert row["est_join_size"] <= int(1.2 * row["exact_join_size"]) + 10
+    # exact join size from first principles: keys 0..49 appear 10x in a;
+    # in b keys 0..59 appear 5x -> sum over 50 shared keys of 10*5
+    assert row["exact_join_size"] == 50 * 10 * 5
