@@ -517,6 +517,21 @@ def q_ppr_push(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sweep_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank-Nibble local clustering (ACL'06): forward-push from
+    vertex 0, sweep the support by truncated p/deg, exact integer
+    cut/volume per prefix and micro-unit conductance — the certified
+    local-cluster readout of the approximate-PageRank family."""
+    from approximate_pagerank_public_spark.operators.push import (
+        approx_ppr_push,
+        sweep_cut,
+    )
+
+    g = _graph(spark, sf_dir)
+    res = approx_ppr_push(g, 0, alpha=0.8, eps=1e-5, max_rounds=200)
+    return sweep_cut(g, res.state().select("id", "p"), k_max=20)
+
+
 def q_ppr_fixed8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed 8-iteration personalized PageRank from vertex 0
     (reference K10, ``gold_algorithms.hpp:105-140``: teleport mass goes
@@ -2021,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mc_ppr": q_mc_ppr,
         "ppr_fixed8": q_ppr_fixed8,
         "ppr_push": q_ppr_push,
+        "sweep_cut": q_sweep_cut,
         "ppr_norm_off": q_ppr_norm_off,
         "multi_ppr_top10": q_multi_ppr_top10,
         "connected_components": q_connected_components,
@@ -3849,6 +3865,50 @@ def _msf_oracle(rounds: int) -> str:
     return msf_oracle_sql(_duck_edges_sql(), _duck_vertices_sql(), rounds)
 
 
+def _sweep_cut_oracle(
+    source: int, alpha: float, eps: float, k_max: int
+) -> str:
+    """Sweep over the push oracle's (already stable6-truncated) p —
+    identical ordering, exact integer cut/vol, same phi division."""
+    push = _ppr_push_oracle(source, alpha, eps)
+    big = k_max + 1
+    return (
+        f"WITH ps AS (SELECT * FROM ({push}) t), "
+        f"e2 AS MATERIALIZED ({_duck_edges_sql()}), "
+        "canon AS (SELECT DISTINCT least(src, dst) AS u, "
+        "greatest(src, dst) AS v FROM e2 WHERE src <> dst), "
+        "deg AS (SELECT id, count(*) AS deg FROM "
+        "(SELECT u AS id FROM canon UNION ALL SELECT v FROM canon) "
+        "GROUP BY id), "
+        "cand AS (SELECT ps.id, deg.deg, ps.p_hat / deg.deg AS ratio "
+        "FROM ps JOIN deg ON deg.id = ps.id WHERE ps.p_hat > 0), "
+        "ranked AS (SELECT id, deg, row_number() OVER "
+        "(ORDER BY ratio DESC, id ASC) AS rnk FROM cand "
+        f"QUALIFY rnk <= {k_max}), "
+        "twom AS (SELECT 2 * count(*) AS m2 FROM canon), "
+        "spans AS (SELECT "
+        f"least(coalesce(ru.rnk, {big}), coalesce(rv.rnk, {big})) AS lo, "
+        f"greatest(coalesce(ru.rnk, {big}), coalesce(rv.rnk, {big})) AS hi "
+        "FROM canon c "
+        "LEFT JOIN ranked ru ON ru.id = c.u "
+        "LEFT JOIN ranked rv ON rv.id = c.v "
+        f"WHERE least(coalesce(ru.rnk, {big}), coalesce(rv.rnk, {big})) "
+        f"<= {k_max}), "
+        f"ks AS (SELECT unnest(generate_series(1, {k_max})) AS k), "
+        "cuts AS (SELECT ks.k, count(s.lo) AS cut_edges FROM ks "
+        "LEFT JOIN spans s ON s.lo <= ks.k AND ks.k < s.hi GROUP BY ks.k), "
+        "vols AS (SELECT rnk AS k, sum(deg) OVER (ORDER BY rnk) AS vol "
+        "FROM ranked) "
+        "SELECT v.k, CAST(c.cut_edges AS BIGINT) AS cut_edges, "
+        "CAST(v.vol AS BIGINT) AS vol, "
+        "floor(CAST(c.cut_edges AS DOUBLE) / "
+        "CAST(least(v.vol, t.m2 - v.vol) AS DOUBLE) * 1000000.0) "
+        "/ 1000000.0 AS phi_micro "
+        "FROM vols v JOIN cuts c ON c.k = v.k CROSS JOIN twom t "
+        "WHERE v.vol < t.m2"
+    )
+
+
 def _join_size_oracle() -> str:
     from approximate_pagerank_public_spark.functions.sketch import (
         cms_join_size_oracle_sql,
@@ -4633,6 +4693,7 @@ def oracle_sql() -> dict[str, str]:
         "mc_ppr": _mc_ppr_oracle(0, 256, 12, 0.8, "mc"),
         "ppr_fixed8": _pagerank_fixed_oracle(8, 0.8, source=0),
         "ppr_push": _ppr_push_oracle(0, 0.8, 1e-5),
+        "sweep_cut": _sweep_cut_oracle(0, 0.8, 1e-5, 20),
         "ppr_norm_off": _pagerank_fixed_oracle(8, 0.8, source=0, dangling_norm=False),
         "label_propagation": _lpa_oracle(5),
         "seeded_lpa": _seeded_lpa_oracle(4, 5),

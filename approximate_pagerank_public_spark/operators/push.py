@@ -214,3 +214,90 @@ def approx_ppr_push(
     else:
         raise ValueError(f"unknown mode {mode!r}")
     return PushResult(rounds=rounds, converged=converged, _df=df)
+
+
+def sweep_cut(
+    g: Graph, state: DataFrame, k_max: int = 30
+) -> DataFrame:
+    """PageRank-Nibble sweep (Andersen–Chung–Lang 2006): order the
+    push approximation's support by ``p/deg`` descending (p TRUNCATED
+    to 1e-6 first so the order is engine-independent; ties → smaller
+    id) over the SYMMETRIZED simple graph, then for every prefix
+    ``S_k`` report the exact integer cut and volume plus the
+    conductance ``phi = cut / min(vol, 2m − vol)`` in micro-units.
+    The best prefix is the certified local cluster around the seed.
+
+    Scale shape: the sweep only ever touches the push's support
+    (O(1/eps) vertices regardless of graph size — that is the point of
+    Nibble), so the ranking window is support-sized; the cut counts
+    come from ONE pass over the edges incident to the top-k support
+    (a broadcastable rank join), never the full edge set.
+
+    ``state`` must expose ``(id, p)`` (raw or truncated)."""
+    from pyspark.sql.window import Window
+
+    from approximate_pagerank_public_spark.operators.triangles import (
+        canonical_edges,
+    )
+
+    e = canonical_edges(g)
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionAll(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    p6 = F.floor(F.col("p") * F.lit(1e6)) / F.lit(1e6)
+    cand = (
+        state.where(F.col("p") > 0)
+        .join(deg, "id")
+        .select("id", "deg", (p6 / F.col("deg")).alias("ratio"))
+    )
+    w_ = Window.orderBy(F.col("ratio").desc(), F.col("id").asc())
+    ranked = cand.select(
+        "id", "deg", F.row_number().over(w_).alias("rnk")
+    ).where(F.col("rnk") <= k_max)
+    two_m = e.count() * 2
+    ra = ranked.select(F.col("id").alias("u"), F.col("rnk").alias("ru"))
+    rb = ranked.select(F.col("id").alias("v"), F.col("rnk").alias("rv"))
+    big = k_max + 1
+    spans = (
+        e.join(F.broadcast(ra), "u", "left")
+        .join(F.broadcast(rb), "v", "left")
+        .select(
+            F.least(
+                F.coalesce("ru", F.lit(big)), F.coalesce("rv", F.lit(big))
+            ).alias("lo"),
+            F.greatest(
+                F.coalesce("ru", F.lit(big)), F.coalesce("rv", F.lit(big))
+            ).alias("hi"),
+        )
+        .where(F.col("lo") <= k_max)
+    )
+    ks = g.spark.range(1, k_max + 1).select(F.col("id").alias("k"))
+    cuts = (
+        ks.join(
+            spans,
+            (F.col("lo") <= F.col("k")) & (F.col("k") < F.col("hi")),
+            "left",
+        )
+        .groupBy("k")
+        .agg(F.count("lo").alias("cut_edges"))
+    )
+    wv = Window.orderBy("rnk")
+    vols = ranked.select(
+        F.col("rnk").alias("k"), F.sum("deg").over(wv).alias("vol")
+    )
+    phi = F.col("cut_edges").cast("double") / F.least(
+        F.col("vol"), F.lit(two_m) - F.col("vol")
+    ).cast("double")
+    return (
+        vols.join(cuts, "k")
+        .where(F.col("vol") < F.lit(two_m))
+        .select(
+            "k",
+            F.col("cut_edges").cast("long"),
+            F.col("vol").cast("long"),
+            (F.floor(phi * F.lit(1e6)) / F.lit(1e6)).alias("phi_micro"),
+        )
+    )
