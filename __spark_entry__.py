@@ -883,6 +883,18 @@ def q_wl_graph_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_degree_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust hub detection: |deg − median| > max(3·MAD, 1) over total
+    degree — exact integer medians via the histogram/cumsum quantile
+    trick; the crawl-hygiene gate before ranking."""
+    from approximate_pagerank_public_spark.operators.graphstats import (
+        degree_outliers,
+    )
+
+    g = _graph(spark, sf_dir)
+    return degree_outliers(g)
+
+
 def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity of the LPA-5 communities — integer-numerator
     single-division form, replayed over the same unrolled-LPA oracle."""
@@ -2082,6 +2094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maximal_matching": q_maximal_matching,
         "join_size_estimate": q_join_size_estimate,
         "snm_blocking": q_snm_blocking,
+        "degree_outliers": q_degree_outliers,
         "eccentricity": q_eccentricity,
         "token_count": q_token_count,
         "doclen_quantiles": q_doclen_quantiles,
@@ -4499,6 +4512,34 @@ def oracle_sql() -> dict[str, str]:
         "affinity_clusters": _affinity_oracle(2),
         "maximal_matching": _matching_oracle(6),
         "join_size_estimate": _join_size_oracle(),
+        "degree_outliers": (
+            f"WITH e AS MATERIALIZED ({_duck_edges_sql()}), "
+            "verts AS (SELECT DISTINCT id FROM "
+            "(SELECT src AS id FROM e UNION ALL SELECT dst FROM e)), "
+            "dg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM "
+            "(SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e) "
+            "GROUP BY id), "
+            "full_ AS (SELECT v.id, coalesce(dg.degree, 0) AS degree "
+            "FROM verts v LEFT JOIN dg USING (id)), "
+            "h1 AS (SELECT degree AS v, count(*) AS c FROM full_ GROUP BY 1), "
+            "c1 AS (SELECT v, c, sum(c) OVER (ORDER BY v "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi FROM h1), "
+            "t1 AS (SELECT sum(c) AS n FROM h1), "
+            "med AS (SELECT v AS med FROM c1 CROSS JOIN t1 "
+            "WHERE (n - 1) // 2 >= hi - c AND (n - 1) // 2 < hi), "
+            "dev AS (SELECT f.id, f.degree, m.med, "
+            "abs(f.degree - m.med) AS d FROM full_ f CROSS JOIN med m), "
+            "h2 AS (SELECT d AS v, count(*) AS c FROM dev GROUP BY 1), "
+            "c2 AS (SELECT v, c, sum(c) OVER (ORDER BY v "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi FROM h2), "
+            "t2 AS (SELECT sum(c) AS n FROM h2), "
+            "mad AS (SELECT v AS mad FROM c2 CROSS JOIN t2 "
+            "WHERE (n - 1) // 2 >= hi - c AND (n - 1) // 2 < hi) "
+            "SELECT dev.id, dev.degree, CAST(dev.med AS BIGINT) AS med, "
+            "CAST(mad.mad AS BIGINT) AS mad "
+            "FROM dev CROSS JOIN mad "
+            "WHERE dev.d > greatest(3 * mad.mad, 1)"
+        ),
         "snm_blocking": (
             "WITH r AS (SELECT doc_id, "
             "substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), 1, 12) AS k "

@@ -332,3 +332,59 @@ def community_conductance(graph: Graph, labels: DataFrame) -> DataFrame:
             ).alias("conductance"),
         )
     )
+
+
+def degree_outliers(graph: Graph) -> DataFrame:
+    """Hub/anomaly detection via the robust median/MAD rule — all
+    integer, hash-exact: a vertex is an outlier when
+    ``|deg − median| > max(3·MAD, 1)`` over TOTAL degree (in + out on
+    the deduped directed edges, isolated vertices included at 0).
+
+    Median and MAD are exact "lower" discrete quantiles computed with
+    the histogram + cumulative-sum trick (`functions/quantiles.py`):
+    the only pass over the data is one map-side-combinable degree
+    count; both medians run over the O(distinct degrees) histogram.
+    The classic data-quality gate before ranking a web-scale crawl
+    (cut spam hubs / stuck crawlers before they drown PageRank).
+
+    Output: ``(id, degree, med, mad)`` for outlier vertices only (med /
+    mad repeated per row so the contract hash pins them too)."""
+    e = graph.edges
+    deg = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("degree"))
+    )
+    full = graph.vertices.join(deg, "id", "left").select(
+        "id", F.coalesce("degree", F.lit(0)).cast("long").alias("degree")
+    )
+
+    def _median_of(df: DataFrame, col: str) -> F.Column:
+        from pyspark.sql import Window
+
+        hist = df.groupBy(F.col(col).alias("v")).agg(F.count("*").alias("c"))
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        cum = hist.select("v", "c", F.sum("c").over(w).alias("hi"))
+        tot = hist.agg(F.sum("c").alias("n"))
+        rank = F.expr("(n - 1) div 2")
+        med = (
+            cum.crossJoin(F.broadcast(tot))
+            .where((rank >= F.col("hi") - F.col("c")) & (rank < F.col("hi")))
+            .select(F.col("v"))
+        )
+        return med
+
+    med_df = _median_of(full, "degree").withColumnRenamed("v", "med")
+    with_med = full.crossJoin(F.broadcast(med_df))
+    dev = with_med.select(
+        "id", "degree", "med", F.abs(F.col("degree") - F.col("med")).alias("d")
+    )
+    mad_df = _median_of(dev, "d").withColumnRenamed("v", "mad")
+    return (
+        dev.crossJoin(F.broadcast(mad_df))
+        .where(
+            F.col("d") > F.greatest(F.lit(3) * F.col("mad"), F.lit(1))
+        )
+        .select("id", "degree", F.col("med").cast("long"), F.col("mad").cast("long"))
+    )
