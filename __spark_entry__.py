@@ -367,6 +367,18 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.agg(F.count("*").alias("n_triangles"))
 
 
+def q_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge triangle support (the k-truss building block) — exact
+    integers off the wedge-bounded triangle list, zero-support edges
+    included."""
+    from approximate_pagerank_public_spark.operators.triangles import (
+        edge_support,
+    )
+
+    g = _graph(spark, sf_dir)
+    return edge_support(g)
+
+
 def q_sampled_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOULION sparsify-then-count triangle estimate (KDD'09):
     deterministic md5 edge sample at p=1/3, triangles on the sample,
@@ -2085,6 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "click_attribution": q_click_attribution,
         "bloom_membership": q_bloom_membership,
         "sampled_triangles": q_sampled_triangles,
+        "edge_support": q_edge_support,
         "scc_condensation": q_scc_condensation,
         "wl_graph_hash": q_wl_graph_hash,
         "hrw_shards": q_hrw_shards,
@@ -4556,6 +4569,21 @@ def oracle_sql() -> dict[str, str]:
             "WHERE b2 IS NOT NULL"
         ),
         "sampled_triangles": _sampled_triangles_oracle(3),
+        "edge_support": (
+            f"WITH e AS ({_duck_edges_sql()}), "
+            "canon AS (SELECT DISTINCT least(src,dst) AS u, greatest(src,dst) AS v "
+            "          FROM e WHERE src <> dst), "
+            "tri AS (SELECT ab.a, ab.b, bc.c FROM "
+            "  (SELECT u AS a, v AS b FROM canon) ab "
+            "  JOIN (SELECT u AS b, v AS c FROM canon) bc USING (b) "
+            "  JOIN (SELECT u AS a, v AS c FROM canon) ac USING (a, c)), "
+            "pe AS (SELECT u, v, count(*) AS s FROM ("
+            "  SELECT a AS u, b AS v FROM tri "
+            "  UNION ALL SELECT b AS u, c AS v FROM tri "
+            "  UNION ALL SELECT a AS u, c AS v FROM tri) GROUP BY u, v) "
+            "SELECT c.u, c.v, CAST(coalesce(pe.s, 0) AS BIGINT) AS support "
+            "FROM canon c LEFT JOIN pe ON pe.u = c.u AND pe.v = c.v"
+        ),
         "scc_condensation": (
             f"WITH RECURSIVE e AS ({_duck_edges_sql()}), "
             "verts AS (SELECT DISTINCT src AS id FROM "

@@ -299,3 +299,24 @@ def sampled_triangle_estimate(
         [(n_edges, n_tri, n_tri * q**3)],
         "sampled_edges long, tri_sampled long, est_triangles long",
     )
+
+
+def edge_support(graph: Graph, orientation: str = "id") -> DataFrame:
+    """``(u, v, support)`` for every canonical undirected edge —
+    support = number of triangles the edge lies in (the k-truss
+    building block and the standard tie-strength signal). One explode
+    of the wedge-bounded triangle list + a left join back to the edge
+    relation (zero-support edges included)."""
+    tri = triangle_df(graph, orientation)
+    per_edge = (
+        tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+        .unionAll(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("s"))
+    )
+    return (
+        canonical_edges(graph)
+        .join(per_edge, ["u", "v"], "left")
+        .select("u", "v", F.coalesce("s", F.lit(0)).cast("long").alias("support"))
+    )
