@@ -137,3 +137,61 @@ def test_exact_quantiles_match_numpy_lower_on_random_lists(spark, vals, p):
     arr = np.sort(np.array(vals))
     rank = (len(arr) - 1) * p // 100
     assert (r["n"], r["rank"], r["value"]) == (len(arr), rank, int(arr[rank]))
+
+
+@settings(deadline=None, max_examples=30)
+@given(
+    rows=st.integers(min_value=1, max_value=400),
+    segs=st.integers(min_value=1, max_value=50),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_segment_max_u8_matches_reduceat(rows, segs, seed):
+    import numpy as np
+
+    from approximate_pagerank_public_spark.operators.anf import segment_max_u8
+
+    rng = np.random.default_rng(seed)
+    mat = rng.integers(0, 34, (rows, 16)).astype(np.uint8)
+    seg = np.sort(rng.integers(0, segs, rows))
+    starts = np.flatnonzero(np.r_[True, seg[1:] != seg[:-1]])
+    want = np.maximum.reduceat(mat, starts, axis=0)
+    got = segment_max_u8(mat, starts)
+    assert np.array_equal(got, want)
+    # fused-gather form: identity index must match too
+    idx = np.arange(rows, dtype=np.int64)
+    assert np.array_equal(segment_max_u8(mat, starts, idx=idx), want)
+
+
+@settings(deadline=None, max_examples=20, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    keys=st.lists(st.text(min_size=0, max_size=20), min_size=1, max_size=60, unique=True),
+    n=st.integers(min_value=1, max_value=64),
+)
+def test_hrw_assignment_in_range_and_stable(spark, keys, n):
+    from pyspark.sql import functions as F
+
+    from approximate_pagerank_public_spark.functions.sharding import hrw_assign
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    a = {r["k"]: r["shard"] for r in hrw_assign(df, "k", n).collect()}
+    assert set(a) == set(keys)
+    assert all(0 <= s < n for s in a.values())
+    b = {r["k"]: r["shard"] for r in hrw_assign(df, "k", n).collect()}
+    assert a == b
+
+
+@settings(deadline=None, max_examples=15, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    members=st.lists(st.text(min_size=1, max_size=12), min_size=1, max_size=40, unique=True),
+)
+def test_bloom_never_false_negative(spark, members):
+    from approximate_pagerank_public_spark.functions.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(m,) for m in members], "v string")
+    bits = bloom_build(df, "v", m=512, k=3)
+    got = bloom_probe(bits, df, "v", m=512, k=3)
+    assert got.where(~F.col("bloom_hit")).isEmpty()
