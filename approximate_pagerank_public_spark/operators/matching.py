@@ -47,16 +47,27 @@ def _prio_col():
 
 
 # ----------------------------------------------------------------- broadcast
-def matching_numpy(u: np.ndarray, v: np.ndarray) -> np.ndarray:
-    """Boolean mask of matched edges — the NumPy twin of the
-    distributed rounds (same md5 priorities, same local-min rule)."""
-    h = np.array(
+def edge_priorities_py(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Pure-Python md5 priorities (tests / small inputs) — the
+    broadcast path collects JVM-computed priorities instead (a 2·10⁷-
+    edge Python hash loop costs ~60 s; the JVM md5 is free in the
+    collect)."""
+    return np.array(
         [
             int(hashlib.md5(f"m:{a}:{b}".encode()).hexdigest()[:15], 16)
             for a, b in zip(u, v)
         ],
         dtype=np.int64,
     )
+
+
+def matching_numpy(
+    u: np.ndarray, v: np.ndarray, h: np.ndarray | None = None
+) -> np.ndarray:
+    """Boolean mask of matched edges — the NumPy twin of the
+    distributed rounds (same md5 priorities, same local-min rule)."""
+    if h is None:
+        h = edge_priorities_py(u, v)
     active = np.ones(len(u), dtype=bool)
     chosen = np.zeros(len(u), dtype=bool)
     n = int(max(u.max(), v.max())) + 1 if len(u) else 0
@@ -132,14 +143,14 @@ def maximal_matching(g: Graph, mode: str = "auto") -> DataFrame:
         return _matching_distributed(g)
     if mode != "broadcast":
         raise ValueError(f"unknown mode {mode!r}")
-    pdf = canonical_edges(g).toPandas()
+    pdf = canonical_edges(g).select("u", "v", _prio_col().alias("h")).toPandas()
     import pandas as pd
 
     if not len(pdf):
         return g.spark.createDataFrame([], "u long, v long")
     u = pdf["u"].to_numpy(np.int64)
     v = pdf["v"].to_numpy(np.int64)
-    keep = matching_numpy(u, v)
+    keep = matching_numpy(u, v, pdf["h"].to_numpy(np.int64))
     return g.spark.createDataFrame(
         pd.DataFrame({"u": u[keep], "v": v[keep]})
     )
