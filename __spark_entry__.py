@@ -1320,6 +1320,18 @@ def q_kcore3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(g, 3).subgraph_vertices()
 
 
+def q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy-peel densest subgraph (Bahmani et al. 2012, 1+eps = 9/8;
+    operators/densest.py) — all-integer rounds, the oracle unrolls the
+    replay-computed round count and best round verbatim."""
+    from approximate_pagerank_public_spark.operators.densest import (
+        densest_subgraph,
+    )
+
+    g = _graph(spark, sf_dir)
+    return densest_subgraph(g).memberships()
+
+
 def q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coreness of every vertex via the H-index iteration (Lü et al.
     2016; operators/kcore.py) — integer-valued, hash-exact."""
@@ -2117,6 +2129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "per_vertex_triangles": q_per_vertex_triangles,
         "kcore3": q_kcore3,
+        "densest_subgraph": q_densest_subgraph,
         "core_numbers": q_core_numbers,
         "clustering_coeff": q_clustering_coeff,
         "link_pred": q_link_prediction,
@@ -3051,6 +3064,33 @@ def _kcore_oracle(k: int = 3) -> str:
     return (
         sql + f" SELECT src AS id, count(*) AS core_deg FROM s{rounds} GROUP BY src"
     )
+
+
+def _densest_oracle() -> str:
+    """Replays the integer peel (``peel_densest_numpy`` over the
+    oracle's own edge table) for the exact round count and best round,
+    then unrolls that many CTE rounds."""
+    import numpy as np
+
+    from approximate_pagerank_public_spark.operators.densest import (
+        densest_oracle_sql,
+        peel_densest_numpy,
+    )
+
+    src, dst, _w, n = _duck_edge_arrays(_oracle_sf_dir())
+    pairs = {
+        (min(s, d), max(s, d))
+        for s, d in zip(src.tolist(), dst.tolist())
+        if s != d
+    }
+    if pairs:
+        u, v = map(np.asarray, zip(*sorted(pairs)))
+        _rr, best_r, _bv, _be, rounds = peel_densest_numpy(
+            u.astype(np.int64), v.astype(np.int64), n
+        )
+    else:
+        best_r, rounds = 0, 0
+    return densest_oracle_sql(_duck_edges_sql(), rounds, best_r)
 
 
 def _coreness_oracle() -> str:
@@ -4669,6 +4709,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "kcore3": _kcore_oracle(3),
+        "densest_subgraph": _densest_oracle(),
         "core_numbers": _coreness_oracle(),
         "clustering_coeff": _clustering_coeff_oracle(),
         "link_pred": _link_pred_oracle(3),
