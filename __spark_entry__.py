@@ -402,6 +402,18 @@ def q_four_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return four_cycles_df(g)
 
 
+def q_four_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact K4 count by extension joins off the oriented triangle
+    list (operators/triangles.py::four_clique_count_df) — all-integer,
+    hash-exact vs the DuckDB 4-way join replay."""
+    from approximate_pagerank_public_spark.operators.triangles import (
+        four_clique_count_df,
+    )
+
+    g = _graph(spark, sf_dir)
+    return four_clique_count_df(g)
+
+
 def q_top_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _transcripts(spark, sf_dir)
     return (
@@ -2063,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_distribution": q_degree_distribution,
         "triangle_count": q_triangle_count,
         "four_cycles": q_four_cycles,
+        "four_cliques": q_four_cliques,
         "top_tools": q_top_tools,
         "conversation_stats": q_conversation_stats,
         "pagerank_top20": q_pagerank_top20,
@@ -4448,6 +4461,18 @@ def oracle_sql() -> dict[str, str]:
             "ac AS (SELECT u AS a, v AS c FROM canon) "
             "SELECT count(*) AS n_triangles FROM ab "
             "JOIN bc USING (b) JOIN ac USING (a, c)"
+        ),
+        "four_cliques": (
+            f"WITH e AS MATERIALIZED ({e_sql}), "
+            "canon AS MATERIALIZED (SELECT DISTINCT least(src,dst) AS u, "
+            "greatest(src,dst) AS v FROM e WHERE src <> dst), "
+            "tri AS MATERIALIZED (SELECT ab.u AS a, ab.v AS b, bc.v AS c "
+            "FROM canon ab JOIN canon bc ON bc.u = ab.v "
+            "JOIN canon ac ON ac.u = ab.u AND ac.v = bc.v) "
+            "SELECT CAST(count(*) AS BIGINT) AS four_cliques FROM tri t "
+            "JOIN canon e1 ON e1.u = t.a "
+            "JOIN canon e2 ON e2.u = t.b AND e2.v = e1.v "
+            "JOIN canon e3 ON e3.u = t.c AND e3.v = e1.v"
         ),
         "four_cycles": (
             f"WITH e AS MATERIALIZED ({e_sql}), "

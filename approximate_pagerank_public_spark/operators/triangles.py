@@ -185,6 +185,38 @@ def four_cycle_count(graph: Graph, max_wedge_degree: int | None = None) -> int:
     return four_cycles_df(graph, max_wedge_degree).first()["four_cycles"]
 
 
+def four_cliques_df(graph: Graph) -> DataFrame:
+    """``(a, b, c, d)`` with ``a<b<c<d`` — one row per 4-clique (K4),
+    by extension joins off the id-oriented triangle list: a triangle
+    ``a<b<c`` plus a fourth vertex ``d`` with all three closing edges
+    present. The extension candidates come from the ``a``-side
+    adjacency and the two semi-joins prune on ``(b,d)`` / ``(c,d)``
+    before anything materializes — the standard distributed k-clique
+    listing plan (Chiba–Nishizeki orientation bounds the join fan-out
+    by Σ out(x)·tri(x), not by raw degree)."""
+    e = canonical_edges(graph)
+    tri = triangle_df(graph, orientation="id")
+    ext = tri.join(e.select(F.col("u").alias("a"), F.col("v").alias("d")), "a")
+    ext = ext.join(
+        e.select(F.col("u").alias("b"), F.col("v").alias("d")),
+        ["b", "d"],
+        "left_semi",
+    )
+    ext = ext.join(
+        e.select(F.col("u").alias("c"), F.col("v").alias("d")),
+        ["c", "d"],
+        "left_semi",
+    )
+    return ext.select("a", "b", "c", "d")
+
+
+def four_clique_count_df(graph: Graph) -> DataFrame:
+    """One row ``(four_cliques)`` — exact K4 count, all-integer."""
+    return four_cliques_df(graph).agg(
+        F.count("*").cast("long").alias("four_cliques")
+    )
+
+
 def _triangles_of(e: DataFrame) -> DataFrame:
     """``(a, b, c)`` with ``a<b<c`` over an explicit canonical edge set."""
     ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))

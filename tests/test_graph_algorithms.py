@@ -210,6 +210,53 @@ def test_four_cycles_random_matches_adjacency_golden(g_rand):
     assert four_cycle_count(g_rand, max_wedge_degree=10_000) == want
 
 
+def test_four_cliques_known(spark):
+    from approximate_pagerank_public_spark.operators.triangles import (
+        four_clique_count_df,
+    )
+
+    # K6 has C(6,4) = 15 four-cliques; C6 (hexagon) has none
+    k6 = [(i, j) for i in range(6) for j in range(6) if i < j]
+    g6 = Graph.from_edge_arrays(
+        spark, [u for u, _ in k6], [v for _, v in k6],
+        num_vertices=6, num_partitions=2,
+    )
+    assert four_clique_count_df(g6).first()["four_cliques"] == 15
+    g6.unpersist()
+    c6 = Graph.from_edge_arrays(
+        spark, list(range(6)), [(i + 1) % 6 for i in range(6)],
+        num_vertices=6, num_partitions=2,
+    )
+    assert four_clique_count_df(c6).first()["four_cliques"] == 0
+    c6.unpersist()
+
+
+def test_four_cliques_random_matches_adjacency_golden(g_rand):
+    from approximate_pagerank_public_spark.operators.triangles import (
+        four_clique_count_df,
+    )
+
+    src, dst, _ = g_rand.edges_numpy()
+    n = 300
+    a = np.zeros((n, n), dtype=bool)
+    a[src, dst] = True
+    a[dst, src] = True
+    np.fill_diagonal(a, False)
+    # per edge (b,c): adjacent pairs among common neighbors — every K4
+    # is seen once from each of its 6 edges
+    total = 0
+    for b in range(n):
+        for c in range(b + 1, n):
+            if not a[b, c]:
+                continue
+            common = np.flatnonzero(a[b] & a[c])
+            sub = a[np.ix_(common, common)]
+            total += int(np.triu(sub, 1).sum())
+    want = total // 6
+    got = four_clique_count_df(g_rand).first()["four_cliques"]
+    assert got == want, (got, want)
+
+
 def test_louvain_rounds_matches_golden_random(g_rand):
     from approximate_pagerank_public_spark.operators.labelprop import (
         golden_louvain_rounds,
