@@ -149,6 +149,7 @@ def main() -> None:
             "q_louvain4",
             "q_triangles",
             "q_anf4",
+            "q_densest",
             "q_scc",
             "q_sssp",
             "q_stress4",
@@ -262,7 +263,17 @@ def main() -> None:
             res.neighborhood_function().count()
             return res.effective_diameter()
 
+        def _densest(_rep):
+            from approximate_pagerank_public_spark.operators.densest import (
+                densest_subgraph,
+            )
+
+            res = densest_subgraph(g)
+            res.memberships().count()
+            return res.best_vertices
+
         run("q_anf4", _anf)
+        run("q_densest", _densest)
         run("q_scc", _scc)
         run("q_sssp", _sssp)
         run("q_stress4", _stress)
