@@ -1991,6 +1991,18 @@ def q_tool_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Butterfly (2×2 biclique) count of the conv×tool bipartite graph
+    — Σ C(common-part count, 2) over tool pairs, all-integer
+    (operators/bipartite.py::butterfly_count)."""
+    from approximate_pagerank_public_spark.operators.bipartite import (
+        butterfly_count,
+    )
+
+    inc = _transcripts(spark, sf_dir).where(F.col("role") == "tool")
+    return butterfly_count(inc, "conv_id", "tool")
+
+
 def q_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE-style mean aggregate: per vertex, the element-wise mean
     of its in-neighbors' feature vectors (vertex v's features = embedding
@@ -2188,6 +2200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_share": q_promo_share,
         "pagerank_decay": q_pagerank_decay,
         "tool_cooccurrence": q_tool_cooccurrence,
+        "butterflies": q_butterflies,
         "neighbor_agg": q_neighbor_agg,
         "skipgram_pmi": q_skipgram_pmi,
         "gnn_khop": q_gnn_khop,
@@ -4980,6 +4993,15 @@ def oracle_sql() -> dict[str, str]:
             8, 0.8, e_sql=_duck_decayed_edges_sql()
         ),
         "tool_cooccurrence": _tool_cooccurrence_oracle(cap=4, min_count=2),
+        "butterflies": (
+            f"WITH inc AS MATERIALIZED (SELECT DISTINCT conv_id, tool "
+            f"FROM ({t_cte}) WHERE role = 'tool'), "
+            "pairs AS (SELECT l.tool AS a, r.tool AS b, count(*) AS w "
+            "FROM inc l JOIN inc r ON l.conv_id = r.conv_id "
+            "AND l.tool < r.tool GROUP BY 1, 2) "
+            "SELECT CAST(coalesce(sum(w * (w - 1)), 0) // 2 AS BIGINT) "
+            "AS butterflies FROM pairs"
+        ),
         "neighbor_agg": _neighbor_agg_oracle(),
         "skipgram_pmi": _skipgram_pmi_oracle(4, 2, "rw"),
         "gnn_khop": _gnn_khop_oracle(8, [3, 2], "gnn"),

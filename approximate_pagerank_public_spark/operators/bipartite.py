@@ -88,6 +88,33 @@ def tool_cooccurrence(
     )
 
 
+def butterfly_count(
+    incidence: DataFrame,
+    part_col: str,
+    item_col: str,
+    max_items_per_part: int | None = None,
+) -> DataFrame:
+    """One row ``(butterflies)``: number of butterflies (complete 2×2
+    bicliques, the bipartite analogue of a 4-cycle) in the two-mode
+    ``(part, item)`` graph — Σ over item pairs of C(w, 2) with ``w`` =
+    common-part count, since every butterfly contains exactly one item
+    pair. All-integer (the ``Σ w·(w−1) DIV 2`` is exact), so the DuckDB
+    oracle hash-checks it. Cost = the projection join, Σ min(k, cap)²
+    per part; pass ``max_items_per_part`` on hub-part-heavy data (a
+    declared approximation, deterministic lexicographic truncation)."""
+    co = cooccurrence(
+        incidence,
+        part_col,
+        item_col,
+        max_items_per_part=max_items_per_part,
+    )
+    return co.agg(
+        F.expr("coalesce(sum(cnt * (cnt - 1)), 0) DIV 2")
+        .cast("long")
+        .alias("butterflies")
+    )
+
+
 # DuckDB oracle text ({SRC} = transcripts relation, {CAP} = per-part cap,
 # {MIN} = min pair count) — same derivation, verbatim.
 TOOL_COOCCURRENCE_SQL_TEMPLATE = """

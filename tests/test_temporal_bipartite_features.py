@@ -236,3 +236,47 @@ def test_pmi_golden(spark):
     assert got[(0, 1)] == (4.0 * N) / (5.0 * 4.0)
     assert got[(0, 2)] == (1.0 * N) / (5.0 * 6.0)
     assert got[(1, 2)] == (5.0 * N) / (5.0 * 6.0)
+
+
+def test_butterfly_count_golden(spark):
+    from approximate_pagerank_public_spark.operators.bipartite import (
+        butterfly_count,
+    )
+
+    # p1:{a,b}, p2:{a,b} -> exactly one butterfly; p3:{a,c} adds none
+    inc = spark.createDataFrame(
+        [("p1", "a"), ("p1", "b"), ("p2", "a"), ("p2", "b"), ("p3", "a"),
+         ("p3", "c")],
+        "part string, item string",
+    )
+    assert butterfly_count(inc, "part", "item").first()["butterflies"] == 1
+    # complete 3x3 biclique: C(3,2)^2 = 9 butterflies
+    full = spark.createDataFrame(
+        [(f"p{i}", f"i{j}") for i in range(3) for j in range(3)],
+        "part string, item string",
+    )
+    assert butterfly_count(full, "part", "item").first()["butterflies"] == 9
+
+
+def test_butterfly_count_random_matches_brute(spark):
+    from itertools import combinations
+
+    from approximate_pagerank_public_spark.operators.bipartite import (
+        butterfly_count,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = {(int(p), int(i)) for p, i in zip(
+        rng.integers(0, 12, 120), rng.integers(0, 8, 120))}
+    items_of = {}
+    for p, i in rows:
+        items_of.setdefault(p, set()).add(i)
+    want = 0
+    for p, q in combinations(sorted(items_of), 2):
+        c = len(items_of[p] & items_of[q])
+        want += c * (c - 1) // 2
+    inc = spark.createDataFrame(
+        [(p, i) for p, i in sorted(rows)], "part int, item int"
+    )
+    got = butterfly_count(inc, "part", "item").first()["butterflies"]
+    assert got == want, (got, want)
