@@ -1824,6 +1824,22 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_split(docs, seed="split").select("doc_id", "split")
 
 
+def q_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli thinning by the quality score: keep iff
+    md5 bucket < the weight's stable6 integer (operators/sampling.py::
+    quality_resample) — a pure map, growth-invariant."""
+    from approximate_pagerank_public_spark.operators.sampling import (
+        quality_resample,
+    )
+    from approximate_pagerank_public_spark.operators.textstats import (
+        quality_score,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = quality_resample(quality_score(docs), weight_col="quality")
+    return kept.select("doc_id", _stable6("quality").alias("quality"))
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smallest-k-by-md5 per language — a deterministic reservoir sample."""
     from approximate_pagerank_public_spark.operators.sampling import (
@@ -2190,6 +2206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic": q_harmonic,
         "dedup_clusters": q_dedup_clusters,
         "dataset_split": q_dataset_split,
+        "quality_resample": q_quality_resample,
         "stratified_sample": q_stratified_sample,
         "split_contamination": q_split_contamination,
         "repetition_stats": q_repetition_stats,
@@ -4918,6 +4935,21 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) % 1000000 AS bk FROM documents) "
             "SELECT doc_id, CASE WHEN bk < 800000 THEN 'train' "
             "WHEN bk < 900000 THEN 'val' ELSE 'test' END AS split FROM b"
+        ),
+        "quality_resample": (
+            "WITH t AS (SELECT doc_id, text, length(text) AS len, "
+            "  length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct, "
+            "  string_split_regex(lower(text), '\\s+') AS toks FROM documents), "
+            "s AS (SELECT doc_id, "
+            "  least(len / 500.0, 1.0) AS len_score, "
+            "  CAST(n_punct AS DOUBLE) / greatest(len, 1) AS punct_ratio, "
+            f"  CAST(len(list_filter(toks, x -> list_contains({stop}, x))) AS DOUBLE) "
+            "    / greatest(length(toks), 1) AS stopword_ratio FROM t), "
+            "q AS (SELECT doc_id, (0.4 * len_score + 0.3 * least(stopword_ratio * 3, 1.0) "
+            "      + 0.3 * (1.0 - least(punct_ratio * 4, 1.0))) AS quality FROM s) "
+            "SELECT doc_id, floor(quality * 1000000.0) / 1000000.0 AS quality FROM q "
+            "WHERE CAST('0x' || substr(md5('qres:' || CAST(doc_id AS VARCHAR)), 1, 15) "
+            "AS BIGINT) % 1000000 < CAST(floor(quality * 1000000.0) AS BIGINT)"
         ),
         "stratified_sample": (
             "WITH b AS (SELECT doc_id, lang, "

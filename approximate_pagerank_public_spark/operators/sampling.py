@@ -83,6 +83,26 @@ def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
     return out
 
 
+def quality_resample(
+    df: DataFrame,
+    weight_col: str = "quality",
+    id_col: str = "doc_id",
+    seed: str = "qres",
+) -> DataFrame:
+    """Deterministic Bernoulli thinning by a per-row weight in [0, 1]
+    (the DCLM/FineWeb-style quality resample): keep a row iff its md5
+    bucket (millionths) is below ``floor(weight * 10^6)``.
+
+    The threshold is the weight's stable6 integer — the identical
+    truncation the oracles use for float columns — so the keep/drop
+    decision is a pure integer comparison both engines replay exactly,
+    even though the weight itself is a float expression. A pure map:
+    no shuffle, growth-invariant (adding documents never flips an
+    existing row's decision), expected keep fraction = mean weight."""
+    thr = F.floor(F.col(weight_col) * F.lit(1_000_000.0)).cast("long")
+    return df.where(hash_bucket(id_col, seed) < thr)
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str = "lang",

@@ -64,3 +64,28 @@ def test_stratified_sample_partitioning_invariant(docs):
         for r in stratified_sample(docs.repartition(13), k=5).collect()
     }
     assert a == b
+
+
+def test_quality_resample_deterministic_and_weight_monotone(spark):
+    from approximate_pagerank_public_spark.operators.sampling import (
+        quality_resample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 1.0 if i < 100 else (0.0 if i < 200 else 0.5))
+         for i in range(1000)],
+        "doc_id long, quality double",
+    )
+    kept = quality_resample(df).toPandas()
+    # weight 1.0 -> always kept; weight 0.0 -> never kept
+    assert (kept.quality >= 0.5).all()
+    assert set(range(100)) <= set(kept.doc_id)
+    half = kept[kept.quality == 0.5]
+    # 800 rows at p=0.5: keep fraction within loose binomial bounds
+    assert 300 <= len(half) <= 500
+    # pure function of (seed, id): re-run identical
+    again = quality_resample(df).toPandas()
+    assert sorted(again.doc_id) == sorted(kept.doc_id)
+    # growth-invariance: thinning a subset never flips decisions
+    sub = quality_resample(df.where("doc_id < 500")).toPandas()
+    assert set(sub.doc_id) == {d for d in kept.doc_id if d < 500}
