@@ -1284,6 +1284,19 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(docs, k=50)
 
 
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc out-of-vocabulary rate vs the corpus top-10 vocabulary
+    (operators/textstats.py::oov_rate) — broadcast vocab join, integer
+    counts, stable6 rate."""
+    from approximate_pagerank_public_spark.operators.textstats import oov_rate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r = oov_rate(docs, k=10)
+    return r.select(
+        "doc_id", "n_tok", "n_oov", _stable6("oov_rate").alias("oov_rate")
+    )
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from approximate_pagerank_public_spark.operators.textstats import quality_score
 
@@ -2165,6 +2178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "doclen_quantiles": q_doclen_quantiles,
         "vocab_topk": q_vocab_topk,
+        "oov_rate": q_oov_rate,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -4830,6 +4844,20 @@ def oracle_sql() -> dict[str, str]:
             "c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks "
             "WHERE token <> '' GROUP BY token) "
             "SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT 50"
+        ),
+        "oov_rate": (
+            "WITH toks AS (SELECT doc_id, unnest(string_split_regex("
+            "lower(trim(text)), '\\s+')) AS token FROM documents), "
+            "tk AS (SELECT doc_id, token FROM toks WHERE token <> ''), "
+            "c AS (SELECT token, count(*) AS n FROM tk GROUP BY token), "
+            "v AS (SELECT token FROM c ORDER BY n DESC, token ASC LIMIT 10), "
+            "a AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok, "
+            "CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_oov FROM tk t LEFT JOIN v ON v.token = t.token "
+            "GROUP BY t.doc_id) "
+            "SELECT doc_id, n_tok, n_oov, "
+            "floor((CAST(n_oov AS DOUBLE) / n_tok) * 1000000.0) / 1000000.0 "
+            "AS oov_rate FROM a"
         ),
         "quality_score": (
             "WITH t AS (SELECT doc_id, text, length(text) AS len, "

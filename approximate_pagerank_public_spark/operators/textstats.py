@@ -135,6 +135,46 @@ def vocab_topk(
     )
 
 
+def oov_rate(
+    docs: DataFrame,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, n_tok, n_oov, oov_rate)`` — fraction of a document's
+    whitespace tokens outside the corpus top-``k`` vocabulary (ties
+    lexicographic; same tokenizer as :func:`vocab_topk`). The classic
+    out-of-vocabulary quality signal: high OOV rate flags boilerplate,
+    non-target-language, or garbled text.
+
+    Scale shape: the vocabulary is k rows — a **broadcast** join against
+    the exploded token stream, so the per-doc aggregate is map-side
+    combinable and the only shuffle is the groupBy(doc_id). Documents
+    with zero tokens emit no row (no token stream to rate)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("token"),
+    ).where(F.col("token") != "")
+    vocab = vocab_topk(docs, k=k, text_col=text_col).select(
+        "token", F.lit(1).alias("_in")
+    )
+    j = toks.join(F.broadcast(vocab), "token", "left")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tok"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate", F.col("n_oov").cast("double") / F.col("n_tok")
+        )
+    )
+
+
 def tfidf_topk(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -284,3 +284,24 @@ def test_exact_int_quantiles_ties_and_single_row(spark):
     one = spark.createDataFrame([(42,)], "x long")
     r = exact_int_quantiles(one, "x", (50,)).first()
     assert (r["n"], r["rank"], r["value"]) == (1, 0, 42)
+
+
+def test_oov_rate_golden(spark):
+    from approximate_pagerank_public_spark.operators.textstats import oov_rate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat the cat the"),  # all in top-2 vocab {the, cat}
+            (2, "the zebra quokka"),     # 2 of 3 OOV
+            (3, "   "),                  # no tokens -> no row
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tok"], r["n_oov"], r["oov_rate"])
+        for r in oov_rate(docs, k=2).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1] == (5, 0, 0.0)
+    assert got[2][0] == 3 and got[2][1] == 2
+    assert abs(got[2][2] - 2 / 3) < 1e-12
