@@ -1,22 +1,31 @@
-"""Ingest-time cardinality maintenance: a streaming HyperLogLog whose
-registers live in Structured Streaming state.
+"""Ingest-time sketch maintenance: a streaming HyperLogLog and a
+streaming count-min sketch whose registers live in Structured
+Streaming state.
 
-The batch sketch (``functions/sketch.py::approx_distinct_hll``) scans
-the whole corpus; at ingest a 100-TB pipeline wants the running
-"distinct texts per role so far" updated per micro-batch without
-rescanning. HLL registers merge by max, i.e. they are a monotone CRDT —
-the ideal streaming state: per (group, register) the state is ONE small
-int, updates are idempotent and commutative, so at-least-once replay
-can never corrupt the estimate.
+The batch sketches (``functions/sketch.py``) scan the whole corpus; at
+ingest a 100-TB pipeline wants the running "distinct texts per role so
+far" / "token frequency table so far" updated per micro-batch without
+rescanning. Both sketches are ideal streaming state:
 
-Keyed by ``(group, register)`` — 256 keys per group at most — each
-micro-batch computes its map-side register maxes (the SAME md5
-derivation as the batch sketch, JVM-side) and the stateful function
-folds them into the stored register. The emitted rows are the updated
-registers; ``estimate_from_registers`` turns any snapshot of them into
-the batch-identical estimate, so after the last micro-batch the
-cumulative registers EQUAL the batch sketch's register-for-register
-(parity-tested in ``tests/test_sketch_stream.py``).
+- HLL registers merge by max — a monotone CRDT: per (group, register)
+  the state is ONE small int, updates are idempotent and commutative,
+  so at-least-once replay can never corrupt the estimate.
+- Count-min cells merge by + — per (d, w) the state is ONE long and
+  each micro-batch contributes its map-side partial count (the shuffle
+  per batch is bounded by depth × width cells, never by row count);
+  the state-store commit is transactional with the micro-batch, so the
+  running counts are exactly-once under restart (restart-tested for
+  the same state machinery in ``tests/test_stream.py``).
+
+Keyed by ``(group, register)`` / ``(d, w)`` — at most 256 keys per
+group / depth·width keys total — each micro-batch computes its
+map-side partials (the SAME md5 derivation as the batch sketches,
+JVM-side) and the stateful function folds them into the stored cell.
+The emitted rows are the updated cells; ``estimate_from_registers`` /
+``functions/sketch.py::count_min_estimate`` turn any snapshot into the
+batch-identical answer, so after the last micro-batch the cumulative
+state EQUALS the batch sketch cell-for-cell (parity-tested in
+``tests/test_sketch_stream.py``).
 """
 
 from __future__ import annotations
@@ -27,6 +36,7 @@ from pyspark.sql import functions as F
 from approximate_pagerank_public_spark.functions.sketch import (
     ALPHA_M2,
     M,
+    _cms_hash,
     hll_register_cols,
 )
 
@@ -68,6 +78,52 @@ def _hll_group(key, pdf_iter, state):
     yield pd.DataFrame(
         {"group": [group], "register": [register], "mr": [mr]}
     )
+
+
+_CMS_OUT_SCHEMA = "d int, w int, cnt long"
+_CMS_STATE_SCHEMA = "cnt long"
+
+
+def stateful_cms(
+    stream: DataFrame, value_col: str, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """``(d, w, cnt)`` per micro-batch — the running count-min cells,
+    additive across batches. State per key: one long. A snapshot after
+    all data equals ``count_min_build`` on the batch cell-for-cell
+    (counts only grow, so reduce a memory-sink snapshot by max)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    rows = stream.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_hash(value_col, d, width).alias("w"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("dw")
+    ).select("dw.d", "dw.w")
+    return rows.groupBy("d", "w").applyInPandasWithState(
+        _cms_group,
+        _CMS_OUT_SCHEMA,
+        _CMS_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def _cms_group(key, pdf_iter, state):
+    import pandas as pd
+
+    d, w = key
+    cnt = int(state.get[0]) if state.exists else 0
+    for pdf in pdf_iter:
+        cnt += len(pdf)
+    state.update((cnt,))
+    yield pd.DataFrame({"d": [d], "w": [w], "cnt": [cnt]})
 
 
 def estimate_from_registers(registers: DataFrame) -> DataFrame:
