@@ -748,6 +748,21 @@ def q_approx_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_diameter(g, 0)
 
 
+def q_exact_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT diameter (iFUB, Crescenzi et al. 2013) of the undirected
+    component containing the max-degree vertex (ties → smallest id).
+    The engine examines BFS-tree fringes by descending root distance
+    with batched multi-source eccentricity sweeps; the oracle computes
+    the true all-pairs diameter of the same component independently —
+    iFUB is exact for any root, so the values must agree."""
+    from approximate_pagerank_public_spark.operators.traversal import (
+        exact_diameter,
+    )
+
+    g = _graph(spark, sf_dir)
+    return exact_diameter(g)
+
+
 def q_fbfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference fbfs (fbfs.gm): visit-counter-gated prop/dist writes,
     deterministic (level, id) visit order — fully oracle-checked."""
@@ -2150,6 +2165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": q_betweenness,
         "bfs_dist": q_bfs_from_min_conv,
         "approx_diameter": q_approx_diameter,
+        "exact_diameter": q_exact_diameter,
         "random_walks": q_random_walks,
         "scc": q_scc,
         "sssp_dist": q_sssp_dist,
@@ -4622,6 +4638,24 @@ def oracle_sql() -> dict[str, str]:
             "d2 AS (SELECT id, min(dist) AS dist FROM r2 GROUP BY id) "
             "SELECT CAST(0 AS BIGINT) AS start, (SELECT id FROM pk) AS peak, "
             "(SELECT max(dist) FROM d2) AS diameter_lb"
+        ),
+        "exact_diameter": (
+            f"WITH RECURSIVE e AS ({e_sql}), "
+            "und AS (SELECT src, dst FROM e WHERE src <> dst "
+            "UNION SELECT dst, src FROM e WHERE src <> dst), "
+            "deg AS (SELECT src AS id, count(*) AS dg FROM und GROUP BY src), "
+            "st AS (SELECT id FROM deg ORDER BY dg DESC, id ASC LIMIT 1), "
+            "comp(id) AS ("
+            "  SELECT id FROM st "
+            "  UNION "
+            "  SELECT und.dst FROM comp JOIN und ON comp.id = und.src), "
+            "allp(s, id, dist) AS ("
+            "  SELECT id, id, CAST(0 AS BIGINT) FROM comp "
+            "  UNION "
+            "  SELECT allp.s, und.dst, allp.dist + 1 FROM allp "
+            "  JOIN und ON allp.id = und.src WHERE allp.dist < 50), "
+            "d AS (SELECT s, id, min(dist) AS dist FROM allp GROUP BY s, id) "
+            "SELECT (SELECT id FROM st) AS start, max(dist) AS diameter FROM d"
         ),
         "hll_distinct": _hll_distinct_oracle(),
         "anf_hyperball": _anf_hyperball_oracle(4),

@@ -303,6 +303,62 @@ def approx_diameter(graph: Graph, start: int = 0) -> DataFrame:
 
 
 
+def exact_diameter(graph: Graph, batch: int = 64) -> DataFrame:
+    """EXACT diameter of the undirected component containing the
+    max-degree vertex, by iFUB (Crescenzi-Grossi-Habib-Lanzi-Marino
+    2013): BFS from a high-degree root, then examine fringe vertices by
+    DESCENDING root-distance — every vertex at level i has all its
+    > 2(i-1)-long pairs covered once its eccentricity is known, so the
+    loop stops as soon as ``lb >= 2i`` with levels > i done (any pair
+    longer than 2i needs an endpoint deeper than i, and those are all
+    examined). On real (small-world)
+    graphs that is a handful of levels and a few dozen eccentricity
+    evaluations instead of |V| — and each level's evaluations are
+    batched through the shared frontier-sparse multi-source BFS
+    (``bfs_stats``), so a level costs ONE (N, S)-block traversal, not S
+    sequential sweeps.
+
+    Root pick is deterministic and oracle-replayable (max symmetrized
+    degree, ties → smallest id); the RESULT is pick-independent (iFUB
+    is exact for any root), so the DuckDB oracle simply computes the
+    true all-pairs diameter of the root's component. Returns one row
+    ``(start, diameter)``.
+
+    Scale shape: the per-level candidate lists collected to the driver
+    are the BFS-tree fringes — the deepest levels of a small-world
+    graph hold a vanishing fraction of |V| (the algorithm's published
+    termination behavior), and each is consumed in ``batch``-sized
+    multi-source sweeps; nothing else leaves the cluster.
+    """
+    gu = graph.undirected()
+    root_row = (
+        gu.edges.groupBy("src")
+        .agg(F.count("*").alias("dg"))
+        .orderBy(F.col("dg").desc(), F.col("src").asc())
+        .first()
+    )
+    start = int(root_row["src"])
+    dists = bfs(gu, start).select("id", "dist").persist()
+    ecc_start = int(dists.agg(F.max("dist")).first()[0])
+    lb = ecc_start
+    i = ecc_start
+    while i > 0 and lb < 2 * i:
+        vs = [
+            int(r["id"])
+            for r in dists.where(F.col("dist") == i).select("id").collect()
+        ]
+        for k in range(0, len(vs), batch):
+            chunk = vs[k : k + batch]
+            got = eccentricity(gu, chunk).agg(F.max("ecc")).first()[0]
+            lb = max(lb, int(got))
+        i -= 1
+    dists.unpersist()
+    import pandas as pd
+
+    pdf = pd.DataFrame({"start": [start], "diameter": [int(lb)]})
+    return graph.spark.createDataFrame(pdf, "start long, diameter long")
+
+
 def multi_source_bfs_block(
     graph: Graph, sources: list[int], max_levels: int = 10_000
 ) -> DataFrame:

@@ -280,3 +280,91 @@ def test_relax_block_selection_strategies_agree():
     for a, b in [(r_sparse, r_dense), (r_dense, r_bu)]:
         assert np.array_equal(a[0], b[0])
         assert np.array_equal(a[1], b[1])
+
+
+def test_exact_diameter_path_star_cycle(spark):
+    from approximate_pagerank_public_spark.operators.traversal import (
+        exact_diameter,
+    )
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    # 10-vertex path: diameter 9 (root = max-deg tie -> smallest id)
+    g = Graph.from_edge_arrays(
+        spark, list(range(9)), list(range(1, 10)), num_vertices=10, num_partitions=4
+    )
+    row = exact_diameter(g).first()
+    assert row["diameter"] == 9
+    g.unpersist()
+
+    # star: center 0 with 6 leaves -> diameter 2, root must be 0
+    g = Graph.from_edge_arrays(
+        spark, [0] * 6, list(range(1, 7)), num_vertices=7, num_partitions=4
+    )
+    row = exact_diameter(g).first()
+    assert (row["start"], row["diameter"]) == (0, 2)
+    g.unpersist()
+
+    # 8-cycle: diameter 4
+    g = Graph.from_edge_arrays(
+        spark,
+        list(range(8)),
+        [(i + 1) % 8 for i in range(8)],
+        num_vertices=8,
+        num_partitions=4,
+    )
+    assert exact_diameter(g).first()["diameter"] == 4
+    g.unpersist()
+
+
+def test_exact_diameter_component_of_root(spark):
+    """Two components: the answer is the diameter of the max-degree
+    vertex's component (star, diameter 2), not the longer path off in
+    the other component."""
+    from approximate_pagerank_public_spark.operators.traversal import (
+        exact_diameter,
+    )
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    src = [0, 0, 0, 0] + [10, 11, 12, 13]
+    dst = [1, 2, 3, 4] + [11, 12, 13, 14]
+    g = Graph.from_edge_arrays(
+        spark, src, dst, num_vertices=15, num_partitions=4
+    )
+    row = exact_diameter(g).first()
+    assert (row["start"], row["diameter"]) == (0, 2)
+    g.unpersist()
+
+
+def test_exact_diameter_matches_golden_random(g_rand):
+    """iFUB vs brute-force all-pairs BFS on the undirected g_rand
+    component of the max-degree vertex."""
+    from collections import deque
+
+    from approximate_pagerank_public_spark.operators.traversal import (
+        exact_diameter,
+    )
+
+    src, dst, _ = g_rand.edges_numpy()
+    adj = {}
+    for u, v in zip(src.tolist(), dst.tolist()):
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    root = max(adj, key=lambda u: (len(adj[u]), -u))
+
+    def _bfs_far(s):
+        seen = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for w in adj.get(u, ()):
+                if w not in seen:
+                    seen[w] = seen[u] + 1
+                    q.append(w)
+        return seen
+
+    comp = list(_bfs_far(root))
+    want = max(max(_bfs_far(s).values()) for s in comp)
+    row = exact_diameter(g_rand).first()
+    assert (row["start"], row["diameter"]) == (root, want)
