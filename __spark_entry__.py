@@ -1781,6 +1781,19 @@ def q_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skipgram_pairs(corpus, window=2)
 
 
+def q_trussness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full truss decomposition (Cohen 2008): per-edge trussness by
+    incremental simultaneous peeling. The k-truss is the unique maximal
+    subgraph, so the oracle's own unrolled peel (round counts replayed
+    by ``_replay_trussness_schedule``) must agree edge-for-edge."""
+    from approximate_pagerank_public_spark.operators.triangles import (
+        truss_decomposition,
+    )
+
+    g = _graph(spark, sf_dir)
+    return truss_decomposition(g)
+
+
 def q_ktruss4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-truss edge set via simultaneous peeling; the oracle unrolls the
     replayed peel rounds (idempotent past fixpoint)."""
@@ -2231,6 +2244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec": q_node2vec,
         "skipgram": q_skipgram,
         "ktruss4": q_ktruss4,
+        "trussness": q_trussness,
         "mis": q_mis,
         "greedy_coloring": q_greedy_coloring,
         "harmonic": q_harmonic,
@@ -2468,6 +2482,87 @@ def _ktruss_oracle(k: int = 4) -> str:
             f"JOIN s{r} s ON s.u = x.u AND s.v = x.v AND s.sup >= {thr}), "
         )
     return "".join(parts).rstrip(", ") + f" SELECT u, v FROM e{rounds + 1}"
+
+
+def _replay_trussness_schedule(
+    sf_dir: str | None = None,
+) -> list[tuple[int, int]]:
+    """Replay full truss decomposition in pure Python over the oracle's
+    own edge table; returns ``[(k, dropping_rounds)]`` per level until
+    the k-truss empties (trussness is schedule-independent, so this
+    only pins the UNROLL DEPTH of the SQL peel, not the answer)."""
+    sf_dir = sf_dir or _oracle_sf_dir()
+    key = ("trussness_schedule", sf_dir)
+    if key in _REPLAY_CACHE:
+        return _REPLAY_CACHE[key]
+    src, dst, _w, _n = _duck_edge_arrays(sf_dir)
+    edges = {
+        (min(a, b), max(a, b))
+        for a, b in zip(src.tolist(), dst.tolist())
+        if a != b
+    }
+    schedule: list[tuple[int, int]] = []
+    k = 2
+    while edges:
+        k += 1
+        thr = k - 2
+        rounds = 0
+        while True:
+            adj: dict[int, set[int]] = {}
+            for u, v in edges:
+                adj.setdefault(u, set()).add(v)
+                adj.setdefault(v, set()).add(u)
+            nxt = {(u, v) for u, v in edges if len(adj[u] & adj[v]) >= thr}
+            if nxt == edges:
+                break
+            rounds += 1
+            edges = nxt
+        schedule.append((k, rounds))
+    _REPLAY_CACHE[key] = schedule
+    return schedule
+
+
+def _trussness_oracle() -> str:
+    """Chained unrolled peels, one block per k level (round counts
+    replayed by :func:`_replay_trussness_schedule`); trussness k-1 =
+    anti-diff of consecutive level fixpoints. All integers ⇒
+    hash-exact."""
+    schedule = _replay_trussness_schedule()
+    e_sql = _duck_edges_sql()
+    parts = [
+        f"WITH e AS MATERIALIZED ({e_sql}), ",
+        "t2 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, "
+        "greatest(src, dst) AS v FROM e WHERE src <> dst), ",
+    ]
+    prev = "t2"
+    selects = []
+    for k, rounds in schedule:
+        thr = k - 2
+        cur = prev
+        for r in range(1, rounds + 1):
+            nm = f"k{k}r{r}"
+            parts.append(
+                f"{nm}t AS (SELECT ab.a, ab.b, bc.c FROM "
+                f"(SELECT u AS a, v AS b FROM {cur}) ab JOIN "
+                f"(SELECT u AS b, v AS c FROM {cur}) bc USING (b) "
+                f"WHERE EXISTS (SELECT 1 FROM {cur} x "
+                "WHERE x.u = ab.a AND x.v = bc.c)), "
+                f"{nm}s AS (SELECT u, v, count(*) AS sup FROM ("
+                f"SELECT a AS u, b AS v FROM {nm}t UNION ALL "
+                f"SELECT b, c FROM {nm}t UNION ALL "
+                f"SELECT a, c FROM {nm}t) GROUP BY u, v), "
+                f"{nm} AS MATERIALIZED (SELECT x.u, x.v FROM {cur} x "
+                f"JOIN {nm}s s ON s.u = x.u AND s.v = x.v "
+                f"AND s.sup >= {thr}), "
+            )
+            cur = nm
+        selects.append(
+            f"SELECT x.u, x.v, CAST({k - 1} AS BIGINT) AS trussness "
+            f"FROM {prev} x WHERE NOT EXISTS "
+            f"(SELECT 1 FROM {cur} y WHERE y.u = x.u AND y.v = x.v)"
+        )
+        prev = cur
+    return "".join(parts).rstrip(", ") + " " + " UNION ALL ".join(selects)
 
 
 def _replay_coloring_rounds(seed: str = "col", sf_dir: str | None = None) -> int:
@@ -4968,6 +5063,7 @@ def oracle_sql() -> dict[str, str]:
         "node2vec": _node2vec_oracle(4, 1, 4, 2, "n2v"),
         "skipgram": _skipgram_oracle(4, 2, "rw"),
         "ktruss4": _ktruss_oracle(4),
+        "trussness": _trussness_oracle(),
         "mis": _mis_oracle(),
         "greedy_coloring": _coloring_oracle(),
         "harmonic": (

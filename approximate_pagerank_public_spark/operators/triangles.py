@@ -288,6 +288,81 @@ def k_truss(graph: Graph, k: int = 4, max_rounds: int = 100) -> tuple[DataFrame,
     return e, rounds
 
 
+def truss_decomposition(
+    graph: Graph, max_k: int = 100, max_rounds: int = 1000
+) -> DataFrame:
+    """``(u, v, trussness)`` for every canonical undirected edge —
+    trussness(e) = the largest k such that e survives in the k-truss
+    (Cohen 2008). The k-truss is the unique maximal subgraph, so the
+    values are schedule-independent: the DuckDB oracle recomputes the
+    same sets with its own unrolled peel and must agree edge-for-edge.
+
+    Incremental peel: the (k+1)-truss is a subgraph of the k-truss, so
+    each k level starts from the previous fixpoint and only ever
+    shrinks — total support work is Σ_k (rounds_k × wedge volume of the
+    surviving subgraph), the standard distributed truss-decomposition
+    shape. Edges dropped while peeling at threshold k-2 get trussness
+    k-1; the loop ends when a level's fixpoint is empty. Every step is
+    the wedge join + map-side-combinable count of :func:`k_truss`;
+    per-level lineage truncated via ``local_ckpt``; labels accumulate
+    as a lazily-unioned DataFrame collapsed per level.
+    """
+    from approximate_pagerank_public_spark.plans.checkpoint import (
+        free_local_ckpt,
+        local_ckpt,
+    )
+
+    spark = graph.spark
+    p = graph.num_partitions
+    active, a_ids = local_ckpt(canonical_edges(graph).repartition(p, "u"))
+    n_active = active.count()
+    out: DataFrame | None = None
+    out_ids: list = []
+    k = 2
+    while n_active and k < max_k:
+        k += 1
+        thr = k - 2
+        before, before_ids = active, a_ids
+        rounds = 0
+        while rounds < max_rounds:
+            rounds += 1
+            tri = _triangles_of(active)
+            strong = (
+                tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+                .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+                .unionAll(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+                .groupBy("u", "v")
+                .agg(F.count("*").alias("sup"))
+                .where(F.col("sup") >= F.lit(thr))
+                .select("u", "v")
+            )
+            kept, kept_ids = local_ckpt(
+                active.join(strong, ["u", "v"], "left_semi").repartition(p, "u")
+            )
+            n = kept.count()
+            if active is not before:
+                free_local_ckpt(spark, a_ids)
+            active, a_ids = kept, kept_ids
+            if n == n_active:
+                break
+            n_active = n
+        dropped = before.join(active, ["u", "v"], "left_anti").select(
+            "u", "v", F.lit(k - 1).cast("long").alias("trussness")
+        )
+        labeled = dropped if out is None else out.unionAll(dropped)
+        # one collapse per k level keeps the plan depth O(1) and lets
+        # the superseded label checkpoints + the pre-level edge set go
+        collapsed, c_ids = local_ckpt(labeled.repartition(p, "u"))
+        collapsed.count()
+        free_local_ckpt(spark, out_ids)
+        free_local_ckpt(spark, before_ids)
+        out, out_ids = collapsed, c_ids
+    free_local_ckpt(spark, a_ids)
+    return out if out is not None else canonical_edges(graph).select(
+        "u", "v", F.lit(2).cast("long").alias("trussness")
+    ).where(F.lit(False))
+
+
 def sampled_triangle_estimate(
     graph: Graph, q: int = 3, salt: str = "tri"
 ) -> DataFrame:
