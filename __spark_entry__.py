@@ -1025,6 +1025,16 @@ def q_anf_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anf_hyperball(g, rounds=4).neighborhood_function()
 
 
+def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANF effective diameter (Palmer et al. 2002 readout): smallest
+    round r with NF(r) ≥ 0.9·NF(4) over the HyperBall neighborhood
+    function — one IEEE multiply over exact integer micro-unit sums."""
+    from approximate_pagerank_public_spark.operators.anf import anf_hyperball
+
+    g = _graph(spark, sf_dir)
+    return anf_hyperball(g, rounds=4).effective_diameter_df(q=0.9)
+
+
 def q_hyperball_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperBall geometric centrality (Boldi–Vigna 2013): approximate
     harmonic centrality for ALL vertices from the per-round ball deltas
@@ -2187,6 +2197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_events": q_exact_dedup_events,
         "hll_distinct": q_hll_distinct,
         "anf_hyperball": q_anf_hyperball,
+        "effective_diameter": q_effective_diameter,
         "hyperball_harmonic": q_hyperball_harmonic,
         "landmark_dist": q_landmark_dist,
         "click_attribution": q_click_attribution,
@@ -4062,6 +4073,16 @@ def _anf_hyperball_oracle(rounds: int) -> str:
     return anf_oracle_sql(_duck_edges_sql(), _duck_vertices_sql(), rounds)
 
 
+def _effective_diameter_oracle(rounds: int) -> str:
+    from approximate_pagerank_public_spark.operators.anf import (
+        effective_diameter_oracle_sql,
+    )
+
+    return effective_diameter_oracle_sql(
+        _duck_edges_sql(), _duck_vertices_sql(), rounds, q=0.9
+    )
+
+
 def _hyperball_harmonic_oracle(rounds: int) -> str:
     from approximate_pagerank_public_spark.operators.anf import (
         hyperball_harmonic_oracle_sql,
@@ -4754,6 +4775,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hll_distinct": _hll_distinct_oracle(),
         "anf_hyperball": _anf_hyperball_oracle(4),
+        "effective_diameter": _effective_diameter_oracle(4),
         "hyperball_harmonic": _hyperball_harmonic_oracle(4),
         "landmark_dist": _landmark_dist_oracle(),
         "bloom_membership": _bloom_membership_oracle(),

@@ -99,6 +99,31 @@ class ANFResult:
     def neighborhood_function(self) -> DataFrame:
         return self._nf
 
+    def effective_diameter_df(self, q: float = 0.9) -> DataFrame:
+        """One row ``(eff_diameter_round, nf_micro, nf_total_micro)`` —
+        the smallest round r with NF(r) >= q·NF(rounds) (the classic
+        ANF/graphs-over-time effective-diameter readout, non-
+        interpolated variant). The comparison is ONE IEEE multiply of
+        the exact integer micro-unit sums, so it replays bit-exactly;
+        everything happens over the ≤ rounds+1 NF rows."""
+        last = self._nf.orderBy(F.col("round").desc()).limit(1).select(
+            F.col("nf_micro").alias("nf_total_micro")
+        )
+        hit = (
+            self._nf.crossJoin(F.broadcast(last))
+            .where(
+                F.col("nf_micro").cast("double")
+                >= F.lit(float(q)) * F.col("nf_total_micro").cast("double")
+            )
+            .orderBy(F.col("round").asc())
+            .limit(1)
+        )
+        return hit.select(
+            F.col("round").cast("long").alias("eff_diameter_round"),
+            "nf_micro",
+            "nf_total_micro",
+        )
+
     def effective_diameter(self, q: float = 0.9) -> int:
         """Smallest round r with NF(r) >= q * NF(rounds) — integer
         comparison over the exact micro-unit sums (≤ rounds+1 rows)."""
@@ -804,6 +829,29 @@ def anf_oracle_sql(edges_sql: str, vertices_sql: str, rounds: int) -> str:
         "floor(CAST(nf_micro AS DOUBLE) / CAST(nf_last AS DOUBLE) * 1000000.0)"
         " / 1000000.0 AS frac_micro "
         "FROM nf CROSS JOIN total ORDER BY round"
+    )
+
+
+def effective_diameter_oracle_sql(
+    edges_sql: str, vertices_sql: str, rounds: int, q: float = 0.9
+) -> str:
+    """DuckDB replay of :meth:`ANFResult.effective_diameter_df`: the
+    same unrolled reach CTE + register pipeline as
+    :func:`anf_oracle_sql`, then the single IEEE multiply threshold
+    over the integer micro-unit NF sums."""
+    return (
+        "WITH "
+        + _anf_est_cte(edges_sql, vertices_sql, rounds)
+        + ", nf AS (SELECT round, "
+        "CAST(sum(CAST(floor(est * 1000000.0) AS BIGINT)) AS BIGINT) "
+        "AS nf_micro FROM est GROUP BY round), "
+        f"total AS (SELECT nf_micro AS nf_total_micro FROM nf "
+        f"WHERE round = {rounds}) "
+        "SELECT CAST(round AS BIGINT) AS eff_diameter_round, nf_micro, "
+        "nf_total_micro FROM nf CROSS JOIN total "
+        f"WHERE CAST(nf_micro AS DOUBLE) >= {q!r} * "
+        "CAST(nf_total_micro AS DOUBLE) "
+        "ORDER BY round ASC LIMIT 1"
     )
 
 

@@ -83,6 +83,10 @@ def test_effective_diameter_bounds(g_rand):
     assert 0 <= ed <= 4
     # q=0 degenerates to round 0
     assert res.effective_diameter(q=0.0) == 0
+    # the DataFrame readout agrees with the driver-side method
+    row = res.effective_diameter_df(q=0.9).first()
+    assert row["eff_diameter_round"] == res.effective_diameter(q=0.9)
+    assert row["nf_micro"] <= row["nf_total_micro"]
 
 
 def test_lc_table_shape():
