@@ -2145,6 +2145,31 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(pairs, n_vertices=g.num_vertices, n_neg=2, seed="neg")
 
 
+def q_weighted_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec unigram^0.75 negative sampling over the same skip-gram
+    pairs: slot-table draw from the degree^0.75 noise distribution
+    (integer ⌊√⌊√d³⌋⌋ weights — IEEE sqrt is correctly rounded in both
+    engines, libm pow is not)."""
+    from approximate_pagerank_public_spark.operators.gnnsample import (
+        weighted_negative_samples,
+    )
+    from approximate_pagerank_public_spark.operators.randomwalk import (
+        skipgram_pairs,
+    )
+
+    g = _graph(spark, sf_dir)
+    corpus = _walk_corpus(spark, sf_dir)
+    pairs = skipgram_pairs(corpus, window=2)
+    e = _edges(spark, sf_dir)
+    degrees = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return weighted_negative_samples(pairs, degrees, n_neg=2, seed="wneg")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcript_etl": q_transcript_etl,
@@ -2277,6 +2302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_pmi": q_skipgram_pmi,
         "gnn_khop": q_gnn_khop,
         "negative_sampling": q_negative_sampling,
+        "weighted_negative_sampling": q_weighted_negative_sampling,
         "salsa": q_salsa,
     }
 
@@ -4603,6 +4629,41 @@ def _negative_sampling_oracle(n_neg: int, seed: str) -> str:
     )
 
 
+def _weighted_negative_sampling_oracle(n_neg: int, seed: str) -> str:
+    """Same skip-gram pair oracle; negatives via the identical
+    degree^0.75 slot table (exclusive cumsum in id order, md5 % W slot
+    equi-join). All integers; sqrt chains are IEEE-exact-rounded."""
+    pairs = _skipgram_oracle(4, 2, "rw")
+    drw = (
+        f"CAST(CAST(('0x' || substring(md5('{seed}:' || "
+        "CAST(center AS VARCHAR) || ':' || CAST(context AS VARCHAR) "
+        "|| ':' || CAST(j AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)"
+    )
+    return (
+        f"WITH pairs AS MATERIALIZED ({pairs}), "
+        f"e AS MATERIALIZED ({_duck_edges_sql()}), "
+        "deg AS (SELECT id, count(*) AS degree FROM "
+        "(SELECT src AS id FROM e UNION ALL SELECT dst FROM e) GROUP BY id), "
+        "wt AS (SELECT id, CAST(floor(sqrt(CAST(floor(sqrt(d * d * d)) "
+        "AS DOUBLE))) AS BIGINT) AS w FROM "
+        "(SELECT id, CAST(least(degree, 200000) AS DOUBLE) AS d FROM deg "
+        "WHERE degree > 0)), "
+        "st AS (SELECT id, w, CAST(sum(w) OVER (ORDER BY id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - w AS BIGINT) "
+        "AS lo FROM wt WHERE w > 0), "
+        "tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM wt WHERE w > 0), "
+        "slots AS (SELECT unnest(range(lo, lo + w)) AS slot, id AS neg_id "
+        "FROM st) "
+        "SELECT center, context, 1 AS label FROM pairs "
+        "UNION ALL "
+        f"SELECT p.center, CAST(s.neg_id AS INTEGER) AS context, 0 AS label "
+        f"FROM (SELECT center, context, ({drw}) % (SELECT tw FROM tot) "
+        "AS slot FROM pairs, (SELECT unnest(range("
+        + str(int(n_neg))
+        + ")) AS j) js) p JOIN slots s USING (slot)"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     t_cte = _duck_transcripts_cte()
     e_sql = _duck_edges_sql()
@@ -5218,6 +5279,9 @@ def oracle_sql() -> dict[str, str]:
         "skipgram_pmi": _skipgram_pmi_oracle(4, 2, "rw"),
         "gnn_khop": _gnn_khop_oracle(8, [3, 2], "gnn"),
         "negative_sampling": _negative_sampling_oracle(2, "neg"),
+        "weighted_negative_sampling": _weighted_negative_sampling_oracle(
+            2, "wneg"
+        ),
         "salsa": _salsa_oracle(8),
     }
 

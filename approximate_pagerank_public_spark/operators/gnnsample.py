@@ -130,3 +130,95 @@ def negative_samples(
         )
     )
     return pos.unionAll(neg)
+
+
+def weighted_negative_samples(
+    pairs: DataFrame,
+    degrees: DataFrame,
+    n_neg: int = 2,
+    seed: str = "wneg",
+    deg_cap: int = 200_000,
+) -> DataFrame:
+    """word2vec-faithful negative sampling: negatives drawn from the
+    unigram^0.75 noise distribution (Mikolov et al. 2013) over vertex
+    degree instead of uniformly.
+
+    Determinism across engines: ``w_v = ⌊√⌊√(min(deg,cap)³)⌋⌋`` —
+    libm ``pow`` is NOT bit-standardized, but IEEE ``sqrt`` is
+    correctly rounded everywhere and ``cap³ < 2^53`` stays exactly
+    representable, so the integer slot weights replay bit-exactly in
+    DuckDB. Each vertex owns ``w_v`` slots ``[lo_v, lo_v + w_v)`` with
+    ``lo`` the exclusive cumsum of ``w`` in id order; a draw is
+    ``md5(seed:center:context:j) % W`` matched by slot EQUI-join —
+    word2vec's actual table-lookup sampler, distributed.
+
+    Scale shape: the cumsum is partition-parallel (range repartition by
+    id + per-partition window + broadcast driver offsets — the
+    ``densify_vertices`` pattern, no global single-partition window);
+    the slot table has ``W = Σ deg^0.75 ≤ Σ deg = 2|E|`` rows and the
+    draw join keys are uniform by construction (no skew). Zero-degree
+    vertices own no slots and are never drawn (word2vec never samples
+    unseen words). Output ``(center, context, label)``, all-integer.
+    """
+    from pyspark.sql.window import Window
+
+    spark = pairs.sparkSession
+    d = F.least(F.col("degree"), F.lit(int(deg_cap))).cast("double")
+    w_col = F.floor(
+        F.sqrt(F.floor(F.sqrt(d * d * d)).cast("double"))
+    ).cast("long")
+    weighted = (
+        degrees.where(F.col("degree") > 0)
+        .select(F.col("id"), w_col.alias("w"))
+        .where(F.col("w") > 0)
+    )
+    p = max(1, spark.sparkContext.defaultParallelism)
+    ranged = (
+        weighted.repartitionByRange(p, "id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()  # re-sampled range boundaries must not shift slots
+    )
+    sums = {
+        r["_pid"]: r["s"]
+        for r in ranged.groupBy("_pid").agg(F.sum("w").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += int(sums[pid])
+    total_w = acc
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+    )
+    win = Window.partitionBy("_pid").orderBy("id")
+    slots = (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .select(
+            "id",
+            (F.sum("w").over(win) - F.col("w") + F.col("_off")).alias("lo"),
+            "w",
+        )
+        .select(
+            F.explode(
+                F.sequence(F.col("lo"), F.col("lo") + F.col("w") - 1)
+            ).alias("slot"),
+            F.col("id").alias("neg_id"),
+        )
+    )
+    pos = pairs.select("center", "context", F.lit(1).alias("label"))
+    j = F.explode(F.sequence(F.lit(0), F.lit(n_neg - 1))).alias("j")
+    payload = F.concat_ws(
+        ":", F.lit(seed), F.col("center"), F.col("context"), F.col("j")
+    )
+    draw = F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
+    neg = (
+        pairs.select("center", "context", j)
+        .select("center", (draw % F.lit(total_w)).alias("slot"))
+        .join(slots, "slot")
+        .select(
+            "center",
+            F.col("neg_id").cast("int").alias("context"),
+            F.lit(0).alias("label"),
+        )
+    )
+    return pos.unionAll(neg)

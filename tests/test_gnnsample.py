@@ -110,3 +110,45 @@ def test_negative_samples_golden(spark):
             want.add((c, h % 100, 0))
     assert rows == want
     assert len(got) == 2 * 3  # exactly |pairs|·(1+n_neg) rows
+
+
+def test_weighted_negative_samples_golden(spark):
+    """Pure-Python replay of the slot table + md5 draws: weights are
+    floor-sqrt chains of capped degree cubes, slots are the exclusive
+    cumsum in id order."""
+    import math
+
+    from approximate_pagerank_public_spark.operators.gnnsample import (
+        weighted_negative_samples,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 1)], "center int, context int"
+    )
+    degs = {1: 16, 2: 1, 3: 81, 4: 0, 5: 2}
+    degrees = spark.createDataFrame(
+        list(degs.items()), "id int, degree int"
+    )
+    got = {
+        (r.center, r.context, r.label)
+        for r in weighted_negative_samples(
+            pairs, degrees, n_neg=2, seed="s"
+        ).collect()
+    }
+
+    def w_of(d):
+        return math.floor(math.sqrt(math.floor(math.sqrt(d * d * d))))
+
+    slots = []
+    for v in sorted(k for k, d in degs.items() if d > 0):
+        slots.extend([v] * w_of(degs[v]))
+    want = {(1, 2, 1), (3, 4, 1), (5, 1, 1)}
+    for c, ctx in [(1, 2), (3, 4), (5, 1)]:
+        for j in range(2):
+            h = int(
+                hashlib.md5(f"s:{c}:{ctx}:{j}".encode()).hexdigest()[:15], 16
+            )
+            want.add((c, slots[h % len(slots)], 0))
+    assert got == want
+    # degree-0 vertex owns no slots and can never be drawn
+    assert all(ctx != 4 for _, ctx, label in got if label == 0)
