@@ -824,6 +824,20 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_type_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-type mixing matrix + Newman attribute assortativity —
+    exact integer counts, one IEEE division (_stable6-truncated)."""
+    from approximate_pagerank_public_spark.operators.graphstats import (
+        type_mixing,
+    )
+
+    g = _graph(spark, sf_dir)
+    out = type_mixing(g)
+    return out.select(
+        "src_type", "dst_type", "edges", _stable6("r").alias("r")
+    )
+
+
 def q_avg_nbr_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed knn (Barrat 2004): per-vertex mean out-degree of
     out-neighbors — exact BIGINT sums, avg is one IEEE division."""
@@ -2203,6 +2217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity": q_modularity,
         "community_graph": q_community_graph,
         "assortativity": q_assortativity,
+        "type_mixing": q_type_mixing,
         "avg_nbr_degree": q_avg_nbr_degree,
         "reciprocity": q_reciprocity,
         "transitivity": q_transitivity,
@@ -3850,6 +3865,36 @@ def _assortativity_oracle() -> str:
     )
 
 
+def _type_mixing_oracle() -> str:
+    """Entity-type mixing matrix + Newman attribute assortativity —
+    exact BIGINT counts, one IEEE division, stable6-truncated; same as
+    `operators/graphstats.py::type_mixing`."""
+    e_sql = _duck_edges_sql()
+    v_sql = _duck_vertices_sql()
+    return (
+        f"WITH e AS MATERIALIZED ({e_sql}), "
+        f"vt AS MATERIALIZED (SELECT id, split_part(entity, ':', 1) AS ty "
+        f"FROM ({v_sql})), "
+        "typed AS (SELECT sv.ty AS src_type, dv.ty AS dst_type FROM e "
+        "JOIN vt sv ON sv.id = e.src JOIN vt dv ON dv.id = e.dst), "
+        "c AS (SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS edges "
+        "FROM typed GROUP BY src_type, dst_type), "
+        "rs AS (SELECT src_type AS t, sum(edges) AS rsum FROM c GROUP BY 1), "
+        "cs AS (SELECT dst_type AS t, sum(edges) AS csum FROM c GROUP BY 1), "
+        "ab AS (SELECT CAST(coalesce(sum(coalesce(rsum, 0) * "
+        "coalesce(csum, 0)), 0) AS BIGINT) AS sum_ab "
+        "FROM rs FULL JOIN cs USING (t)), "
+        "tt AS (SELECT CAST(sum(edges) AS BIGINT) AS m, "
+        "CAST(sum(CASE WHEN src_type = dst_type THEN edges ELSE 0 END) "
+        "AS BIGINT) AS diag FROM c) "
+        "SELECT src_type, dst_type, edges, "
+        "CASE WHEN (m * m - sum_ab) = 0 THEN 0.0 "
+        "ELSE floor((CAST(m * diag - sum_ab AS DOUBLE) / "
+        "CAST(m * m - sum_ab AS DOUBLE)) * 1000000.0) / 1000000.0 END AS r "
+        "FROM c CROSS JOIN tt CROSS JOIN ab"
+    )
+
+
 def _avg_nbr_degree_oracle() -> str:
     """Directed knn replay: the edge set is distinct, so the left join
     against the out-degree table matches ≤1 row per edge; sums are
@@ -4936,6 +4981,7 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY ls.label, ld.label"
         ),
         "assortativity": _assortativity_oracle(),
+        "type_mixing": _type_mixing_oracle(),
         "avg_nbr_degree": _avg_nbr_degree_oracle(),
         "reciprocity": _reciprocity_oracle(),
         "transitivity": _transitivity_oracle(),

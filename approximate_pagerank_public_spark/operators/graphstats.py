@@ -68,6 +68,61 @@ def degree_assortativity(graph: Graph) -> DataFrame:
     )
 
 
+def type_mixing(graph: Graph) -> DataFrame:
+    """``(src_type, dst_type, edges, r)`` — the attribute mixing matrix
+    over entity-type prefixes (``tool:``/``role:``) plus Newman's
+    attribute assortativity coefficient (Newman 2003 "Mixing patterns
+    in networks", eq. 2): with integer counts c_ij, m = Σc,
+    ``r = (m·Σc_ii − Σ_t row_t·col_t) / (m² − Σ_t row_t·col_t)`` — all
+    sums exact BIGINTs, ONE IEEE division (0 when the denominator is 0,
+    i.e. a single-type graph), so the value replays bit-exactly.
+
+    Scale shape: two id→type joins of the edge relation against the
+    vertex dictionary (broadcast under the ETL gate, shuffle otherwise)
+    feeding one map-side-combined (src_type, dst_type) count; everything
+    after that runs on ≤ |types|² rows."""
+    ty = F.substring_index(F.col("entity"), ":", 1)
+    v = graph.vertex_names.select("id", ty.alias("ty"))
+    if _labels_broadcastable(graph):
+        v = F.broadcast(v)
+    e = graph.edges.select("src", "dst")
+    typed = (
+        e.join(v.select(F.col("id").alias("src"), F.col("ty").alias("src_type")), "src")
+        .join(v.select(F.col("id").alias("dst"), F.col("ty").alias("dst_type")), "dst")
+    )
+    c = typed.groupBy("src_type", "dst_type").agg(F.count("*").alias("edges"))
+    rows = c.groupBy(F.col("src_type").alias("t")).agg(F.sum("edges").alias("rs"))
+    cols = c.groupBy(F.col("dst_type").alias("t")).agg(F.sum("edges").alias("cs"))
+    ab = (
+        rows.join(cols, "t", "full")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.coalesce(F.col("rs"), F.lit(0))
+                    * F.coalesce(F.col("cs"), F.lit(0))
+                ),
+                F.lit(0),
+            ).alias("sum_ab")
+        )
+    )
+    tot = c.agg(
+        F.sum("edges").alias("m"),
+        F.sum(
+            F.when(F.col("src_type") == F.col("dst_type"), F.col("edges")).otherwise(
+                F.lit(0)
+            )
+        ).alias("diag"),
+    )
+    num = (F.col("m") * F.col("diag") - F.col("sum_ab")).cast("double")
+    den = (F.col("m") * F.col("m") - F.col("sum_ab")).cast("double")
+    scalar = tot.crossJoin(ab).select(
+        F.when(den == 0, F.lit(0.0)).otherwise(num / den).alias("r")
+    )
+    return c.crossJoin(F.broadcast(scalar)).select(
+        "src_type", "dst_type", "edges", "r"
+    )
+
+
 def avg_neighbor_degree(graph: Graph) -> DataFrame:
     """Per-vertex mean out-degree of out-neighbors (the directed knn
     of Barrat et al. 2004): ``(id, deg, nbr_deg_sum, avg_nbr_deg)``.
