@@ -1049,6 +1049,19 @@ def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anf_hyperball(g, rounds=4).effective_diameter_df(q=0.9)
 
 
+def q_mean_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANF mean-distance readout: Σ r·ΔNF(r) / Σ ΔNF(r) over the
+    HyperBall neighborhood function — integer micro-unit deltas, one
+    IEEE division (_stable6-truncated)."""
+    from approximate_pagerank_public_spark.operators.anf import anf_hyperball
+
+    g = _graph(spark, sf_dir)
+    out = anf_hyperball(g, rounds=4).mean_distance_df()
+    return out.select(
+        _stable6("mean_dist").alias("mean_dist"), "reach_pairs_micro"
+    )
+
+
 def q_hyperball_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperBall geometric centrality (Boldi–Vigna 2013): approximate
     harmonic centrality for ALL vertices from the per-round ball deltas
@@ -2238,6 +2251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "anf_hyperball": q_anf_hyperball,
         "effective_diameter": q_effective_diameter,
+        "mean_distance": q_mean_distance,
         "hyperball_harmonic": q_hyperball_harmonic,
         "landmark_dist": q_landmark_dist,
         "click_attribution": q_click_attribution,
@@ -4154,6 +4168,16 @@ def _effective_diameter_oracle(rounds: int) -> str:
     )
 
 
+def _mean_distance_oracle(rounds: int) -> str:
+    from approximate_pagerank_public_spark.operators.anf import (
+        mean_distance_oracle_sql,
+    )
+
+    return mean_distance_oracle_sql(
+        _duck_edges_sql(), _duck_vertices_sql(), rounds
+    )
+
+
 def _hyperball_harmonic_oracle(rounds: int) -> str:
     from approximate_pagerank_public_spark.operators.anf import (
         hyperball_harmonic_oracle_sql,
@@ -4882,6 +4906,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_distinct_oracle(),
         "anf_hyperball": _anf_hyperball_oracle(4),
         "effective_diameter": _effective_diameter_oracle(4),
+        "mean_distance": _mean_distance_oracle(4),
         "hyperball_harmonic": _hyperball_harmonic_oracle(4),
         "landmark_dist": _landmark_dist_oracle(),
         "bloom_membership": _bloom_membership_oracle(),

@@ -124,6 +124,34 @@ class ANFResult:
             "nf_total_micro",
         )
 
+    def mean_distance_df(self) -> DataFrame:
+        """One row ``(mean_dist, reach_pairs_micro)`` — the other
+        classic ANF readout (Palmer et al. 2002): estimated mean
+        distance over reachable pairs, ``Σ_{r≥1} r·(NF(r)−NF(r−1)) /
+        (NF(max)−NF(0))``. Integer micro-unit deltas, ONE IEEE
+        division. The window runs over the ≤ rounds+1 NF rows (a
+        constant, never data-sized)."""
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy("round")
+        d = self._nf.select(
+            "round",
+            (F.col("nf_micro") - F.lag("nf_micro").over(w)).alias("delta"),
+        ).where(F.col("round") >= 1)
+        agg = d.agg(
+            F.sum(F.col("round") * F.col("delta")).alias("wsum"),
+            F.sum("delta").alias("reach_pairs_micro"),
+        )
+        return agg.select(
+            F.when(F.col("reach_pairs_micro") == 0, F.lit(0.0))
+            .otherwise(
+                F.col("wsum").cast("double")
+                / F.col("reach_pairs_micro").cast("double")
+            )
+            .alias("mean_dist"),
+            "reach_pairs_micro",
+        )
+
     def effective_diameter(self, q: float = 0.9) -> int:
         """Smallest round r with NF(r) >= q * NF(rounds) — integer
         comparison over the exact micro-unit sums (≤ rounds+1 rows)."""
@@ -852,6 +880,29 @@ def effective_diameter_oracle_sql(
         f"WHERE CAST(nf_micro AS DOUBLE) >= {q!r} * "
         "CAST(nf_total_micro AS DOUBLE) "
         "ORDER BY round ASC LIMIT 1"
+    )
+
+
+def mean_distance_oracle_sql(
+    edges_sql: str, vertices_sql: str, rounds: int
+) -> str:
+    """DuckDB replay of :meth:`ANFResult.mean_distance_df`: same reach
+    CTE + NF sums, then the lag-delta weighted mean."""
+    return (
+        "WITH "
+        + _anf_est_cte(edges_sql, vertices_sql, rounds)
+        + ", nf AS (SELECT round, "
+        "CAST(sum(CAST(floor(est * 1000000.0) AS BIGINT)) AS BIGINT) "
+        "AS nf_micro FROM est GROUP BY round), "
+        "d AS (SELECT round, nf_micro - lag(nf_micro) OVER (ORDER BY round) "
+        "AS delta FROM nf), "
+        "agg AS (SELECT CAST(sum(round * delta) AS BIGINT) AS wsum, "
+        "CAST(sum(delta) AS BIGINT) AS reach_pairs_micro FROM d "
+        "WHERE round >= 1) "
+        "SELECT CASE WHEN reach_pairs_micro = 0 THEN 0.0 "
+        "ELSE floor((CAST(wsum AS DOUBLE) / "
+        "CAST(reach_pairs_micro AS DOUBLE)) * 1000000.0) / 1000000.0 END "
+        "AS mean_dist, reach_pairs_micro FROM agg"
     )
 
 

@@ -87,6 +87,17 @@ def test_effective_diameter_bounds(g_rand):
     row = res.effective_diameter_df(q=0.9).first()
     assert row["eff_diameter_round"] == res.effective_diameter(q=0.9)
     assert row["nf_micro"] <= row["nf_total_micro"]
+    # mean distance: replayable from the NF rows, and within (0, rounds]
+    md = res.mean_distance_df().first()
+    nf = {
+        r["round"]: r["nf_micro"]
+        for r in res.neighborhood_function().collect()
+    }
+    wsum = sum(r * (nf[r] - nf[r - 1]) for r in range(1, 5))
+    reach = nf[4] - nf[0]
+    assert md["reach_pairs_micro"] == reach
+    assert md["mean_dist"] == wsum / reach
+    assert 0 < md["mean_dist"] <= 4
 
 
 def test_lc_table_shape():
