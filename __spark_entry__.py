@@ -748,6 +748,20 @@ def q_approx_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_diameter(g, 0)
 
 
+def q_widest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottleneck (widest-path) capacities from vertex 0 over the
+    max-min semiring — caps are pure least/greatest selections of the
+    1/outdeg weights (no accumulation), stable6-truncated on both
+    sides; the oracle is a recursive CTE whose state is bounded by
+    |V| × distinct weights."""
+    from approximate_pagerank_public_spark.operators.traversal import (
+        widest_path,
+    )
+
+    g = _graph(spark, sf_dir)
+    return widest_path(g, 0).select("id", _stable6("cap").alias("cap"))
+
+
 def q_exact_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT diameter (iFUB, Crescenzi et al. 2013) of the undirected
     component containing the max-degree vertex (ties → smallest id).
@@ -2242,6 +2256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_dist": q_bfs_from_min_conv,
         "approx_diameter": q_approx_diameter,
         "exact_diameter": q_exact_diameter,
+        "widest_path": q_widest_path,
         "random_walks": q_random_walks,
         "scc": q_scc,
         "sssp_dist": q_sssp_dist,
@@ -4884,6 +4899,16 @@ def oracle_sql() -> dict[str, str]:
             "d2 AS (SELECT id, min(dist) AS dist FROM r2 GROUP BY id) "
             "SELECT CAST(0 AS BIGINT) AS start, (SELECT id FROM pk) AS peak, "
             "(SELECT max(dist) FROM d2) AS diameter_lb"
+        ),
+        "widest_path": (
+            f"WITH RECURSIVE e AS ({e_sql}), "
+            "r(id, cap) AS ("
+            "  SELECT CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE) "
+            "  UNION "
+            "  SELECT e.dst, least(r.cap, e.weight) FROM r "
+            "  JOIN e ON r.id = e.src), "
+            "b AS (SELECT id, max(cap) AS cap FROM r GROUP BY id) "
+            "SELECT id, floor(cap * 1000000.0) / 1000000.0 AS cap FROM b"
         ),
         "exact_diameter": (
             f"WITH RECURSIVE e AS ({e_sql}), "

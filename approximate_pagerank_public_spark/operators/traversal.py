@@ -303,6 +303,86 @@ def approx_diameter(graph: Graph, start: int = 0) -> DataFrame:
 
 
 
+def widest_path(graph: Graph, source: int, max_rounds: int = 10_000) -> DataFrame:
+    """``(id, cap)`` — bottleneck (widest-path) capacity from ``source``
+    over the max-min semiring: ``cap(v) = max over paths of the min
+    edge weight along the path``. On the transcript graph (weights =
+    1/outdeg transition probabilities ≤ 1) this is the best bottleneck
+    transition probability; the source seeds at 1.0, so non-source caps
+    are always genuine edge-weight minima.
+
+    Monotone frontier relaxation: per round, candidates
+    ``least(cap[src], w)`` from the improved frontier, ONE
+    map-side-combinable groupBy-max on dst, then an improvement join
+    against the current state. Cycles cannot improve a max-min value
+    and every cap is drawn from the finite set of edge weights, so the
+    fixpoint is unique and rounds ≤ graph depth × distinct weights in
+    the worst case (small in practice). No floats are ever accumulated
+    — ``least``/``greatest`` only select, so the caps replay bit-exactly
+    in the DuckDB recursive-CTE oracle. Lineage truncated per round via
+    ``local_ckpt`` (the multi_source_bfs discipline)."""
+    from approximate_pagerank_public_spark.plans.checkpoint import (
+        free_local_ckpt,
+        local_ckpt,
+    )
+
+    spark = graph.spark
+    p = graph.num_partitions
+    import pandas as pd
+
+    caps, caps_ids = local_ckpt(
+        spark.createDataFrame(
+            pd.DataFrame({"id": [int(source)], "cap": [1.0]})
+        ).repartition(p, "id")
+    )
+    frontier = caps
+    front_ids: set = set()  # the seed's blocks belong to caps_ids
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        cand = (
+            frontier.join(
+                graph.edges.select(
+                    F.col("src").alias("id"), "dst", "weight"
+                ),
+                "id",
+            )
+            .select(
+                F.col("dst").alias("id"),
+                F.least(F.col("cap"), F.col("weight")).alias("newcap"),
+            )
+            .groupBy("id")
+            .agg(F.max("newcap").alias("newcap"))
+        )
+        improved, imp_ids = local_ckpt(
+            cand.join(caps, "id", "left")
+            .where(F.col("cap").isNull() | (F.col("newcap") > F.col("cap")))
+            .select("id", F.col("newcap").alias("cap"))
+            .repartition(p, "id")
+        )
+        if not improved.take(1):
+            free_local_ckpt(spark, imp_ids)
+            free_local_ckpt(spark, front_ids)
+            break
+        merged, merged_ids = local_ckpt(
+            caps.join(improved.select("id", F.col("cap").alias("icap")), "id", "full")
+            .select(
+                "id",
+                F.greatest(
+                    F.coalesce(F.col("cap"), F.lit(float("-inf"))),
+                    F.coalesce(F.col("icap"), F.lit(float("-inf"))),
+                ).alias("cap"),
+            )
+            .repartition(p, "id")
+        )
+        merged.count()
+        free_local_ckpt(spark, caps_ids)
+        free_local_ckpt(spark, front_ids)
+        caps, caps_ids = merged, merged_ids
+        frontier, front_ids = improved, imp_ids
+    return caps
+
+
 def exact_diameter(graph: Graph, batch: int = 64) -> DataFrame:
     """EXACT diameter of the undirected component containing the
     max-degree vertex, by iFUB (Crescenzi-Grossi-Habib-Lanzi-Marino

@@ -368,3 +368,47 @@ def test_exact_diameter_matches_golden_random(g_rand):
     want = max(max(_bfs_far(s).values()) for s in comp)
     row = exact_diameter(g_rand).first()
     assert (row["start"], row["diameter"]) == (root, want)
+
+
+def test_widest_path_hand_graph(spark):
+    """Two routes 0→3: direct narrow edge (0.1) vs wide two-hop via 1
+    (0.5, 0.4) — bottleneck must take the wide route (0.4)."""
+    from approximate_pagerank_public_spark.operators.traversal import (
+        widest_path,
+    )
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    pdf = [(0, 3, 0.1), (0, 1, 0.5), (1, 3, 0.4), (3, 4, 0.9)]
+    edges = spark.createDataFrame(pdf, "src long, dst long, weight double")
+    g = Graph(edges, num_vertices=5, num_partitions=4)
+    got = {r["id"]: r["cap"] for r in widest_path(g, 0).collect()}
+    assert got == {0: 1.0, 1: 0.5, 3: 0.4, 4: 0.4}
+    g.unpersist()
+
+
+def test_widest_path_matches_golden_random(g_rand):
+    """Engine vs a pure-Python Dijkstra-style max-min relaxation."""
+    import heapq
+
+    from approximate_pagerank_public_spark.operators.traversal import (
+        widest_path,
+    )
+
+    src, dst, w = g_rand.edges_numpy()
+    adj = {}
+    for u, v, ww in zip(src.tolist(), dst.tolist(), w.tolist()):
+        adj.setdefault(u, []).append((v, ww))
+    best = {17: 1.0}
+    heap = [(-1.0, 17)]
+    while heap:
+        negc, u = heapq.heappop(heap)
+        c = -negc
+        if c < best.get(u, 0.0):
+            continue
+        for v, ww in adj.get(u, ()):
+            nc = min(c, ww)
+            if nc > best.get(v, 0.0):
+                best[v] = nc
+                heapq.heappush(heap, (-nc, v))
+    got = {r["id"]: r["cap"] for r in widest_path(g_rand, 17).collect()}
+    assert got == best
