@@ -1683,6 +1683,17 @@ def q_tool_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tool_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-tool p50/p95 latency — grouped histogram-cumsum rank
+    selection, every column an exact BIGINT."""
+    from approximate_pagerank_public_spark.operators.events import (
+        tool_latency_quantiles,
+    )
+
+    t = _transcripts(spark, sf_dir)
+    return tool_latency_quantiles(t, percents=(50, 95))
+
+
 def q_event_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS OF join: each click event gains the latest prior-or-same-ts
     purchase (id + value) of the same user — union+window formulation,
@@ -2312,6 +2323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_rollup": q_sliding_rollup,
         "turn_latency": q_turn_latency,
         "tool_latency": q_tool_latency,
+        "tool_latency_quantiles": q_tool_latency_quantiles,
         "event_asof": q_event_asof,
         "funnel_steps": q_funnel_steps,
         "event_transitions": q_event_transitions,
@@ -4108,6 +4120,33 @@ def _tool_latency_oracle() -> str:
     )
 
 
+def _tool_latency_quantiles_oracle(percents=(50, 95)) -> str:
+    """Per-tool exact latency percentiles: same gap window, then the
+    histogram-cumsum rank selection (all BIGINTs, 'lower' rank —
+    identical to functions/quantiles.py::exact_int_quantiles_by)."""
+    plist = ", ".join(f"({int(p)})" for p in percents)
+    return (
+        f"WITH tr AS ({_duck_transcripts_cte()}), "
+        "g AS (SELECT tool, role, "
+        "epoch_us(ts) - lag(epoch_us(ts)) OVER "
+        "(PARTITION BY conv_id ORDER BY turn_idx) AS gap FROM tr), "
+        "gg AS (SELECT tool, CAST(gap AS BIGINT) AS v FROM g "
+        "WHERE role = 'tool' AND tool IS NOT NULL AND gap IS NOT NULL), "
+        "hist AS (SELECT tool, v, CAST(count(*) AS BIGINT) AS c FROM gg "
+        "GROUP BY tool, v), "
+        "cum AS (SELECT tool, v, c, CAST(sum(c) OVER (PARTITION BY tool "
+        "ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "AS BIGINT) AS hi FROM hist), "
+        "tot AS (SELECT tool, CAST(sum(c) AS BIGINT) AS n FROM hist "
+        "GROUP BY tool), "
+        f"ps(p) AS (VALUES {plist}) "
+        "SELECT cum.tool, CAST(p AS BIGINT) AS p, n, "
+        "CAST(((n - 1) * p) // 100 AS BIGINT) AS rank, v AS value "
+        "FROM cum JOIN tot ON tot.tool = cum.tool CROSS JOIN ps "
+        "WHERE ((n - 1) * p) // 100 >= hi - c AND ((n - 1) * p) // 100 < hi"
+    )
+
+
 def _turn_latency_oracle() -> str:
     """Inter-turn gap replay over the transcripts CTE — epoch_us
     DIFFERENCES only (tz cancels), exact BIGINT aggregates."""
@@ -5048,6 +5087,7 @@ def oracle_sql() -> dict[str, str]:
         "triad_census": _triad_census_oracle(),
         "turn_latency": _turn_latency_oracle(),
         "tool_latency": _tool_latency_oracle(),
+        "tool_latency_quantiles": _tool_latency_quantiles_oracle((50, 95)),
         "hourly_rollup": _HOURLY_ROLLUP_ORACLE,
         "sliding_rollup": _SLIDING_ROLLUP_ORACLE,
         "stress": _stress_oracle(STRESS_SOURCES),

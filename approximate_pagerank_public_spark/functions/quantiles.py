@@ -60,3 +60,41 @@ def exact_int_quantiles(
             F.col("v").alias("value"),
         )
     )
+
+
+def exact_int_quantiles_by(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    percents: Sequence[int] = (50, 95),
+) -> DataFrame:
+    """``(group, p, n, rank, value)`` — :func:`exact_int_quantiles` per
+    group. The cumulative sum windows BY GROUP (fully parallel across
+    groups; within a group it runs over that group's distinct values
+    only), totals join back on the group key — the per-group state is
+    the group's histogram, never its rows."""
+    g = F.col(group_col).alias("g")
+    hist = (
+        df.select(g, F.col(col).cast("long").alias("v"))
+        .groupBy("g", "v")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select("g", "v", "c", F.sum("c").over(w).alias("hi"))
+    tot = hist.groupBy("g").agg(F.sum("c").alias("n"))
+    spark = df.sparkSession
+    ps = spark.createDataFrame([(int(p),) for p in percents], "p long")
+    joined = cum.join(tot, "g").crossJoin(F.broadcast(ps))
+    rank = F.expr("((n - 1) * p) div 100")
+    return (
+        joined.where((rank >= F.col("hi") - F.col("c")) & (rank < F.col("hi")))
+        .select(
+            F.col("g").alias(group_col),
+            "p",
+            "n",
+            rank.cast("long").alias("rank"),
+            F.col("v").alias("value"),
+        )
+    )

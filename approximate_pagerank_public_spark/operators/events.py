@@ -399,6 +399,36 @@ def tool_latency(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def tool_latency_quantiles(
+    transcripts: DataFrame, percents=(50, 95)
+) -> DataFrame:
+    """``(tool, p, n, rank, value)`` — exact per-tool latency
+    percentiles (p50/p95 by default) over the same integer-µs gaps as
+    :func:`tool_latency`, via the grouped histogram-cumsum selector
+    (``functions/quantiles.py::exact_int_quantiles_by``): the per-tool
+    window runs over that tool's DISTINCT gap values, never its rows —
+    the ops-dashboard readout at any corpus size."""
+    from pyspark.sql.window import Window as W
+
+    from approximate_pagerank_public_spark.functions.quantiles import (
+        exact_int_quantiles_by,
+    )
+
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    gap = F.expr("timestampdiff(MICROSECOND, _prev_ts, ts)")
+    g = (
+        transcripts.select("conv_id", "turn_idx", "role", "tool", "ts")
+        .withColumn("_prev_ts", F.lag("ts").over(w))
+        .where(
+            (F.col("role") == "tool")
+            & F.col("tool").isNotNull()
+            & F.col("_prev_ts").isNotNull()
+        )
+        .select("tool", gap.alias("gap"))
+    )
+    return exact_int_quantiles_by(g, "tool", "gap", percents)
+
+
 def sliding_rollup(
     events: DataFrame,
     ts_col: str = "ts",
