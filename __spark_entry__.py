@@ -1976,6 +1976,18 @@ def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing placement (256-token
+    windows): global exclusive cumsum of token counts in doc_id order
+    (partition-parallel offsets pattern), all integer div arithmetic."""
+    from approximate_pagerank_public_spark.operators.curation import (
+        pack_chunks,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_chunks(docs, chunk_tokens=256)
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-window dedup (Lee et al. 2022 at fixed 8-token
     window granularity): per document, how many sliding windows also
@@ -2347,6 +2359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_contamination": q_split_contamination,
         "repetition_stats": q_repetition_stats,
         "dup_spans": q_dup_spans,
+        "pack_chunks": q_pack_chunks,
         "pricing_summary": q_pricing_summary,
         "segment_top_orders": q_segment_top_orders,
         "regional_revenue": q_regional_revenue,
@@ -5340,6 +5353,20 @@ def oracle_sql() -> dict[str, str]:
         "split_contamination": _split_contamination_oracle(n=3, max_df=100),
         "repetition_stats": _repetition_stats_oracle(n=2),
         "dup_spans": _dup_spans_oracle(8),
+        "pack_chunks": (
+            "WITH base AS (SELECT doc_id, "
+            "CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) "
+            "AS n_tokens FROM documents), "
+            "b2 AS (SELECT * FROM base WHERE n_tokens > 0), "
+            "c AS (SELECT doc_id, n_tokens, "
+            "CAST(sum(n_tokens) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens "
+            "AS BIGINT) AS start_tok FROM b2) "
+            "SELECT doc_id, n_tokens, start_tok, "
+            "CAST(start_tok // 256 AS BIGINT) AS chunk_first, "
+            "CAST((start_tok + n_tokens - 1) // 256 AS BIGINT) AS chunk_last "
+            "FROM c"
+        ),
         "pricing_summary": _pricing_summary_oracle(),
         "segment_top_orders": _segment_top_orders_oracle(),
         "regional_revenue": _regional_revenue_oracle(),

@@ -265,6 +265,63 @@ def repetition_stats(
     return out
 
 
+def pack_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: conceptually
+    concatenate the corpus in ``doc_id`` order and cut it into
+    fixed-size ``chunk_tokens`` training windows; report every
+    document's placement — ``(doc_id, n_tokens, start_tok, chunk_first,
+    chunk_last)`` with ``chunk_first = start_tok div C`` and
+    ``chunk_last = (start_tok + n_tokens - 1) div C``. Docs straddle
+    chunk boundaries, exactly like pretraining packing; a doc with 0
+    whitespace tokens occupies no span and emits no row.
+
+    The global exclusive cumsum of token counts is computed WITHOUT a
+    single-partition window: range-repartition by ``doc_id``,
+    per-partition running sums, driver-computed partition offsets (one
+    tiny agg job) — the ``densify_vertices`` pattern, all integers, so
+    the DuckDB window-cumsum oracle matches bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    spark = docs.sparkSession
+    c = int(chunk_tokens)
+    toks = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.cast("long").alias("n_tokens")
+    ).where(F.col("n_tokens") > 0)
+    p = max(1, spark.sparkContext.defaultParallelism)
+    ranged = (
+        base.repartitionByRange(p, "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()  # re-sampled range boundaries must not move spans
+    )
+    sums = {
+        r["_pid"]: r["s"]
+        for r in ranged.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += int(sums[pid])
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+    )
+    w = Window.partitionBy("_pid").orderBy("doc_id")
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens") + F.col("_off")
+    return (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .select("doc_id", "n_tokens", start.alias("start_tok"))
+        .withColumn("chunk_first", F.expr(f"start_tok div {c}"))
+        .withColumn(
+            "chunk_last", F.expr(f"(start_tok + n_tokens - 1) div {c}")
+        )
+    )
+
+
 def duplicate_spans(
     docs: DataFrame,
     text_col: str = "text",
