@@ -1976,6 +1976,19 @@ def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords (Mihalcea & Tarau 2004): fixed-8-iteration
+    PageRank over the adjacent-token co-occurrence graph (α = 0.85,
+    cnt/src-sum weights) — the transcript PageRank stack rerun over a
+    vocabulary graph, oracle = the same unrolled-CTE power iteration."""
+    from approximate_pagerank_public_spark.operators.textrank import (
+        textrank_keywords,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textrank_keywords(docs, topk=20, iters=8, alpha=0.85)
+
+
 def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk packing placement (256-token
     windows): global exclusive cumsum of token counts in doc_id order
@@ -2360,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "dup_spans": q_dup_spans,
         "pack_chunks": q_pack_chunks,
+        "textrank": q_textrank,
         "pricing_summary": q_pricing_summary,
         "segment_top_orders": q_segment_top_orders,
         "regional_revenue": q_regional_revenue,
@@ -3202,6 +3216,71 @@ def _pagerank_fixed_oracle(
     sql = "".join(parts).rstrip(", ")
     return (
         sql + f" SELECT id, floor(r * 1000000.0) / 1000000.0 AS rank FROM r{iters}"
+    )
+
+
+_TEXTRANK_VT_SQL = (
+    "SELECT token, CAST(dense_rank() OVER (ORDER BY token) - 1 AS BIGINT) "
+    "AS id FROM (SELECT DISTINCT a AS token FROM ("
+    "SELECT a, b FROM ("
+    "SELECT tok AS a, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b "
+    "FROM (SELECT doc_id, "
+    "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok, "
+    "generate_subscripts(string_split_regex(lower(trim(text)), '\\s+'), 1) "
+    "AS pos FROM documents)) WHERE b IS NOT NULL AND a <> b "
+    "UNION ALL SELECT b, a FROM ("
+    "SELECT tok AS a, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b "
+    "FROM (SELECT doc_id, "
+    "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok, "
+    "generate_subscripts(string_split_regex(lower(trim(text)), '\\s+'), 1) "
+    "AS pos FROM documents)) WHERE b IS NOT NULL AND a <> b) "
+    "UNION SELECT b FROM ("
+    "SELECT a, b FROM ("
+    "SELECT tok AS a, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b "
+    "FROM (SELECT doc_id, "
+    "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok, "
+    "generate_subscripts(string_split_regex(lower(trim(text)), '\\s+'), 1) "
+    "AS pos FROM documents)) WHERE b IS NOT NULL AND a <> b "
+    "UNION ALL SELECT b, a FROM ("
+    "SELECT tok AS a, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b "
+    "FROM (SELECT doc_id, "
+    "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok, "
+    "generate_subscripts(string_split_regex(lower(trim(text)), '\\s+'), 1) "
+    "AS pos FROM documents)) WHERE b IS NOT NULL AND a <> b))"
+)
+
+
+def _textrank_oracle(iters: int = 8, alpha: float = 0.85, topk: int = 20) -> str:
+    """TextRank replay: the token co-occurrence edge relation (counts /
+    src-sum weights, dense_rank-1 token ids) plugged into the SAME
+    unrolled power-iteration oracle as pagerank_fixed8, then the
+    (truncated rank desc, token asc) top-k cut."""
+    pair_sql = (
+        "SELECT a, b FROM ("
+        "SELECT tok AS a, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) "
+        "AS b FROM (SELECT doc_id, "
+        "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok, "
+        "generate_subscripts(string_split_regex(lower(trim(text)), '\\s+'), 1) "
+        "AS pos FROM documents)) WHERE b IS NOT NULL AND a <> b"
+    )
+    e_sql = (
+        f"SELECT va.id AS src, vb.id AS dst, "
+        "CAST(co.cnt AS DOUBLE) / CAST(ss.ssum AS DOUBLE) AS weight FROM "
+        f"(SELECT a, b, CAST(count(*) AS BIGINT) AS cnt FROM "
+        f"({pair_sql} UNION ALL SELECT b, a FROM ({pair_sql}) p2) sym "
+        "GROUP BY a, b) co "
+        "JOIN (SELECT a, CAST(sum(cnt) AS BIGINT) AS ssum FROM "
+        f"(SELECT a, CAST(count(*) AS BIGINT) AS cnt FROM "
+        f"({pair_sql} UNION ALL SELECT b, a FROM ({pair_sql}) p3) sym2 "
+        "GROUP BY a, b) GROUP BY a) ss ON ss.a = co.a "
+        f"JOIN ({_TEXTRANK_VT_SQL}) va ON va.token = co.a "
+        f"JOIN ({_TEXTRANK_VT_SQL}) vb ON vb.token = co.b"
+    )
+    pr = _pagerank_fixed_oracle(iters, alpha, e_sql=e_sql)
+    return (
+        f"SELECT vt.token, pr.rank FROM ({pr}) pr "
+        f"JOIN ({_TEXTRANK_VT_SQL}) vt ON vt.id = pr.id "
+        f"ORDER BY pr.rank DESC, vt.token ASC LIMIT {int(topk)}"
     )
 
 
@@ -5353,6 +5432,7 @@ def oracle_sql() -> dict[str, str]:
         "split_contamination": _split_contamination_oracle(n=3, max_df=100),
         "repetition_stats": _repetition_stats_oracle(n=2),
         "dup_spans": _dup_spans_oracle(8),
+        "textrank": _textrank_oracle(8, 0.85, 20),
         "pack_chunks": (
             "WITH base AS (SELECT doc_id, "
             "CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) "
