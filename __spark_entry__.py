@@ -1041,6 +1041,23 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch algebra over events: distinct click users, purchase
+    users, their union (register-max merge — exact for HLL) and the
+    inclusion-exclusion intersection — all replayed register-for-
+    register by the oracle, stable6-truncated."""
+    from approximate_pagerank_public_spark.functions.sketch import hll_set_ops
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = hll_set_ops(ev, "user_id", "event_type", "click", "purchase")
+    return out.select(
+        _stable6("d_a").alias("d_a"),
+        _stable6("d_b").alias("d_b"),
+        _stable6("d_union").alias("d_union"),
+        _stable6("d_intersect").alias("d_intersect"),
+    )
+
+
 def q_anf_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperBall approximate neighborhood function NF(0..4) over
     out-balls — md5 HLL registers with tabulated linear-counting
@@ -2300,6 +2317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "exact_dedup_events": q_exact_dedup_events,
         "hll_distinct": q_hll_distinct,
+        "hll_set_ops": q_hll_set_ops,
         "anf_hyperball": q_anf_hyperball,
         "effective_diameter": q_effective_diameter,
         "mean_distance": q_mean_distance,
@@ -4304,6 +4322,41 @@ def _anf_hyperball_oracle(rounds: int) -> str:
     return anf_oracle_sql(_duck_edges_sql(), _duck_vertices_sql(), rounds)
 
 
+def _hll_set_ops_oracle() -> str:
+    """Register-for-register replay of the three sketches + the same
+    ``(a + b) - union`` inclusion-exclusion association."""
+    from approximate_pagerank_public_spark.functions.sketch import ALPHA_M2, M
+
+    def est(where: str) -> str:
+        return (
+            f"SELECT {ALPHA_M2} / (s_present + CAST({M} - n_present AS DOUBLE)) "
+            "AS d FROM (SELECT "
+            "sum(1.0 / CAST((CAST(1 AS BIGINT) << mr) AS DOUBLE)) AS s_present, "
+            "count(*) AS n_present FROM (SELECT register, max(rho) AS mr FROM "
+            f"(SELECT v % {M} AS register, "
+            "CASE WHEN ((v >> 8) & 4294967295) = 0 THEN 33 "
+            "ELSE 33 - length(bin((v >> 8) & 4294967295)) END AS rho FROM "
+            "(SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) "
+            f"AS BIGINT) AS v FROM events WHERE {where})) GROUP BY register))"
+        )
+
+    f6 = "floor(({}) * 1000000.0) / 1000000.0"
+    return (
+        f"WITH ea AS ({est(chr(39) + 'click' + chr(39) + ' = event_type')}), "
+        f"eb AS ({est(chr(39) + 'purchase' + chr(39) + ' = event_type')}), "
+        f"eu AS ({est('event_type IN (' + chr(39) + 'click' + chr(39) + ', ' + chr(39) + 'purchase' + chr(39) + ')')}) "
+        "SELECT "
+        + f6.format("ea.d")
+        + " AS d_a, "
+        + f6.format("eb.d")
+        + " AS d_b, "
+        + f6.format("eu.d")
+        + " AS d_union, "
+        + f6.format("(ea.d + eb.d) - eu.d")
+        + " AS d_intersect FROM ea CROSS JOIN eb CROSS JOIN eu"
+    )
+
+
 def _effective_diameter_oracle(rounds: int) -> str:
     from approximate_pagerank_public_spark.operators.anf import (
         effective_diameter_oracle_sql,
@@ -5060,6 +5113,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT (SELECT id FROM st) AS start, max(dist) AS diameter FROM d"
         ),
         "hll_distinct": _hll_distinct_oracle(),
+        "hll_set_ops": _hll_set_ops_oracle(),
         "anf_hyperball": _anf_hyperball_oracle(4),
         "effective_diameter": _effective_diameter_oracle(4),
         "mean_distance": _mean_distance_oracle(4),

@@ -267,3 +267,56 @@ def cms_join_size_oracle_sql(
         "SELECT CAST((SELECT min(ip) FROM ip) AS BIGINT) AS est_join_size, "
         "CAST(exact_join_size AS BIGINT) AS exact_join_size FROM ex"
     )
+
+
+def hll_set_ops(
+    df: DataFrame,
+    value_col,
+    type_col: str,
+    type_a: str,
+    type_b: str,
+) -> DataFrame:
+    """One row ``(d_a, d_b, d_union, d_intersect)`` — HLL register
+    ALGEBRA: the union estimate comes from the merged (register-wise
+    max) sketch — exact for HLL, the property that makes the sketch
+    shardable — and the intersection is the standard
+    inclusion-exclusion estimator ``(d_a + d_b) - d_union`` (can go
+    negative on tiny overlaps; reported raw). Each estimate is the
+    same corrected-free single-division estimator as
+    :func:`approx_distinct_hll`, so all four values replay bit-exactly.
+
+    Scale shape: three register aggregations over filtered slices of
+    ONE pass family — 256 rows of state each, any input size."""
+    val = value_col if not isinstance(value_col, str) else F.col(value_col)
+
+    def _est(rows: DataFrame, name: str) -> DataFrame:
+        reg, rho = hll_register_cols("_v")
+        regs = (
+            rows.select(val.cast("string").alias("_v"))
+            .select(reg, rho)
+            .groupBy("register")
+            .agg(F.max("rho").alias("mr"))
+        )
+        term = F.expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), mr) AS DOUBLE)")
+        agg = regs.agg(
+            F.sum(term).alias("s_present"), F.count("*").alias("n_present")
+        )
+        s = F.col("s_present") + (F.lit(M) - F.col("n_present")).cast("double")
+        return agg.select((F.lit(float(ALPHA_M2)) / s).alias(name))
+
+    t = F.col(type_col)
+    a = _est(df.where(t == type_a), "d_a")
+    b = _est(df.where(t == type_b), "d_b")
+    u = _est(df.where(t.isin([type_a, type_b])), "d_union")
+    return (
+        a.crossJoin(b)
+        .crossJoin(u)
+        .select(
+            "d_a",
+            "d_b",
+            "d_union",
+            ((F.col("d_a") + F.col("d_b")) - F.col("d_union")).alias(
+                "d_intersect"
+            ),
+        )
+    )
