@@ -174,3 +174,34 @@ def test_duplicate_spans_cross_doc_only(spark):
     assert list(stats["total_windows"]) == [3, 3, 4]
     assert list(stats["dup_windows"]) == [1, 1, 0]
     assert stats["dup_fraction"].tolist() == [1 / 3, 1 / 3, 0.0]
+
+
+def test_pack_chunks_contiguous_spans(spark):
+    """Spans tile the concatenated corpus exactly in doc_id order and
+    chunk indices match the div arithmetic."""
+    from approximate_pagerank_public_spark.operators.curation import (
+        pack_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),            # 3 tokens  -> [0, 3)
+            (2, " ".join(["t"] * 7)),  # 7 tokens -> [3, 10)
+            (3, "x"),                # 1 token   -> [10, 11)
+            (4, " ".join(["u"] * 5)),  # 5 tokens -> [11, 16)
+        ],
+        "doc_id long, text string",
+    )
+    out = (
+        pack_chunks(docs, chunk_tokens=4)
+        .orderBy("doc_id")
+        .collect()
+    )
+    spans = [(r["start_tok"], r["start_tok"] + r["n_tokens"]) for r in out]
+    assert spans == [(0, 3), (3, 10), (10, 11), (11, 16)]
+    assert [(r["chunk_first"], r["chunk_last"]) for r in out] == [
+        (0, 0),   # tokens 0-2   in chunk 0
+        (0, 2),   # tokens 3-9   straddle chunks 0-2
+        (2, 2),   # token  10    in chunk 2
+        (2, 3),   # tokens 11-15 straddle chunks 2-3
+    ]
