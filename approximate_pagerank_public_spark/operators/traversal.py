@@ -383,7 +383,9 @@ def widest_path(graph: Graph, source: int, max_rounds: int = 10_000) -> DataFram
     return caps
 
 
-def exact_diameter(graph: Graph, batch: int = 64) -> DataFrame:
+def exact_diameter(
+    graph: Graph, batch: int = 64, max_ecc_evals: int | None = None
+) -> DataFrame:
     """EXACT diameter of the undirected component containing the
     max-degree vertex, by iFUB (Crescenzi-Grossi-Habib-Lanzi-Marino
     2013): BFS from a high-degree root, then examine fringe vertices by
@@ -405,10 +407,16 @@ def exact_diameter(graph: Graph, batch: int = 64) -> DataFrame:
     ``(start, diameter)``.
 
     Scale shape: the per-level candidate lists collected to the driver
-    are the BFS-tree fringes — the deepest levels of a small-world
-    graph hold a vanishing fraction of |V| (the algorithm's published
-    termination behavior), and each is consumed in ``batch``-sized
-    multi-source sweeps; nothing else leaves the cluster.
+    are the BFS-tree fringes — the deepest levels of a small-world /
+    power-law graph hold a vanishing fraction of |V| (the algorithm's
+    published termination behavior), and each is consumed in
+    ``batch``-sized multi-source sweeps; nothing else leaves the
+    cluster. On a UNIFORM random graph distances concentrate, the
+    bound never closes early, and iFUB degrades toward all-sources
+    BFS — iFUB's documented worst case (measured: the |E|=2·10⁷ G(n,m)
+    probe was aborted at 10 min while the skewed sf0.1 transcript graph
+    finishes in ~6 s). ``max_ecc_evals`` makes that failure mode LOUD:
+    the run raises instead of silently sweeping Θ(|V|) sources.
     """
     gu = graph.undirected()
     root_row = (
@@ -422,11 +430,22 @@ def exact_diameter(graph: Graph, batch: int = 64) -> DataFrame:
     ecc_start = int(dists.agg(F.max("dist")).first()[0])
     lb = ecc_start
     i = ecc_start
+    evals = 0
     while i > 0 and lb < 2 * i:
         vs = [
             int(r["id"])
             for r in dists.where(F.col("dist") == i).select("id").collect()
         ]
+        evals += len(vs)
+        if max_ecc_evals is not None and evals > max_ecc_evals:
+            dists.unpersist()
+            raise RuntimeError(
+                f"exact_diameter: fringe sweep needs > {max_ecc_evals} "
+                f"eccentricity evaluations (lb={lb}, level={i}, "
+                f"|level|={len(vs)}) — iFUB is degenerating on this graph "
+                "(uniform-degree inputs); use approx_diameter or raise "
+                "max_ecc_evals"
+            )
         for k in range(0, len(vs), batch):
             chunk = vs[k : k + batch]
             got = eccentricity(gu, chunk).agg(F.max("ecc")).first()[0]

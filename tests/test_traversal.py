@@ -412,3 +412,15 @@ def test_widest_path_matches_golden_random(g_rand):
                 heapq.heappush(heap, (-nc, v))
     got = {r["id"]: r["cap"] for r in widest_path(g_rand, 17).collect()}
     assert got == best
+
+
+def test_exact_diameter_eval_guard(g_rand):
+    """max_ecc_evals raises loudly instead of sweeping a huge fringe."""
+    import pytest as _pytest
+
+    from approximate_pagerank_public_spark.operators.traversal import (
+        exact_diameter,
+    )
+
+    with _pytest.raises(RuntimeError, match="max_ecc_evals"):
+        exact_diameter(g_rand, max_ecc_evals=0)
