@@ -852,6 +852,18 @@ def q_type_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the total-degree distribution — exact
+    histogram arithmetic, one IEEE division, stable6-truncated."""
+    from approximate_pagerank_public_spark.operators.graphstats import (
+        degree_gini,
+    )
+
+    g = _graph(spark, sf_dir)
+    out = degree_gini(g)
+    return out.select("n", "total_degree", _stable6("gini").alias("gini"))
+
+
 def q_avg_nbr_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed knn (Barrat 2004): per-vertex mean out-degree of
     out-neighbors — exact BIGINT sums, avg is one IEEE division."""
@@ -2298,6 +2310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_graph": q_community_graph,
         "assortativity": q_assortativity,
         "type_mixing": q_type_mixing,
+        "degree_gini": q_degree_gini,
         "avg_nbr_degree": q_avg_nbr_degree,
         "reciprocity": q_reciprocity,
         "transitivity": q_transitivity,
@@ -5217,6 +5230,26 @@ def oracle_sql() -> dict[str, str]:
         ),
         "assortativity": _assortativity_oracle(),
         "type_mixing": _type_mixing_oracle(),
+        "degree_gini": (
+            f"WITH e AS MATERIALIZED ({e_sql}), "
+            "dg AS (SELECT id, CAST(count(*) AS BIGINT) AS v FROM "
+            "(SELECT src AS id FROM e UNION ALL SELECT dst FROM e) "
+            "GROUP BY id), "
+            "hist AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM dg "
+            "GROUP BY v), "
+            "cum AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c "
+            "AS BIGINT) AS lo FROM hist), "
+            "agg AS (SELECT CAST(sum(c) AS BIGINT) AS n, "
+            "CAST(sum(v * c) AS BIGINT) AS total_degree, "
+            "CAST(sum(v * (c * lo + (c * (c + 1)) // 2)) AS BIGINT) AS s1 "
+            "FROM cum) "
+            "SELECT n, total_degree, "
+            "CASE WHEN n * total_degree = 0 THEN 0.0 "
+            "ELSE floor((CAST(2 * s1 - (n + 1) * total_degree AS DOUBLE) / "
+            "CAST(n * total_degree AS DOUBLE)) * 1000000.0) / 1000000.0 END "
+            "AS gini FROM agg"
+        ),
         "avg_nbr_degree": _avg_nbr_degree_oracle(),
         "reciprocity": _reciprocity_oracle(),
         "transitivity": _transitivity_oracle(),

@@ -123,6 +123,52 @@ def type_mixing(graph: Graph) -> DataFrame:
     )
 
 
+def degree_gini(graph: Graph) -> DataFrame:
+    """One row ``(n, total_degree, gini)`` — Gini coefficient of the
+    total-degree distribution (the standard hubness/inequality scalar:
+    0 = regular graph, →1 = one hub owns everything). Computed EXACTLY
+    off the degree histogram: for a run of ``c`` vertices with degree
+    ``v`` occupying ranks ``(lo, lo+c]`` of the ascending order,
+    ``Σ i·x_i`` contributes ``v·(c·lo + c(c+1)/2)`` — all BIGINTs; the
+    coefficient ``(2·S1 − (n+1)·S) / (n·S)`` is ONE IEEE division.
+
+    The cumulative window runs over O(distinct degrees) histogram rows
+    (the ``rich_club``/quantiles pattern), never over vertices."""
+    from pyspark.sql.window import Window
+
+    e = graph.edges.select("src", "dst")
+    dg = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("v"))
+    )
+    hist = dg.groupBy("v").agg(F.count("*").alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "v", "c", (F.sum("c").over(w) - F.col("c")).alias("lo")
+    )
+    term = F.col("v") * (
+        F.col("c") * F.col("lo")
+        + F.expr("(c * (c + 1)) div 2")
+    )
+    agg = cum.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("v") * F.col("c")).alias("total_degree"),
+        F.sum(term).alias("s1"),
+    )
+    num = (
+        F.lit(2) * F.col("s1")
+        - (F.col("n") + F.lit(1)) * F.col("total_degree")
+    ).cast("double")
+    den = (F.col("n") * F.col("total_degree")).cast("double")
+    return agg.select(
+        "n",
+        "total_degree",
+        F.when(den == 0, F.lit(0.0)).otherwise(num / den).alias("gini"),
+    )
+
+
 def avg_neighbor_degree(graph: Graph) -> DataFrame:
     """Per-vertex mean out-degree of out-neighbors (the directed knn
     of Barrat et al. 2004): ``(id, deg, nbr_deg_sum, avg_nbr_deg)``.

@@ -278,3 +278,35 @@ def test_rich_club_matches_golden(g_rand):
     for k, (n, ek, phi) in gold.items():
         assert (got[k][0], got[k][1]) == (n, ek)
         assert abs(got[k][2] - phi) < 1e-12
+
+
+def test_degree_gini_regular_and_star(spark):
+    from approximate_pagerank_public_spark.operators.graphstats import (
+        degree_gini,
+    )
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    # 6-cycle: every vertex total degree 2 -> gini 0
+    g = Graph.from_edge_arrays(
+        spark,
+        list(range(6)),
+        [(i + 1) % 6 for i in range(6)],
+        num_vertices=6,
+        num_partitions=4,
+    )
+    row = degree_gini(g).first()
+    assert (row["n"], row["total_degree"], row["gini"]) == (6, 12, 0.0)
+    g.unpersist()
+
+    # star with 5 leaves: degrees [1,1,1,1,1,5]; exact Gini = 1/3
+    g = Graph.from_edge_arrays(
+        spark, [0] * 5, list(range(1, 6)), num_vertices=6, num_partitions=4
+    )
+    row = degree_gini(g).first()
+    x = sorted([1, 1, 1, 1, 1, 5])
+    n = len(x)
+    want = (2 * sum((i + 1) * v for i, v in enumerate(x)) - (n + 1) * sum(x)) / (
+        n * sum(x)
+    )
+    assert row["gini"] == want
+    g.unpersist()
