@@ -1712,6 +1712,18 @@ def q_tool_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly cohort-retention table over events — first-activity-hour
+    cohorts × hours-since-cohort, all integer differences from the
+    stream origin (tz-free), hash-exact."""
+    from approximate_pagerank_public_spark.operators.events import (
+        retention_cohorts,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention_cohorts(ev)
+
+
 def q_tool_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-tool p50/p95 latency — grouped histogram-cumsum rank
     selection, every column an exact BIGINT."""
@@ -2380,6 +2392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_latency": q_turn_latency,
         "tool_latency": q_tool_latency,
         "tool_latency_quantiles": q_tool_latency_quantiles,
+        "retention_cohorts": q_retention_cohorts,
         "event_asof": q_event_asof,
         "funnel_steps": q_funnel_steps,
         "event_transitions": q_event_transitions,
@@ -5267,6 +5280,18 @@ def oracle_sql() -> dict[str, str]:
         "turn_latency": _turn_latency_oracle(),
         "tool_latency": _tool_latency_oracle(),
         "tool_latency_quantiles": _tool_latency_quantiles_oracle((50, 95)),
+        "retention_cohorts": (
+            "WITH t0 AS (SELECT min(epoch_us(ts)) AS o FROM events), "
+            "uh AS (SELECT DISTINCT user_id AS u, "
+            "(epoch_us(ts) - (SELECT o FROM t0)) // 3600000000 AS h "
+            "FROM events), "
+            "co AS (SELECT u, min(h) AS cohort_bucket FROM uh GROUP BY u) "
+            "SELECT co.cohort_bucket, "
+            "CAST(uh.h - co.cohort_bucket AS BIGINT) AS age_buckets, "
+            "CAST(count(*) AS BIGINT) AS users "
+            "FROM uh JOIN co ON co.u = uh.u "
+            "GROUP BY co.cohort_bucket, uh.h - co.cohort_bucket"
+        ),
         "hourly_rollup": _HOURLY_ROLLUP_ORACLE,
         "sliding_rollup": _SLIDING_ROLLUP_ORACLE,
         "stress": _stress_oracle(STRESS_SOURCES),

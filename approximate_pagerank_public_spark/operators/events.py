@@ -321,6 +321,44 @@ def hourly_rollup(
     )
 
 
+def retention_cohorts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Classic cohort-retention table over the event stream:
+    ``(cohort_bucket, age_buckets, users)`` — users bucketed by their
+    FIRST-activity hour (relative to the stream origin, the tz-free
+    integer-difference convention of :func:`hourly_rollup`), counted in
+    every later hour they are active, keyed by hours-since-cohort.
+
+    Scale shape: one distinct (user, hour) shuffle, one per-user min
+    (map-side combinable), one user-key join, one final
+    |cohorts|·|ages| aggregation — all integers, hash-exact.
+    """
+    t0 = events.agg(F.min(ts_col).alias("_t0"))
+    uh = (
+        events.crossJoin(F.broadcast(t0))
+        .select(
+            F.col(user_col).alias("user"),
+            F.expr(
+                f"timestampdiff(MICROSECOND, _t0, {ts_col}) div {int(bucket_us)}"
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    cohort = uh.groupBy("user").agg(F.min("h").alias("cohort_bucket"))
+    return (
+        uh.join(cohort, "user")
+        .groupBy(
+            "cohort_bucket",
+            (F.col("h") - F.col("cohort_bucket")).alias("age_buckets"),
+        )
+        .agg(F.count("*").alias("users"))
+    )
+
+
 def turn_latency(transcripts: DataFrame) -> DataFrame:
     """Per-conversation inter-turn latency: ``(conv_id, n_turns,
     total_gap_us, max_gap_us, avg_gap_us)`` over consecutive turns in
