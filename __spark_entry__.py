@@ -1712,6 +1712,24 @@ def q_tool_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tool_error_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool error-follow rates over agent transcripts — integer
+    counts + one IEEE division, stable6-truncated."""
+    from approximate_pagerank_public_spark.operators.events import (
+        tool_error_adjacency,
+    )
+
+    t = _transcripts(spark, sf_dir)
+    out = tool_error_adjacency(t)
+    return out.select(
+        "tool",
+        "n_calls",
+        "n_with_next",
+        "n_next_error",
+        _stable6("error_follow_rate").alias("error_follow_rate"),
+    )
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly cohort-retention table over events — first-activity-hour
     cohorts × hours-since-cohort, all integer differences from the
@@ -2393,6 +2411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_latency": q_tool_latency,
         "tool_latency_quantiles": q_tool_latency_quantiles,
         "retention_cohorts": q_retention_cohorts,
+        "tool_error_adjacency": q_tool_error_adjacency,
         "event_asof": q_event_asof,
         "funnel_steps": q_funnel_steps,
         "event_transitions": q_event_transitions,
@@ -5280,6 +5299,23 @@ def oracle_sql() -> dict[str, str]:
         "turn_latency": _turn_latency_oracle(),
         "tool_latency": _tool_latency_oracle(),
         "tool_latency_quantiles": _tool_latency_quantiles_oracle((50, 95)),
+        "tool_error_adjacency": (
+            f"WITH tr AS ({_duck_transcripts_cte()}), "
+            "t AS (SELECT tool, lead(tool) OVER "
+            "(PARTITION BY conv_id ORDER BY turn_idx) AS nxt FROM "
+            "(SELECT conv_id, turn_idx, tool FROM tr "
+            "WHERE role = 'tool' AND tool IS NOT NULL)), "
+            "agg AS (SELECT tool, CAST(count(*) AS BIGINT) AS n_calls, "
+            "CAST(sum(CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_with_next, "
+            "CAST(sum(CASE WHEN nxt = 'tool_error' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_next_error FROM t GROUP BY tool) "
+            "SELECT tool, n_calls, n_with_next, n_next_error, "
+            "CASE WHEN n_with_next = 0 THEN 0.0 "
+            "ELSE floor((CAST(n_next_error AS DOUBLE) / "
+            "CAST(n_with_next AS DOUBLE)) * 1000000.0) / 1000000.0 END "
+            "AS error_follow_rate FROM agg"
+        ),
         "retention_cohorts": (
             "WITH t0 AS (SELECT min(epoch_us(ts)) AS o FROM events), "
             "uh AS (SELECT DISTINCT user_id AS u, "

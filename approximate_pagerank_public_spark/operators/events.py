@@ -321,6 +321,55 @@ def hourly_rollup(
     )
 
 
+def tool_error_adjacency(
+    transcripts: DataFrame, error_tool: str = "tool_error"
+) -> DataFrame:
+    """Per-tool reliability readout over agent transcripts:
+    ``(tool, n_calls, n_with_next, n_next_error, error_follow_rate)``
+    — for every tool turn, whether the NEXT tool turn in the same
+    conversation is the error tool; the rate is
+    ``n_next_error / n_with_next`` (one IEEE division; conversations'
+    final tool turns have no successor and are excluded from the
+    denominator).
+
+    Scale shape: one conv_id shuffle + lead window over the TOOL TURNS
+    ONLY (the filter runs before the window), then a map-side-combined
+    aggregate over ≤ |tools| groups.
+    """
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    t = (
+        transcripts.where(
+            (F.col("role") == "tool") & F.col("tool").isNotNull()
+        )
+        .select("conv_id", "turn_idx", "tool")
+        .withColumn("_next", F.lead("tool").over(w))
+    )
+    return t.groupBy("tool").agg(
+        F.count("*").alias("n_calls"),
+        F.sum(F.when(F.col("_next").isNotNull(), 1).otherwise(0)).alias(
+            "n_with_next"
+        ),
+        F.sum(
+            F.when(F.col("_next") == F.lit(error_tool), 1).otherwise(0)
+        ).alias("n_next_error"),
+        F.when(
+            F.sum(F.when(F.col("_next").isNotNull(), 1).otherwise(0)) == 0,
+            F.lit(0.0),
+        )
+        .otherwise(
+            F.sum(
+                F.when(F.col("_next") == F.lit(error_tool), 1).otherwise(0)
+            ).cast("double")
+            / F.sum(
+                F.when(F.col("_next").isNotNull(), 1).otherwise(0)
+            ).cast("double")
+        )
+        .alias("error_follow_rate"),
+    )
+
+
 def retention_cohorts(
     events: DataFrame,
     ts_col: str = "ts",
