@@ -1597,6 +1597,30 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the exact-cosine and LSH-ANN top-5
+    lists — per-(query, vec) sorted fold of 1/(60+rank) terms,
+    stable6-truncated before the top-k cut, ties → smaller vec_id."""
+    from approximate_pagerank_public_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        lsh_ann_topk,
+        rrf_fuse,
+    )
+
+    emb = _emb_double(spark, sf_dir)
+    queries_df = (
+        emb.orderBy("vec_id")
+        .limit(5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    a = cosine_topk_bruteforce(emb, queries_df, k=5)
+    b = lsh_ann_topk(emb, queries_df, dim=_emb_dim(sf_dir), k=5, bits=4, tables=8)
+    return rrf_fuse({"a_cos": a, "b_lsh": b}, k=5, c=60)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from approximate_pagerank_public_spark.operators.similarity import (
         embedding_near_duplicates,
@@ -2400,6 +2424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "rrf_fusion": q_rrf_fusion,
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_ann_topk": q_ivf_ann_topk,
         "kmeans_assign": q_kmeans_assign,
@@ -5484,6 +5509,25 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _minhash_oracle(),
         "cosine_topk": _cosine_topk_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
+        "rrf_fusion": (
+            f"WITH ca AS MATERIALIZED ({_cosine_topk_oracle()}), "
+            f"lb AS MATERIALIZED ({_ann_lsh_oracle()}), "
+            "u AS (SELECT query_id, vec_id, 'a_cos' AS src, rank FROM ca "
+            "UNION ALL "
+            "SELECT query_id, vec_id, 'b_lsh' AS src, rank FROM lb), "
+            "t AS (SELECT query_id, vec_id, "
+            "list(1.0 / (60.0 + CAST(rank AS DOUBLE)) ORDER BY src, rank) "
+            "AS terms FROM u GROUP BY query_id, vec_id), "
+            "s AS (SELECT query_id, vec_id, "
+            "floor(list_reduce(terms, (x, y) -> x + y) * 1000000.0) "
+            "/ 1000000.0 AS rrf_t FROM t), "
+            "r AS (SELECT query_id, vec_id, rrf_t, "
+            "CAST(row_number() OVER (PARTITION BY query_id "
+            "ORDER BY rrf_t DESC, vec_id ASC) AS INTEGER) AS fused_rank "
+            "FROM s) "
+            "SELECT query_id, vec_id, fused_rank, rrf_t AS rrf FROM r "
+            "WHERE fused_rank <= 5"
+        ),
         "embedding_near_dup": _embedding_near_dup_oracle(),
         "ngram_jaccard": _ngram_jaccard_oracle(),
         "session_stats": (

@@ -445,3 +445,57 @@ def semantic_dedup(
     return scored.where(F.col("cosine") >= F.lit(float(threshold))).select(
         "cell", "a_id", "b_id", "cosine"
     )
+
+
+def rrf_fuse(
+    rankings: dict[str, DataFrame], k: int = 5, c: int = 60
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of named ranked
+    lists — the standard way to combine retrieval strategies (here:
+    exact cosine + LSH ANN) without score calibration:
+    ``rrf(q, v) = Σ_sources 1 / (c + rank)``.
+
+    Determinism across engines: per (query, vec) the ≤ |sources| float
+    terms are folded in (source-name, rank) order via an explicit
+    sorted fold (the engine's pinned-association discipline — same as
+    ``harmonic_centrality``), the fused score is stable6-truncated
+    BEFORE the top-k cut, and ties break to the smaller vec_id.
+
+    Scale shape: one union + ONE (query_id, vec_id) map-side-combinable
+    aggregate over the candidate lists (k·|queries|·|sources| rows,
+    never corpus-sized); the per-query top-k window partitions by
+    query_id. Input frames must carry (query_id, vec_id, rank)."""
+    import functools
+
+    from pyspark.sql.window import Window
+
+    parts = [
+        df.select(
+            "query_id", "vec_id", F.lit(name).alias("src"), F.col("rank")
+        )
+        for name, df in sorted(rankings.items())
+    ]
+    u = functools.reduce(lambda a, b: a.unionAll(b), parts)
+    fused = u.groupBy("query_id", "vec_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("src", "rank"))),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + F.lit(1.0) / (F.lit(float(c)) + x["rank"].cast("double")),
+        ).alias("rrf")
+    )
+    trunc = F.floor(F.col("rrf") * F.lit(1000000.0)) / F.lit(1000000.0)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_t").desc(), F.col("vec_id").asc()
+    )
+    return (
+        fused.select("query_id", "vec_id", trunc.alias("rrf_t"))
+        .withColumn("fused_rank", F.row_number().over(w))
+        .where(F.col("fused_rank") <= int(k))
+        .select(
+            "query_id",
+            "vec_id",
+            "fused_rank",
+            F.col("rrf_t").alias("rrf"),
+        )
+    )
