@@ -1597,6 +1597,25 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified re-rank (λ=0.5) of the exact cosine top-10 —
+    greedy rounds driven by raw bit-exact cosines, output stable6."""
+    from approximate_pagerank_public_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    emb = _emb_double(spark, sf_dir)
+    queries_df = (
+        emb.orderBy("vec_id")
+        .limit(5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    return mmr_rerank(emb, queries_df, k_candidates=10, k=5)
+
+
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of the exact-cosine and LSH-ANN top-5
     lists — per-(query, vec) sorted fold of 1/(60+rank) terms,
@@ -2425,6 +2444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "rrf_fusion": q_rrf_fusion,
+        "mmr_rerank": q_mmr_rerank,
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_ann_topk": q_ivf_ann_topk,
         "kmeans_assign": q_kmeans_assign,
@@ -2505,6 +2525,56 @@ def _cosine_topk_oracle() -> str:
         'SELECT query_id, vec_id, "rank", '
         "floor(cosine * 1000000.0) / 1000000.0 AS cosine "
         'FROM ranked WHERE "rank" <= 5'
+    )
+
+
+def _mmr_oracle(k_candidates: int = 10, k: int = 5) -> str:
+    """Unrolled MMR greedy rounds: raw (untruncated) cosines drive every
+    argmax exactly as the engine's, λ = 0.5 scales by an exact power of
+    two, output scores stable6-truncated."""
+    parts = [
+        f"WITH emb AS MATERIALIZED ({_DUCK_EMB}), q AS ({_DUCK_EMB_Q}), ",
+        "scored AS (SELECT q.query_id, e.vec_id, "
+        f"{_duck_cos('e.v', 'q.qv')} AS cosine FROM emb e CROSS JOIN q), ",
+        "cands AS MATERIALIZED (SELECT query_id, vec_id, cosine FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, vec_id ASC) AS rn FROM scored) "
+        f"WHERE rn <= {int(k_candidates)}), ",
+        "ce AS (SELECT c.query_id, c.vec_id, e.v FROM cands c "
+        "JOIN emb e USING (vec_id)), ",
+        "pairs AS MATERIALIZED (SELECT x.query_id, x.vec_id AS i, "
+        f"y.vec_id AS j, {_duck_cos('x.v', 'y.v')} AS sim "
+        "FROM ce x JOIN ce y ON y.query_id = x.query_id "
+        "AND y.vec_id <> x.vec_id), ",
+        "sel1 AS (SELECT query_id, vec_id, 1 AS mmr_rank, "
+        "0.5 * cosine AS score FROM (SELECT *, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn "
+        "FROM cands) WHERE rn = 1), ",
+    ]
+    prev = "sel1"
+    for r in range(2, int(k) + 1):
+        parts.append(
+            f"m{r} AS (SELECT p.query_id, p.i AS vec_id, max(p.sim) AS msim "
+            f"FROM pairs p JOIN {prev} s ON s.query_id = p.query_id "
+            "AND s.vec_id = p.j GROUP BY p.query_id, p.i), "
+            f"p{r} AS (SELECT query_id, vec_id, {r} AS mmr_rank, score FROM "
+            "(SELECT c.query_id, c.vec_id, "
+            "0.5 * c.cosine - 0.5 * m.msim AS score, "
+            "row_number() OVER (PARTITION BY c.query_id "
+            "ORDER BY 0.5 * c.cosine - 0.5 * m.msim DESC, c.vec_id ASC) "
+            f"AS rn FROM cands c JOIN m{r} m ON m.query_id = c.query_id "
+            "AND m.vec_id = c.vec_id "
+            f"WHERE NOT EXISTS (SELECT 1 FROM {prev} s "
+            "WHERE s.query_id = c.query_id AND s.vec_id = c.vec_id)) "
+            "WHERE rn = 1), "
+            f"sel{r} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM p{r}), "
+        )
+        prev = f"sel{r}"
+    return (
+        "".join(parts).rstrip(", ")
+        + " SELECT query_id, vec_id, mmr_rank, "
+        "floor(score * 1000000.0) / 1000000.0 AS mmr_score "
+        f"FROM {prev}"
     )
 
 
@@ -5509,6 +5579,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _minhash_oracle(),
         "cosine_topk": _cosine_topk_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
+        "mmr_rerank": _mmr_oracle(10, 5),
         "rrf_fusion": (
             f"WITH ca AS MATERIALIZED ({_cosine_topk_oracle()}), "
             f"lb AS MATERIALIZED ({_ann_lsh_oracle()}), "

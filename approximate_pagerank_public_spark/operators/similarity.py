@@ -499,3 +499,109 @@ def rrf_fuse(
             F.col("rrf_t").alias("rrf"),
         )
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k_candidates: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """``(query_id, vec_id, mmr_rank, mmr_score)`` — maximal marginal
+    relevance (Carbonell & Goldstein 1998) greedy diversified re-rank
+    of the exact-cosine top-``k_candidates``, at the classic λ = 0.5:
+    round 1 picks the top candidate; round r scores every remaining
+    candidate ``0.5·cos(q, d) − 0.5·max_{s∈selected} cos(d, s)`` and
+    picks the argmax (ties → smaller vec_id).
+
+    Exactness: every cosine is the engine's pinned left-fold dot
+    product (bit-identical to DuckDB ``list_dot_product``), and λ = 0.5
+    multiplies by an exact power of two — all scores and therefore all
+    argmax comparisons are bit-identical cross-engine; only the output
+    score is stable6-truncated. The oracle unrolls the greedy rounds.
+
+    Scale shape: per query the state is its ≤ k_candidates candidate
+    rows and their ≤ k_candidates² pair similarities — query-count
+    parallel, candidate-bounded, never corpus-sized; the greedy rounds
+    are k-1 tiny join+window jobs."""
+    cands = cosine_topk_bruteforce(embeddings, queries, k=k_candidates)
+    emb = embeddings.select("vec_id", "embedding")
+    ce = cands.join(emb, "vec_id").select(
+        "query_id", "vec_id", "cosine", "embedding"
+    )
+    ce = ce.localCheckpoint()
+    a = ce.select(
+        "query_id", F.col("vec_id").alias("i"), F.col("embedding").alias("ea")
+    )
+    b = ce.select(
+        "query_id", F.col("vec_id").alias("j"), F.col("embedding").alias("eb")
+    )
+    pairs = (
+        a.join(b, "query_id")
+        .where(F.col("i") != F.col("j"))
+        .select(
+            "query_id",
+            "i",
+            "j",
+            (_dot("ea", "eb") / (_norm("ea") * _norm("eb")))
+            .cast("double")
+            .alias("sim"),
+        )
+        .localCheckpoint()
+    )
+    base = ce.select("query_id", "vec_id", "cosine")
+    w = Window.partitionBy("query_id")
+    first = (
+        base.withColumn(
+            "_rn",
+            F.row_number().over(
+                w.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .select(
+            "query_id",
+            "vec_id",
+            F.lit(1).alias("mmr_rank"),
+            (F.lit(0.5) * F.col("cosine")).alias("score"),
+        )
+    )
+    selected = first.localCheckpoint()
+    for r in range(2, int(k) + 1):
+        rem = base.join(
+            selected.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti"
+        )
+        msim = (
+            pairs.join(
+                selected.select(
+                    "query_id", F.col("vec_id").alias("j")
+                ),
+                ["query_id", "j"],
+            )
+            .groupBy("query_id", F.col("i").alias("vec_id"))
+            .agg(F.max("sim").alias("msim"))
+        )
+        scored = rem.join(msim, ["query_id", "vec_id"]).select(
+            "query_id",
+            "vec_id",
+            (
+                F.lit(0.5) * F.col("cosine") - F.lit(0.5) * F.col("msim")
+            ).alias("score"),
+        )
+        pick = (
+            scored.withColumn(
+                "_rn",
+                F.row_number().over(
+                    w.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+                ),
+            )
+            .where(F.col("_rn") == 1)
+            .select(
+                "query_id", "vec_id", F.lit(r).alias("mmr_rank"), "score"
+            )
+        )
+        selected = selected.unionAll(pick).localCheckpoint()
+    trunc = F.floor(F.col("score") * F.lit(1000000.0)) / F.lit(1000000.0)
+    return selected.select(
+        "query_id", "vec_id", "mmr_rank", trunc.alias("mmr_score")
+    )
