@@ -1773,6 +1773,21 @@ def q_tool_error_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_TARGETS_BP = {f"src{i}": (1000 if i < 4 else 375) for i in range(20)}
+
+
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing downsample to target source proportions (src0–3 get
+    10% each, the rest 3.75%) — exact integer thresholds over md5
+    buckets, growth-invariant, corpus never shuffled."""
+    from approximate_pagerank_public_spark.operators.sampling import (
+        mixture_resample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_resample(docs, MIX_TARGETS_BP, "source", "doc_id", "mix")
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly cohort-retention table over events — first-activity-hour
     cohorts × hours-since-cohort, all integer differences from the
@@ -2476,6 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dataset_split": q_dataset_split,
         "quality_resample": q_quality_resample,
+        "mixture_resample": q_mixture_resample,
         "stratified_sample": q_stratified_sample,
         "split_contamination": q_split_contamination,
         "repetition_stats": q_repetition_stats,
@@ -5410,6 +5426,23 @@ def oracle_sql() -> dict[str, str]:
             "ELSE floor((CAST(n_next_error AS DOUBLE) / "
             "CAST(n_with_next AS DOUBLE)) * 1000000.0) / 1000000.0 END "
             "AS error_follow_rate FROM agg"
+        ),
+        "mixture_resample": (
+            "WITH tgt(source, bp) AS (VALUES "
+            + ", ".join(
+                f"('{g}', {bp})" for g, bp in sorted(MIX_TARGETS_BP.items())
+            )
+            + "), "
+            "counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n "
+            "FROM documents GROUP BY source), "
+            "per AS (SELECT c.source, n, bp, (n * 10000) // bp AS q "
+            "FROM counts c JOIN tgt USING (source)), "
+            "tt AS (SELECT min(q) AS t FROM per), "
+            "thr AS (SELECT source, (bp * t * 1000000) // (10000 * n) AS thr "
+            "FROM per CROSS JOIN tt) "
+            "SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source) "
+            "WHERE CAST('0x' || substr(md5('mix:' || "
+            "CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 < thr"
         ),
         "retention_cohorts": (
             "WITH t0 AS (SELECT min(epoch_us(ts)) AS o FROM events), "

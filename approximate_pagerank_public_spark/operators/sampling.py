@@ -123,3 +123,49 @@ def stratified_sample(
         df.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= F.lit(int(k)))
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    targets_bp: dict[str, int],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Downsample to TARGET MIXTURE PROPORTIONS (the data-mixing step
+    of a pretraining pipeline, DoReMi-style reweighting applied by
+    deterministic thinning): ``targets_bp`` maps group → share in basis
+    points (must sum to 10000); the output keeps, per group, exactly
+    the md5-bucket prefix that realizes the largest total consistent
+    with every target, ``T = min_g (n_g · 10000) div bp_g``.
+
+    All arithmetic is integer (thresholds in millionths:
+    ``thr_g = (bp_g · T · 1_000_000) div (10000 · n_g)``; keep iff
+    ``md5_bucket < thr_g``), so membership is exact, growth-invariant,
+    and replays verbatim in SQL. Groups absent from ``targets_bp`` are
+    dropped (share 0).
+
+    Scale shape: one map-side-combinable group count, a broadcast
+    threshold join, then a pure map — the corpus is never shuffled.
+    """
+    if sum(targets_bp.values()) != 10_000:
+        raise ValueError("targets_bp must sum to 10000")
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(g, int(bp)) for g, bp in sorted(targets_bp.items())],
+        f"{group_col} string, bp int",
+    )
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n"))
+    per = counts.join(F.broadcast(tgt), group_col).select(
+        group_col, "n", "bp", F.expr("(n * 10000) div bp").alias("q")
+    )
+    t_total = per.agg(F.min("q").alias("t"))
+    thr = per.crossJoin(F.broadcast(t_total)).select(
+        group_col,
+        F.expr("(bp * t * 1000000) div (10000 * n)").alias("thr"),
+    )
+    return (
+        df.join(F.broadcast(thr), group_col)
+        .where(hash_bucket(id_col, seed) < F.col("thr"))
+        .select(id_col, group_col)
+    )
