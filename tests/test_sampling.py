@@ -89,3 +89,27 @@ def test_quality_resample_deterministic_and_weight_monotone(spark):
     # growth-invariance: thinning a subset never flips decisions
     sub = quality_resample(df.where("doc_id < 500")).toPandas()
     assert set(sub.doc_id) == {d for d in kept.doc_id if d < 500}
+
+
+def test_mixture_resample_hits_targets(spark):
+    """Kept counts track the basis-point targets (exact thresholds ⇒
+    per-group kept ≤ ceil(expected) and the binding group keeps ~all)."""
+    from approximate_pagerank_public_spark.operators.sampling import (
+        mixture_resample,
+    )
+
+    rows = [(i, f"s{i % 4}") for i in range(4000)]  # 1000 docs per source
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    targets = {"s0": 5000, "s1": 3000, "s2": 1000, "s3": 1000}
+    out = mixture_resample(df, targets, "source", "doc_id", "mix")
+    got = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # T = min_g (1000*10000) div bp = (1000*10000) div 5000 = 2000
+    # expected kept: s0 = 1000 (binding), s1 = 600, s2 = 200, s3 = 200
+    # md5 thinning is exact-threshold, so counts are within ~3 sigma of
+    # n*thr/1e6; thresholds themselves are exact:
+    assert got["s0"] == 1000  # thr = 1e6 → keep all
+    for s, exp in [("s1", 600), ("s2", 200), ("s3", 200)]:
+        assert abs(got[s] - exp) < 80, (s, got[s], exp)
