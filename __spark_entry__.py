@@ -1489,6 +1489,22 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction(g, min_common=3).select("u", "v", "cn", "jaccard", "pa")
 
 
+def q_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation link prediction (Zhou–Lü–Zhang 2009) over
+    non-adjacent pairs (operators/linkpred.py). Every common neighbor
+    contributes ``1000000 div deg(w)`` micro-units, so the RA score is
+    an exact BIGINT sum — hash-exact with no float anywhere (the trick
+    Adamic–Adar's ``1/ln deg`` cannot play)."""
+    from approximate_pagerank_public_spark.operators.linkpred import (
+        resource_allocation,
+    )
+
+    g = _graph(spark, sf_dir)
+    return resource_allocation(g, min_common=3).select(
+        "u", "v", "cn", "ra_micro"
+    )
+
+
 def q_topk_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _edges(spark, sf_dir)
     return (
@@ -2452,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "core_numbers": q_core_numbers,
         "clustering_coeff": q_clustering_coeff,
         "link_pred": q_link_prediction,
+        "resource_alloc": q_resource_allocation,
         "topk_indegree": q_topk_indegree,
         "closeness": q_closeness,
         "minhash_lsh": q_minhash_lsh,
@@ -3710,6 +3727,29 @@ def _link_pred_oracle(min_common: int = 3) -> str:
         "CAST(ne.cn AS DOUBLE) / CAST(du.dw + dv.dw - ne.cn AS DOUBLE) AS jaccard, "
         "du.dw * dv.dw AS pa "
         "FROM ne JOIN deg du ON du.w = ne.u JOIN deg dv ON dv.w = ne.v"
+    )
+
+
+def _resource_allocation_oracle(min_common: int = 3) -> str:
+    """Same wedge join as ``_link_pred_oracle`` with the integer
+    micro-unit RA weight riding the wedge rows: ``1000000 // dw`` is an
+    exact-integer division in DuckDB (truncation toward zero matches
+    Spark's ``div`` — degrees are positive), and the per-pair BIGINT
+    sum is order-free, so ``ra_micro`` hash-checks bit-exact."""
+    e_sql = _duck_edges_sql()
+    return (
+        f"WITH e AS MATERIALIZED ({e_sql}), "
+        + _DUCK_SYM_CTES
+        + "nb AS (SELECT src AS w, dst AS x FROM sym), "
+        "deg AS (SELECT w, count(*) AS dw FROM nb GROUP BY w), "
+        "nbw AS (SELECT nb.w, nb.x, CAST(1000000 AS BIGINT) // deg.dw AS ra_w "
+        "        FROM nb JOIN deg USING (w)), "
+        "sc AS (SELECT a.x AS u, b.x AS v, count(*) AS cn, "
+        "              CAST(sum(a.ra_w) AS BIGINT) AS ra_micro "
+        "       FROM nbw a JOIN nbw b USING (w) WHERE a.x < b.x "
+        f"       GROUP BY a.x, b.x HAVING count(*) >= {min_common}) "
+        "SELECT sc.u, sc.v, sc.cn, sc.ra_micro FROM sc WHERE NOT EXISTS "
+        "(SELECT 1 FROM canon WHERE canon.u = sc.u AND canon.v = sc.v)"
     )
 
 
@@ -5498,6 +5538,7 @@ def oracle_sql() -> dict[str, str]:
         "core_numbers": _coreness_oracle(),
         "clustering_coeff": _clustering_coeff_oracle(),
         "link_pred": _link_pred_oracle(3),
+        "resource_alloc": _resource_allocation_oracle(3),
         "per_vertex_triangles": (
             f"WITH e AS ({e_sql}), "
             "canon AS (SELECT DISTINCT least(src,dst) AS u, greatest(src,dst) AS v "

@@ -8,7 +8,10 @@ import numpy as np
 import pytest
 
 from approximate_pagerank_public_spark.operators.kcore import core_numbers, k_core
-from approximate_pagerank_public_spark.operators.linkpred import link_prediction
+from approximate_pagerank_public_spark.operators.linkpred import (
+    link_prediction,
+    resource_allocation,
+)
 from approximate_pagerank_public_spark.operators.triangles import (
     clustering_coefficient,
 )
@@ -145,6 +148,46 @@ def test_link_prediction_excludes_existing_edges(g_rand):
     assert not (pairs & existing)
     assert (got["u"] < got["v"]).all()
     assert (got["cn"] >= 3).all()
+
+
+def test_resource_allocation_golden(g5):
+    # sym simple g5: 0-1,0-2,1-2,1-3,2-3,3-4 — the only non-adjacent
+    # pair with >=2 common neighbors is (0,3) via {1,2}, deg(1)=deg(2)=3
+    # → ra_micro = 2 * (1000000 // 3) = 666666
+    got = resource_allocation(g5, min_common=2).toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (int(r["u"]), int(r["v"])) == (0, 3)
+    assert int(r["cn"]) == 2
+    assert int(r["ra_micro"]) == 2 * (1_000_000 // 3)
+
+
+def test_resource_allocation_matches_python_replay(g_rand):
+    src, dst, _ = g_rand.edges_numpy()
+    adj = _sym_simple(src, dst, g_rand.num_vertices)
+    existing = {
+        (min(s, d), max(s, d)) for s, d in zip(src, dst) if s != d
+    }
+    want = {}
+    n = len(adj)
+    for w in range(n):
+        nbrs = sorted(adj[w])
+        ra_w = 1_000_000 // len(nbrs) if nbrs else 0
+        for i, u in enumerate(nbrs):
+            for v in nbrs[i + 1 :]:
+                cn, ra = want.get((u, v), (0, 0))
+                want[(u, v)] = (cn + 1, ra + ra_w)
+    want = {
+        p: s
+        for p, s in want.items()
+        if s[0] >= 3 and p not in existing
+    }
+    got = resource_allocation(g_rand, min_common=3).toPandas()
+    got_map = {
+        (int(r["u"]), int(r["v"])): (int(r["cn"]), int(r["ra_micro"]))
+        for _, r in got.iterrows()
+    }
+    assert got_map == want
 
 
 def _py_ktruss(pairs, k):
