@@ -1489,6 +1489,19 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction(g, min_common=3).select("u", "v", "cn", "jaccard", "pa")
 
 
+def q_peel_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Onion layers of the k=3 core peel (operators/kcore.py):
+    ``layer = r`` for vertices removed in simultaneous-removal round r,
+    0 for 3-core survivors. All-integer; the oracle unrolls the
+    replay-computed round count (``peel_layers_numpy`` over its own
+    edge table), exactly the ``kcore3`` pattern."""
+    from approximate_pagerank_public_spark.operators.kcore import peel_layers
+
+    g = _graph(spark, sf_dir)
+    df, _rounds = peel_layers(g, 3)
+    return df.select("id", "layer")
+
+
 def q_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resource-allocation link prediction (Zhou–Lü–Zhang 2009) over
     non-adjacent pairs (operators/linkpred.py). Every common neighbor
@@ -2469,6 +2482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff": q_clustering_coeff,
         "link_pred": q_link_prediction,
         "resource_alloc": q_resource_allocation,
+        "peel_layers": q_peel_layers,
         "topk_indegree": q_topk_indegree,
         "closeness": q_closeness,
         "minhash_lsh": q_minhash_lsh,
@@ -3728,6 +3742,61 @@ def _link_pred_oracle(min_common: int = 3) -> str:
         "du.dw * dv.dw AS pa "
         "FROM ne JOIN deg du ON du.w = ne.u JOIN deg dv ON dv.w = ne.v"
     )
+
+
+def _peel_layers_oracle(k: int = 3) -> str:
+    """Unrolls the onion peel for the replay-computed round count.
+    Round i+1's removals are ``alive_i EXCEPT a_i`` where ``a_i`` is the
+    HAVING-count survivor set over the round-i edge table — this also
+    catches vertices whose last live neighbor vanished (absent from the
+    GROUP BY entirely), matching ``peel_layers_numpy``."""
+    import numpy as np
+
+    from approximate_pagerank_public_spark.operators.kcore import (
+        peel_layers_numpy,
+    )
+
+    src, dst, _w, n = _duck_edge_arrays(_oracle_sf_dir())
+    pairs = {
+        (min(s, d), max(s, d)) for s, d in zip(src.tolist(), dst.tolist()) if s != d
+    }
+    if pairs:
+        u, v = map(np.asarray, zip(*sorted(pairs)))
+        _ids, _layers, rounds = peel_layers_numpy(
+            np.concatenate([u, v]), np.concatenate([v, u]), n, k
+        )
+    else:
+        rounds = 0
+    e_sql = _duck_edges_sql()
+    parts = [
+        f"WITH e AS MATERIALIZED ({e_sql}), ",
+        _DUCK_SYM_CTES,
+        "s0 AS (SELECT * FROM sym), ",
+        "alive0 AS MATERIALIZED (SELECT DISTINCT src FROM s0), ",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT src FROM s{i} "
+            f"GROUP BY src HAVING count(*) >= {k}), "
+        )
+        parts.append(
+            f"r{i+1} AS MATERIALIZED (SELECT src FROM alive{i} "
+            f"EXCEPT SELECT src FROM a{i}), "
+        )
+        parts.append(f"alive{i+1} AS MATERIALIZED (SELECT src FROM a{i}), ")
+        parts.append(
+            f"s{i+1} AS MATERIALIZED (SELECT s.src, s.dst FROM s{i} s "
+            f"JOIN a{i} x ON x.src = s.src JOIN a{i} y ON y.src = s.dst), "
+        )
+    sql = "".join(parts).rstrip(", ")
+    selects = [
+        f"SELECT src AS id, CAST(0 AS BIGINT) AS layer FROM alive{rounds}"
+    ]
+    for i in range(1, rounds + 1):
+        selects.append(
+            f"SELECT src AS id, CAST({i} AS BIGINT) AS layer FROM r{i}"
+        )
+    return sql + " " + " UNION ALL ".join(selects)
 
 
 def _resource_allocation_oracle(min_common: int = 3) -> str:
@@ -5539,6 +5608,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_oracle(),
         "link_pred": _link_pred_oracle(3),
         "resource_alloc": _resource_allocation_oracle(3),
+        "peel_layers": _peel_layers_oracle(3),
         "per_vertex_triangles": (
             f"WITH e AS ({e_sql}), "
             "canon AS (SELECT DISTINCT least(src,dst) AS u, greatest(src,dst) AS v "

@@ -168,6 +168,123 @@ def k_core(g: Graph, k: int, mode: str = "auto") -> KCoreResult:
     raise ValueError(f"unknown mode {mode!r}")
 
 
+# ----------------------------------------------------------- onion layers
+def peel_layers_numpy(
+    src: np.ndarray, dst: np.ndarray, n: int, k: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Pure-NumPy onion layering of the k-core peel: vertices removed in
+    simultaneous-removal round r get layer r (1-based); k-core survivors
+    get layer 0. Same round semantics as :func:`peel_kcore_numpy`
+    (a vertex whose last neighbor disappears is removed the FOLLOWING
+    round, when its recomputed degree < k). Returns (ids over the
+    initial peel domain, layers, rounds)."""
+    deg = np.bincount(src, minlength=n)
+    domain = deg > 0
+    alive = domain.copy()
+    layer = np.zeros(n, dtype=np.int64)
+    rounds = 0
+    while True:
+        mask = alive[src] & alive[dst]
+        deg = np.bincount(src[mask], minlength=n)
+        bad = alive & (deg < k)
+        if not bad.any():
+            break
+        rounds += 1
+        layer[bad] = rounds
+        alive &= ~bad
+    ids = np.flatnonzero(domain)
+    return ids.astype(np.int64), layer[ids], rounds
+
+
+def _peel_layers_distributed(g: Graph, k: int) -> tuple[DataFrame, int]:
+    # Rotates THREE checkpointed tables (edges / alive set / removed
+    # accumulator); every new round's state is materialized via
+    # local_ckpt BEFORE the superseded blocks are freed (a freed
+    # localCheckpoint is unrecoverable — see plans/checkpoint.py).
+    spark = g.spark
+    edges, edge_ids = local_ckpt(_sym_edges_df(g))
+    alive, alive_ids = local_ckpt(edges.select("src").distinct())
+    removed: DataFrame | None = None
+    removed_ids: set[int] = set()
+    rounds = 0
+    while True:
+        good = (
+            edges.groupBy("src")
+            .agg(F.count("*").alias("d"))
+            .where(F.col("d") >= k)
+            .select("src")
+        )
+        bad = alive.join(good, "src", "left_anti")
+        if bad.isEmpty():
+            out = alive.select(
+                F.col("src").alias("id"), F.lit(0).cast("long").alias("layer")
+            )
+            if removed is not None:
+                out = removed.unionAll(out)
+            out, _ = local_ckpt(out)
+            free_local_ckpt(spark, edge_ids)
+            free_local_ckpt(spark, alive_ids)
+            if removed_ids:
+                free_local_ckpt(spark, removed_ids)
+            return out, rounds
+        rounds += 1
+        step = bad.select(
+            F.col("src").alias("id"),
+            F.lit(rounds).cast("long").alias("layer"),
+        )
+        new_removed = step if removed is None else removed.unionAll(step)
+        new_removed, new_removed_ids = local_ckpt(new_removed)
+        nxt = (
+            edges.join(good, "src", "left_semi")
+            .join(good.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .select("src", "dst")
+        )
+        nxt, new_edge_ids = local_ckpt(nxt)
+        new_alive, new_alive_ids = local_ckpt(good)
+        free_local_ckpt(spark, edge_ids)
+        free_local_ckpt(spark, alive_ids)
+        if removed_ids:
+            free_local_ckpt(spark, removed_ids)
+        edges, edge_ids = nxt, new_edge_ids
+        alive, alive_ids = new_alive, new_alive_ids
+        removed, removed_ids = new_removed, new_removed_ids
+
+
+def peel_layers(g: Graph, k: int, mode: str = "auto") -> tuple[DataFrame, int]:
+    """Onion decomposition of the k-core peel (Hébert-Dufresne, Grochow
+    & Allard 2016 use the same layering idea on the full degeneracy
+    peel): ``(id, layer)`` for every vertex incident to ≥1 undirected
+    simple edge — ``layer = r ≥ 1`` if the vertex is removed in
+    simultaneous-removal round r of the k-core peel, ``layer = 0`` for
+    k-core survivors. All-integer, so the DuckDB oracle unrolls the
+    replay-computed round count and hash-checks exactly.
+
+    Scale shape: identical to :func:`k_core`'s distributed peel (one
+    map-side-combinable degree aggregation + two semi-joins per round),
+    plus one shrinking removed-set union per round; the broadcast path
+    is the NumPy peel under ``BROADCAST_MAX_EDGES``. Returns
+    ``(df, rounds)``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if mode == "auto":
+        mode = "broadcast" if g.num_edges <= BROADCAST_MAX_EDGES else "distributed"
+    if mode == "broadcast":
+        src, dst, n = _sym_arrays(g)
+        ids, layers, rounds = peel_layers_numpy(src, dst, n, k)
+        import pandas as pd
+
+        pdf = pd.DataFrame({"id": ids, "layer": layers})
+        if len(pdf) == 0:
+            df = g.spark.createDataFrame([], "id long, layer long")
+        else:
+            df = g.spark.createDataFrame(pdf)
+        return df, rounds
+    if mode == "distributed":
+        return _peel_layers_distributed(g, k)
+    raise ValueError(f"unknown mode {mode!r}")
+
+
 # --------------------------------------------------------- H-index coreness
 def _hindex_segments(vals: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
     """H-index per segment of a DESC-sorted value array: with per-row

@@ -7,7 +7,11 @@ import math
 import numpy as np
 import pytest
 
-from approximate_pagerank_public_spark.operators.kcore import core_numbers, k_core
+from approximate_pagerank_public_spark.operators.kcore import (
+    core_numbers,
+    k_core,
+    peel_layers,
+)
 from approximate_pagerank_public_spark.operators.linkpred import (
     link_prediction,
     resource_allocation,
@@ -148,6 +152,57 @@ def test_link_prediction_excludes_existing_edges(g_rand):
     assert not (pairs & existing)
     assert (got["u"] < got["v"]).all()
     assert (got["cn"] >= 3).all()
+
+
+def _py_peel_layers(adj, k):
+    """Textbook simultaneous-removal onion layers on a set-adjacency."""
+    alive = {v for v in range(len(adj)) if adj[v]}
+    layer = {v: 0 for v in alive}
+    nbrs = [set(a) for a in adj]
+    rounds = 0
+    while True:
+        bad = {v for v in alive if len(nbrs[v] & alive) < k}
+        if not bad:
+            return layer, rounds
+        rounds += 1
+        for v in bad:
+            layer[v] = rounds
+        alive -= bad
+
+
+def test_peel_layers_matches_python_golden(g_rand):
+    src, dst, _ = g_rand.edges_numpy()
+    adj = _sym_simple(src, dst, g_rand.num_vertices)
+    want, want_rounds = _py_peel_layers(adj, 3)
+    df, rounds = peel_layers(g_rand, 3, mode="broadcast")
+    got = {
+        int(r["id"]): int(r["layer"]) for _, r in df.toPandas().iterrows()
+    }
+    assert got == want
+    assert rounds == want_rounds
+
+
+def test_peel_layers_path_parity(g_rand):
+    b, rb = peel_layers(g_rand, 3, mode="broadcast")
+    d, rd = peel_layers(g_rand, 3, mode="distributed")
+    assert rb == rd
+    bp = b.orderBy("id").toPandas()
+    dp = d.orderBy("id").toPandas()
+    assert bp["id"].tolist() == dp["id"].tolist()
+    assert bp["layer"].tolist() == dp["layer"].tolist()
+
+
+def test_peel_layers_consistent_with_kcore(g_rand):
+    df, _ = peel_layers(g_rand, 3, mode="broadcast")
+    got = df.toPandas()
+    core_ids = set(
+        k_core(g_rand, 3, mode="broadcast")
+        .subgraph_vertices()
+        .toPandas()["id"]
+        .astype(int)
+    )
+    in_core = set(got[got["layer"] == 0]["id"].astype(int))
+    assert in_core == core_ids
 
 
 def test_resource_allocation_golden(g5):
