@@ -2232,6 +2232,39 @@ def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped order-priority check: per-priority count of one
+    quarter's orders with ≥1 late line (LEFT SEMI join with the
+    lateness inequality as a residual — the fixture's shipdate stands
+    in for the missing commit/receipt dates). Exact integers."""
+    from approximate_pagerank_public_spark.operators.relational import (
+        order_priority_counts,
+    )
+    from approximate_pagerank_public_spark.sources.readers import load_table
+
+    return order_priority_counts(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item revenue: top-20 customers by
+    returned (l_returnflag='R') revenue in one quarter, with nation.
+    Money in exact cent·percent/cents integers, ties → smaller
+    custkey."""
+    from approximate_pagerank_public_spark.operators.relational import (
+        returned_revenue_topk,
+    )
+    from approximate_pagerank_public_spark.sources.readers import load_table
+
+    return returned_revenue_topk(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document: duplicate
     lines (count + char mass), the dominant word 2-gram and its char
@@ -2533,6 +2566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_top_orders": q_segment_top_orders,
         "regional_revenue": q_regional_revenue,
         "promo_share": q_promo_share,
+        "order_priority": q_order_priority,
+        "returned_revenue": q_returned_revenue,
         "pagerank_decay": q_pagerank_decay,
         "tool_cooccurrence": q_tool_cooccurrence,
         "butterflies": q_butterflies,
@@ -3218,6 +3253,44 @@ _REV_CPCT_SQL = (
     "CAST(round(l_extendedprice*100) AS BIGINT) * "
     "(100 - CAST(round(l_discount*100) AS BIGINT))"
 )
+
+
+def _order_priority_oracle(
+    date_from: str = "1996-10-01",
+    date_to: str = "1997-01-01",
+    late_days: int = 60,
+) -> str:
+    """`operators/relational.py::order_priority_counts` (Q4 shape) —
+    EXISTS over the lateness inequality, exact integer counts."""
+    return (
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count "
+        f"FROM orders WHERE o_orderdate >= TIMESTAMP '{date_from}' "
+        f"AND o_orderdate < TIMESTAMP '{date_to}' "
+        "AND EXISTS (SELECT 1 FROM lineitem "
+        "WHERE l_orderkey = o_orderkey "
+        f"AND l_shipdate > o_orderdate + INTERVAL {late_days} DAY) "
+        "GROUP BY o_orderpriority"
+    )
+
+
+def _returned_revenue_oracle(
+    date_from: str = "1996-10-01", date_to: str = "1997-01-01", k: int = 20
+) -> str:
+    """`operators/relational.py::returned_revenue_topk` (Q10 shape) —
+    integer cent·percent revenue, cents balance, deterministic top-k."""
+    return (
+        "SELECT c_custkey, c_name, "
+        f"CAST(sum({_REV_CPCT_SQL}) AS BIGINT) AS revenue_cpct, "
+        "CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_cents, n_name "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN orders ON o_custkey = c_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        f"WHERE o_orderdate >= TIMESTAMP '{date_from}' "
+        f"AND o_orderdate < TIMESTAMP '{date_to}' "
+        "AND l_returnflag = 'R' "
+        "GROUP BY c_custkey, c_name, acctbal_cents, n_name "
+        f"ORDER BY revenue_cpct DESC, c_custkey ASC LIMIT {k}"
+    )
 
 
 def _pricing_summary_oracle() -> str:
@@ -5858,6 +5931,8 @@ def oracle_sql() -> dict[str, str]:
         "segment_top_orders": _segment_top_orders_oracle(),
         "regional_revenue": _regional_revenue_oracle(),
         "promo_share": _promo_share_oracle(),
+        "order_priority": _order_priority_oracle(),
+        "returned_revenue": _returned_revenue_oracle(),
         "event_asof": (
             # independent formulation (correlated subqueries), NOT the
             # engine's union+window program — a genuinely adversarial check

@@ -113,6 +113,80 @@ def regional_revenue(
     )
 
 
+def order_priority_counts(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-10-01",
+    date_to: str = "1997-01-01",
+    late_days: int = 60,
+) -> DataFrame:
+    """TPC-H Q4-shaped: per order-priority count of the quarter's orders
+    with ≥1 late line. The classic Q4 lateness predicate is
+    ``l_commitdate < l_receiptdate``; the fixture lineitem carries only
+    ``l_shipdate``, so the shape keeps the EXISTS semi-join but tests
+    ``l_shipdate > o_orderdate + late_days`` instead (timestamp
+    arithmetic — exact in both engines). Plan: the date filter pushes to
+    the orders scan; the EXISTS is one LEFT SEMI join that hashes on the
+    order key with the lateness inequality as a residual condition —
+    no correlated subquery, no fan-out."""
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    )
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {int(late_days)} DAYS")
+    )
+    return (
+        o.join(lineitem, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def returned_revenue_topk(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1996-10-01",
+    date_to: str = "1997-01-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10-shaped: the ``k`` customers with the highest returned-
+    item revenue (``l_returnflag = 'R'``) for orders placed in one
+    quarter, with their nation. Revenue in exact cent·percent units,
+    account balance in cents; ties → smaller custkey. Plan: date filter
+    pushed to the orders scan, returnflag filter pushed to the lineitem
+    scan, nation broadcast by AQE, one map-side-combinable aggregate."""
+    return (
+        customer.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            lineitem.where(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            _cents("c_acctbal").alias("acctbal_cents"),
+            "n_name",
+        )
+        .agg(F.sum(_revenue_cpct()).alias("revenue_cpct"))
+        .orderBy(F.col("revenue_cpct").desc(), F.col("c_custkey").asc())
+        .limit(k)
+        .select(
+            "c_custkey", "c_name", "revenue_cpct", "acctbal_cents", "n_name"
+        )
+    )
+
+
 def promo_revenue_share(
     lineitem: DataFrame, part: DataFrame
 ) -> DataFrame:

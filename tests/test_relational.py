@@ -73,3 +73,91 @@ def test_regional_revenue_plan_broadcasts_dims_and_pushes_filters(spark):
     # and the result matches the fixture's own arithmetic
     rows = df.collect()
     assert all(r["revenue_cpct"] > 0 for r in rows)
+
+
+def test_order_priority_counts_hand_golden(spark):
+    from approximate_pagerank_public_spark.operators.relational import (
+        order_priority_counts,
+    )
+
+    orders = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "o_orderkey": [1, 2, 3],
+                "o_orderpriority": ["1-URGENT", "1-URGENT", "2-HIGH"],
+                "o_orderdate": pd.to_datetime(
+                    ["1996-10-05", "1996-11-01", "1996-12-01"]
+                ),
+            }
+        )
+    )
+    li = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "l_orderkey": [1, 1, 2, 3],
+                "l_shipdate": pd.to_datetime(
+                    # order 1: one line 10 days out, one 90 days out (late)
+                    # order 2: 30 days out (on time); order 3: 61 days (late)
+                    ["1996-10-15", "1997-01-03", "1996-12-01", "1997-01-31"]
+                ),
+            }
+        )
+    )
+    got = (
+        order_priority_counts(orders, li, late_days=60)
+        .toPandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    assert got["o_orderpriority"].tolist() == ["1-URGENT", "2-HIGH"]
+    # order 1 late (semi-join counts it ONCE despite two lines), order 3 late
+    assert got["order_count"].tolist() == [1, 1]
+
+
+def test_returned_revenue_topk_hand_golden(spark):
+    from approximate_pagerank_public_spark.operators.relational import (
+        returned_revenue_topk,
+    )
+
+    customer = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "c_custkey": [10, 11],
+                "c_name": ["a", "b"],
+                "c_nationkey": [0, 0],
+                "c_acctbal": [12.34, 56.78],
+            }
+        )
+    )
+    nation = spark.createDataFrame(
+        pd.DataFrame({"n_nationkey": [0], "n_name": ["X"]})
+    )
+    orders = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "o_orderkey": [1, 2],
+                "o_custkey": [10, 11],
+                "o_orderdate": pd.to_datetime(["1996-10-05", "1996-11-01"]),
+            }
+        )
+    )
+    li = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "l_orderkey": [1, 1, 2],
+                "l_returnflag": ["R", "N", "R"],
+                "l_extendedprice": [10.00, 99.00, 20.00],
+                "l_discount": [0.10, 0.00, 0.00],
+            }
+        )
+    )
+    got = (
+        returned_revenue_topk(customer, orders, li, nation, k=20)
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    # customer 11: 2000*100 = 200000 cpct; customer 10: 1000*90 = 90000
+    assert got["c_custkey"].tolist() == [11, 10]
+    assert got["revenue_cpct"].tolist() == [2000 * 100, 1000 * 90]
+    assert got["acctbal_cents"].tolist() == [5678, 1234]
+    assert got["n_name"].tolist() == ["X", "X"]
