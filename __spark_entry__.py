@@ -1721,6 +1721,21 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("a", "b", _stable6("jaccard").alias("jaccard"))
 
 
+def q_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set similarity self-join via prefix filtering
+    (operators/dedup.py::prefix_filter_pairs, PPJoin family): all pairs
+    with Jaccard ≥ 0.9 over distinct word tokens — candidates from the
+    rarest-first prefix equi-join, verified exactly; the threshold
+    compare is an integer cross-multiplication."""
+    from approximate_pagerank_public_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    res = prefix_filter_pairs(docs, threshold_bp=9000)
+    return res.select("a", "b", "inter", _stable6("jaccard").alias("jaccard"))
+
+
 def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the events stream (4h idle gap) —
     per-session integer aggregates, hash-exact."""
@@ -1963,6 +1978,18 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(docs, k=5, idf="linear").select(
         "doc_id", "token", "tf", _stable6("score").alias("score"), "rank"
     )
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by BM25 (k1=1.2, b=0.75, rational Robertson idf)
+    for the query {join, spark, vector} — per-term score is one IEEE
+    division of exact int64 products, micro-unit-truncated BEFORE the
+    cross-term sum (operators/textstats.py::bm25_topk), so the total is
+    an order-independent integer and the oracle hash-matches."""
+    from approximate_pagerank_public_spark.operators.textstats import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_topk(docs, ["join", "spark", "vector"], k=10)
 
 
 def q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2516,6 +2543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pred": q_link_prediction,
         "resource_alloc": q_resource_allocation,
         "peel_layers": q_peel_layers,
+        "prefix_join": q_prefix_join,
         "topk_indegree": q_topk_indegree,
         "closeness": q_closeness,
         "minhash_lsh": q_minhash_lsh,
@@ -2545,6 +2573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigenvector": q_eigenvector,
         "cms_tokens": q_cms_tokens,
         "tfidf_topk": q_tfidf_topk,
+        "bm25": q_bm25,
         "node2vec": q_node2vec,
         "skipgram": q_skipgram,
         "ktruss4": q_ktruss4,
@@ -3814,6 +3843,66 @@ def _link_pred_oracle(min_common: int = 3) -> str:
         "CAST(ne.cn AS DOUBLE) / CAST(du.dw + dv.dw - ne.cn AS DOUBLE) AS jaccard, "
         "du.dw * dv.dw AS pa "
         "FROM ne JOIN deg du ON du.w = ne.u JOIN deg dv ON dv.w = ne.v"
+    )
+
+
+def _prefix_join_oracle(bp: int = 9000) -> str:
+    """`operators/dedup.py::prefix_filter_pairs` replay: same distinct
+    tokens, same (df, tok) prefix ordering, same integer prefix length
+    and cross-multiplied threshold; jaccard = one IEEE division,
+    stable6-truncated on both sides."""
+    return (
+        "WITH toks AS MATERIALIZED (SELECT DISTINCT doc_id, tok FROM "
+        "(SELECT doc_id, unnest(string_split(lower(regexp_replace(text, "
+        "'\\s+', ' ', 'g')), ' ')) AS tok FROM documents) WHERE tok <> ''), "
+        "dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok), "
+        "sz AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id), "
+        "pref AS (SELECT doc_id, tok FROM (SELECT t.doc_id, t.tok, "
+        "row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS rn, "
+        "s.sz FROM toks t JOIN dfreq d USING (tok) JOIN sz s USING (doc_id)) "
+        f"WHERE rn <= sz - (({bp}*sz + 9999) // 10000) + 1), "
+        "cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b "
+        "FROM pref a JOIN pref b USING (tok) WHERE a.doc_id < b.doc_id), "
+        "i AS (SELECT c.a, c.b, count(*) AS inter FROM cand c "
+        "JOIN toks ta ON ta.doc_id = c.a "
+        "JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok "
+        "GROUP BY c.a, c.b) "
+        "SELECT i.a, i.b, i.inter, "
+        "floor((CAST(i.inter AS DOUBLE) / "
+        "CAST(sa.sz + sb.sz - i.inter AS DOUBLE)) * 1000000.0) / 1000000.0 "
+        "AS jaccard "
+        "FROM i JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b "
+        f"WHERE i.inter * 10000 >= {bp} * (sa.sz + sb.sz - i.inter)"
+    )
+
+
+def _bm25_oracle(terms: tuple[str, ...], k: int = 10) -> str:
+    """`operators/textstats.py::bm25_topk` replay: same tokenizer, same
+    exact-integer num/den products (k1=6/5, b=3/4, rational idf), same
+    single IEEE division and ⌊s·10⁶⌋ per-term truncation before the
+    integer cross-term sum. Ties → ascending doc_id on both sides."""
+    in_list = ",".join(f"'{t}'" for t in sorted(set(terms)))
+    return (
+        "WITH toks AS MATERIALIZED (SELECT doc_id, tok FROM "
+        "(SELECT doc_id, unnest(string_split_regex(lower(trim(text)), "
+        "'\\s+')) AS tok FROM documents) WHERE tok <> ''), "
+        "scal AS (SELECT (SELECT count(*) FROM documents) AS n, "
+        "count(*) AS l FROM toks), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        f"tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks "
+        f"WHERE tok IN ({in_list}) GROUP BY doc_id, tok), "
+        "dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok), "
+        "per AS (SELECT t.doc_id, CAST(floor("
+        "CAST((2*s.n - 2*d.df + 1) * 22 * t.tf * s.l AS DOUBLE) / "
+        "CAST((2*d.df + 1) * (10*s.l*t.tf + 3*s.l + 9*dl.dl*s.n) AS DOUBLE) "
+        "* 1000000.0) AS BIGINT) AS micro "
+        "FROM tf t JOIN dfreq d USING (tok) JOIN dl USING (doc_id) "
+        "CROSS JOIN scal s), "
+        "tot AS (SELECT doc_id, CAST(sum(micro) AS BIGINT) AS score_micro "
+        "FROM per GROUP BY doc_id) "
+        'SELECT doc_id, score_micro, CAST(row_number() OVER '
+        '(ORDER BY score_micro DESC, doc_id ASC) AS INTEGER) AS "rank" '
+        f"FROM tot ORDER BY score_micro DESC, doc_id ASC LIMIT {k}"
     )
 
 
@@ -5682,6 +5771,7 @@ def oracle_sql() -> dict[str, str]:
         "link_pred": _link_pred_oracle(3),
         "resource_alloc": _resource_allocation_oracle(3),
         "peel_layers": _peel_layers_oracle(3),
+        "prefix_join": _prefix_join_oracle(9000),
         "per_vertex_triangles": (
             f"WITH e AS ({e_sql}), "
             "canon AS (SELECT DISTINCT least(src,dst) AS u, greatest(src,dst) AS v "
@@ -5851,6 +5941,7 @@ def oracle_sql() -> dict[str, str]:
             'SELECT doc_id, token, tf, floor(score * 1000000.0) / 1000000.0 '
             'AS score, "rank" FROM r WHERE "rank" <= 5'
         ),
+        "bm25": _bm25_oracle(("join", "spark", "vector"), 10),
         "node2vec": _node2vec_oracle(4, 1, 4, 2, "n2v"),
         "skipgram": _skipgram_oracle(4, 2, "rw"),
         "ktruss4": _ktruss_oracle(4),

@@ -292,6 +292,93 @@ def ngram_jaccard(
     )
 
 
+def prefix_filter_pairs(
+    docs: DataFrame,
+    threshold_bp: int = 9000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact token-set similarity self-join via PREFIX FILTERING
+    (Chaudhari et al. / PPJoin family): all pairs with Jaccard ≥
+    ``threshold_bp``/10000 over DISTINCT word tokens, found WITHOUT an
+    all-pairs comparison.
+
+    The filter: order every doc's tokens by ascending global document
+    frequency (ties → token string), keep only the first
+    ``sz − ⌈t·sz⌉ + 1`` as the doc's *prefix*; any pair with J ≥ t must
+    share ≥1 prefix token, so the candidate join is an equi-join on
+    prefix tokens only. Ordering rarest-first makes prefix tokens the
+    LEAST shared ones — the hot-key problem solves itself (a token seen
+    in millions of docs is in almost nobody's prefix). Exact verify on
+    the full token sets; the threshold compare is the integer cross-
+    multiplication ``inter·10⁴ ≥ bp·(sza+szb−inter)`` — no float enters
+    any decision; the output ``jaccard`` is the single IEEE division.
+
+    Scale shape: shuffles are the token df aggregation (vocab-sized),
+    one per-doc window over each doc's own tokens, the prefix equi-join
+    (∝ Σ prefix co-occurrences — bounded by rarity ordering), and a
+    candidate-scoped intersection count. NOTE the sf0.01 fixture's
+    ~31-word vocabulary is adversarial (every doc shares tokens, prefix
+    prunes little); on a real corpus vocabulary the prefix join is the
+    standard sub-quadratic set-similarity plan.
+    """
+    if not 0 < threshold_bp <= 10000:
+        raise ValueError("threshold_bp must be in (0, 10000]")
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(_normalized_text(text_col), " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    pref = (
+        toks.join(dfreq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .where(
+            F.col("rn")
+            <= F.col("sz")
+            - F.expr(f"({threshold_bp} * sz + 9999) div 10000")
+            + F.lit(1)
+        )
+        .select("doc_id", "tok")
+    )
+    cand = (
+        pref.select(F.col("doc_id").alias("a"), "tok")
+        .join(pref.select(F.col("doc_id").alias("b"), "tok"), "tok")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    inter = (
+        cand.join(toks.select(F.col("doc_id").alias("a"), "tok"), "a")
+        .join(toks.select(F.col("doc_id").alias("b"), "tok"), ["b", "tok"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb")), "b")
+        .where(
+            F.col("inter") * 10000
+            >= F.lit(threshold_bp) * (F.col("sza") + F.col("szb") - F.col("inter"))
+        )
+        .select(
+            "a",
+            "b",
+            "inter",
+            (
+                F.col("inter")
+                / (F.col("sza") + F.col("szb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
 def duplicate_clusters(
     docs: DataFrame,
     pairs: DataFrame,

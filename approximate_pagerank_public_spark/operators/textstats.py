@@ -175,6 +175,89 @@ def oov_rate(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, score_micro, rank)`` — top-``k`` documents by BM25
+    relevance to ``query_terms`` (Robertson/Spärck-Jones; the retrieval
+    staple the reference's evaluation-era pipelines rank candidates
+    with), computed with EXACT integer arithmetic so a DuckDB oracle
+    hash-matches.
+
+    Parameters are pinned to the classic k1=1.2, b=0.75 — both exact
+    rationals (6/5, 3/4), so with integer corpus scalars N (docs),
+    L (total tokens) and per-row integers tf, df, dl, each term's score
+
+        idf · tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl·N/L)
+
+    clears all denominators to the integer form
+
+        num = (2N − 2df + 1) · 22 · tf · L
+        den = (2df + 1) · (10·L·tf + 3·L + 9·dl·N)
+
+    (idf is the rational Robertson variant (N−df+0.5)/(df+0.5) — libm
+    ``ln`` is not bit-standardized across engines, same declared scope
+    as tfidf's linear idf). ONE IEEE division num/den per (doc, term)
+    is bit-identical across engines; the per-term scores are truncated
+    to integer micro-units (⌊s·10⁶⌋) BEFORE the cross-term sum — the
+    same order-independence recipe as the ANF readout — so the doc
+    total is an exact integer no summation order can perturb. Ranking
+    ties break by ascending doc_id.
+
+    Scale shape: the token stream filters to the query's terms BEFORE
+    any shuffle (the filter sits on the explode — at 100 TB the shuffle
+    carries only query-term hits), df/N/L are three broadcastable
+    scalars-or-tiny aggregates, and the final top-k is one ordered
+    limit. int64 products bound: num < 2N·22·tf·L — exact while
+    N·tf·L < 2⁵⁹, i.e. any single-machine fixture; at cluster scale the
+    division's double rounding is the only (declared) approximation.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("token"),
+    ).where(F.col("token") != "")
+    # corpus scalars: N docs, L total tokens (exact integers)
+    n_docs = docs.count()
+    total_len = toks.count()
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    hits = toks.where(F.col("token").isin(terms))
+    tf = hits.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n, ell = F.lit(int(n_docs)), F.lit(int(total_len))
+    scored = tf.join(F.broadcast(dfreq), "token").join(dl, "doc_id")
+    num = (
+        (2 * n - 2 * F.col("df") + 1) * F.lit(22) * F.col("tf") * ell
+    ).cast("double")
+    den = (
+        (2 * F.col("df") + 1)
+        * (10 * ell * F.col("tf") + 3 * ell + 9 * F.col("dl") * n)
+    ).cast("double")
+    per_term = scored.withColumn(
+        "micro", F.floor(num / den * F.lit(1000000.0)).cast("long")
+    )
+    totals = per_term.groupBy("doc_id").agg(
+        F.sum("micro").cast("long").alias("score_micro")
+    )
+    topk = totals.orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    ).limit(int(k))
+    # rank the k survivors only: TakeOrderedAndProject does the global
+    # cut; the single-partition window touches k rows, never the corpus
+    w = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+    return topk.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select("doc_id", "score_micro", "rank")
+
+
 def tfidf_topk(
     docs: DataFrame,
     id_col: str = "doc_id",

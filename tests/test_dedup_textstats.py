@@ -305,3 +305,99 @@ def test_oov_rate_golden(spark):
     assert got[1] == (5, 0, 0.0)
     assert got[2][0] == 3 and got[2][1] == 2
     assert abs(got[2][2] - 2 / 3) < 1e-12
+
+
+def test_prefix_filter_pairs_matches_bruteforce(spark):
+    # seeded random docs over a 12-word vocab: prefix filtering must
+    # find EXACTLY the brute-force all-pairs result (completeness is
+    # the prefix-filter theorem; precision is the exact verify)
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [
+        " ".join(rng.choices(vocab, k=rng.randint(4, 14))) for _ in range(40)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    bp = 6000
+    sets = [set(t.split()) for t in texts]
+    want = {}
+    for a in range(len(sets)):
+        for b in range(a + 1, len(sets)):
+            if not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter * 10000 >= bp * union:
+                want[(a, b)] = inter
+    got = dedup.prefix_filter_pairs(docs, threshold_bp=bp).toPandas()
+    got_map = {
+        (int(r["a"]), int(r["b"])): int(r["inter"]) for _, r in got.iterrows()
+    }
+    assert got_map == want
+    for r in got.itertuples():
+        assert r.jaccard == pytest.approx(
+            r.inter / (len(sets[int(r.a)] | sets[int(r.b)])), abs=1e-12
+        )
+
+
+def test_prefix_filter_pairs_identical_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y z"), (3, "a b c d")],
+        "doc_id long, text string",
+    )
+    got = dedup.prefix_filter_pairs(docs, threshold_bp=10000).toPandas()
+    assert len(got) == 1
+    assert (int(got.iloc[0]["a"]), int(got.iloc[0]["b"])) == (1, 2)
+    assert got.iloc[0]["jaccard"] == 1.0
+
+
+def test_bm25_topk_matches_python_golden(spark):
+    from approximate_pagerank_public_spark.operators import textstats
+    import math
+
+    texts = {
+        0: "join join spark table row",
+        1: "vector vector vector join",
+        2: "scan filter merge batch",
+        3: "spark spark spark spark join vector",
+        4: "join",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    terms = ["join", "spark", "vector"]
+    # python golden with the same integer rationalization
+    tokd = {i: t.split() for i, t in texts.items()}
+    n = len(texts)
+    big_l = sum(len(v) for v in tokd.values())
+    df = {t: sum(1 for v in tokd.values() if t in v) for t in terms}
+    want = {}
+    for i, v in tokd.items():
+        tot = 0
+        for t in terms:
+            tf = v.count(t)
+            if tf == 0:
+                continue
+            num = (2 * n - 2 * df[t] + 1) * 22 * tf * big_l
+            den = (2 * df[t] + 1) * (10 * big_l * tf + 3 * big_l + 9 * len(v) * n)
+            tot += math.floor(num / den * 1_000_000.0)
+        if tot:
+            want[i] = tot
+    got = textstats.bm25_topk(docs, terms, k=10).toPandas()
+    got_order = [(int(r.doc_id), int(r.score_micro)) for r in got.itertuples()]
+    want_order = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got_order == want_order
+    assert list(got["rank"]) == list(range(1, len(want_order) + 1))
+    # BM25 sanity: doc 3 (spark-heavy, all three terms) outranks doc 0
+    assert got_order[0][0] == 3
+
+
+def test_bm25_requires_terms(spark):
+    from approximate_pagerank_public_spark.operators import textstats
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        textstats.bm25_topk(docs, [])
