@@ -1980,6 +1980,16 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global first-occurrence line dedup at 8-token chunk
+    granularity (operators/curation.py::line_dedup) — per-doc kept
+    counts + the reassembled clean text, hash-exact."""
+    from approximate_pagerank_public_spark.operators.curation import line_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return line_dedup(docs, chunk_tokens=8, join_sep=" ")
+
+
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 documents by BM25 (k1=1.2, b=0.75, rational Robertson idf)
     for the query {join, spark, vector} — per-term score is one IEEE
@@ -2574,6 +2584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_tokens": q_cms_tokens,
         "tfidf_topk": q_tfidf_topk,
         "bm25": q_bm25,
+        "line_dedup": q_line_dedup,
         "node2vec": q_node2vec,
         "skipgram": q_skipgram,
         "ktruss4": q_ktruss4,
@@ -3903,6 +3914,29 @@ def _bm25_oracle(terms: tuple[str, ...], k: int = 10) -> str:
         'SELECT doc_id, score_micro, CAST(row_number() OVER '
         '(ORDER BY score_micro DESC, doc_id ASC) AS INTEGER) AS "rank" '
         f"FROM tot ORDER BY score_micro DESC, doc_id ASC LIMIT {k}"
+    )
+
+
+def _line_dedup_oracle(c: int = 8) -> str:
+    """`operators/curation.py::line_dedup` (chunk mode) replay: same
+    tokenizer, same ⌈n/c⌉ fixed-width chunking, same keep-first rule
+    (row_number over (doc_id, pos)), same in-order space re-join. All
+    columns are integers/strings — hash-exact with no float anywhere."""
+    return (
+        "WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), "
+        "'\\s+') AS t FROM documents), "
+        "lines AS (SELECT doc_id, i + 1 AS pos, "
+        f"array_to_string(t[i*{c}+1 : i*{c}+{c}], ' ') AS line "
+        "FROM toks, LATERAL (SELECT unnest(range(0, "
+        f"CAST(ceil(len(t)/{c}.0) AS BIGINT))) AS i) r WHERE len(t) > 0), "
+        "l2 AS (SELECT * FROM lines WHERE line <> ''), "
+        "fl AS (SELECT *, row_number() OVER (PARTITION BY line "
+        "ORDER BY doc_id, pos) AS rn FROM l2) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, "
+        "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+        "coalesce(string_agg(CASE WHEN rn = 1 THEN line END, ' ' "
+        "ORDER BY pos), '') AS clean_text "
+        "FROM fl GROUP BY doc_id"
     )
 
 
@@ -5942,6 +5976,7 @@ def oracle_sql() -> dict[str, str]:
             'AS score, "rank" FROM r WHERE "rank" <= 5'
         ),
         "bm25": _bm25_oracle(("join", "spark", "vector"), 10),
+        "line_dedup": _line_dedup_oracle(8),
         "node2vec": _node2vec_oracle(4, 1, 4, 2, "n2v"),
         "skipgram": _skipgram_oracle(4, 2, "rw"),
         "ktruss4": _ktruss_oracle(4),

@@ -418,3 +418,86 @@ def window_dedup_stats(
             ).alias("dup_fraction"),
         )
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    chunk_tokens: int | None = None,
+    line_sep: str = "\n",
+    join_sep: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style GLOBAL line-level deduplication (Raffel et al. 2020
+    §2.2: "we discarded all but one of any three-sentence span occurring
+    more than once in the data set", here at line granularity): across
+    the whole corpus, each distinct normalized line is kept exactly once
+    — at its first occurrence in ``(doc_id, position)`` order — and
+    every other occurrence is dropped. Returns
+    ``(doc_id, n_lines, n_kept, clean_text)`` where ``clean_text`` is
+    the surviving lines re-joined in original order (empty string when
+    everything was dropped; a doc with zero non-empty lines emits no
+    row).
+
+    Lines are ``split(text, line_sep)`` trimmed, empties dropped. For
+    corpora without line structure pass ``chunk_tokens=C`` to segment
+    each document's whitespace tokens into fixed ``C``-token spans
+    instead (the Lee-et-al.-style window granularity already used by
+    :func:`duplicate_spans`).
+
+    Scale shape: one explode (corpus → lines), ONE shuffle on the line
+    text for the first-occurrence window (partition = distinct line;
+    the window never spans more rows than one line's occurrence count),
+    and one per-doc aggregation whose ``collect_list`` is bounded by a
+    single document's own line count — no cross-doc state, no driver
+    loop. The keep-first rule is a deterministic total order
+    (doc_id, pos), so a DuckDB replay is hash-exact.
+    """
+    if chunk_tokens is not None and int(chunk_tokens) < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+    if chunk_tokens is None:
+        arr = F.transform(
+            F.split(F.col(text_col), line_sep), lambda s: F.trim(s)
+        )
+    else:
+        c = int(chunk_tokens)
+        toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        n_chunks = F.ceil(F.size(toks) / F.lit(float(c))).cast("int")
+        arr = F.when(
+            F.size(toks) > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i * c + 1, c)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    lines = (
+        docs.select(F.col(id_col).alias("doc_id"), F.posexplode(arr))
+        .select("doc_id", (F.col("pos") + 1).alias("pos"), F.col("col").alias("line"))
+        .where(F.col("line") != "")
+    )
+    w = Window.partitionBy("line").orderBy("doc_id", "pos")
+    flagged = lines.withColumn("_rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("_rn") == 1, F.struct(F.col("pos"), F.col("line"))
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.array_sort(
+                F.collect_list(kept_struct)
+            ).alias("_kept"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_kept",
+            F.array_join(
+                F.transform(F.col("_kept"), lambda s: s["line"]),
+                join_sep,
+            ).alias("clean_text"),
+        )
+    )

@@ -205,3 +205,55 @@ def test_pack_chunks_contiguous_spans(spark):
         (2, 2),   # token  10    in chunk 2
         (2, 3),   # tokens 11-15 straddle chunks 2-3
     ]
+
+
+def test_line_dedup_keep_first_global(spark):
+    from approximate_pagerank_public_spark.operators.curation import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\ngamma"),
+            (2, "beta\ndelta"),
+            (3, "gamma\nbeta\nepsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        int(r.doc_id): (int(r.n_lines), int(r.n_kept), r.clean_text)
+        for r in line_dedup(docs).collect()
+    }
+    # doc 1 is first for alpha/beta/gamma; doc 2 keeps only delta;
+    # doc 3 keeps only epsilon
+    assert got[1] == (3, 3, "alpha\nbeta\ngamma")
+    assert got[2] == (2, 1, "delta")
+    assert got[3] == (3, 1, "epsilon")
+
+
+def test_line_dedup_all_dropped_and_empty(spark):
+    from approximate_pagerank_public_spark.operators.curation import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "x\ny"), (2, "x\ny"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    rows = {int(r.doc_id): r for r in line_dedup(docs).collect()}
+    assert rows[2].n_kept == 0 and rows[2].clean_text == ""
+    assert rows[1].clean_text == "x\ny"
+    assert 3 not in rows  # zero non-empty lines -> no row
+
+
+def test_line_dedup_chunk_mode_order_preserved(spark):
+    from approximate_pagerank_public_spark.operators.curation import line_dedup
+
+    # doc 2's first chunk equals doc 1's first chunk (dropped); its
+    # second chunk is unique (kept); reassembly preserves order
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b e f")],
+        "doc_id long, text string",
+    )
+    got = {
+        int(r.doc_id): (int(r.n_lines), int(r.n_kept), r.clean_text)
+        for r in line_dedup(docs, chunk_tokens=2, join_sep=" ").collect()
+    }
+    assert got[1] == (2, 2, "a b c d")
+    assert got[2] == (2, 1, "e f")
