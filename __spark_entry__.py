@@ -1707,6 +1707,35 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (m=4 subspaces x 8 codes over the
+    64-dim embeddings) — one small-int column per subspace, hash-exact;
+    the oracle replays the literal per-subspace L2 codebooks trained by
+    the same deterministic driver-side recipe."""
+    from approximate_pagerank_public_spark.operators.similarity import pq_encode
+
+    emb = _emb_double(spark, sf_dir)
+    return pq_encode(emb, dim=_emb_dim(sf_dir), m=4, codes=8)
+
+
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-k for the first 5 vectors as queries:
+    asymmetric distance = fixed-order sum of 4 lookup-table terms, each
+    a literal ``||c||^2 - 2 x.c`` — bit-identical to the DuckDB replay
+    (sequential-fold dot products, left-assoc adds)."""
+    from approximate_pagerank_public_spark.operators.similarity import pq_ann_topk
+
+    emb = _emb_double(spark, sf_dir)
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    return pq_ann_topk(
+        emb, queries, dim=_emb_dim(sf_dir), k=5, m=4, codes=8
+    ).select("query_id", "vec_id", "rank", _stable6("adist").alias("adist"))
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard over deterministic candidate pairs
     (consecutive doc ids) — the LSH verification stage, oracle-checked."""
@@ -2565,6 +2594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_ann_topk": q_ivf_ann_topk,
         "kmeans_assign": q_kmeans_assign,
+        "pq_encode": q_pq_encode,
+        "pq_ann_topk": q_pq_ann_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "session_stats": q_session_stats,
         "hourly_rollup": q_hourly_rollup,
@@ -4204,6 +4235,118 @@ def _kmeans_assign_oracle(n_cells: int = 8) -> str:
         "SELECT vec_id, CAST(cell AS INT) AS cell FROM (SELECT vec_id, cell, "
         "row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) "
         "AS rn FROM cd) t WHERE rn = 1"
+    )
+
+
+def _pq_codebooks(
+    m: int = 4, codes: int = 8, kmeans_iters: int = 5, train_sample: int = 4096
+):
+    """The engine's PQ codebooks reproduced outside Spark: same
+    deterministic sample (first ``train_sample`` vectors in vec_id
+    order), same ``_pq_l2_kmeans`` NumPy trainer per subspace — so the
+    literal centroids below are bit-identical to what ``pq_encode`` /
+    ``pq_ann_topk`` train at query time."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from approximate_pagerank_public_spark.operators.similarity import (
+        _pq_l2_kmeans,
+    )
+
+    key = ("pq", m, codes, kmeans_iters, train_sample)
+    if key not in _REPLAY_CACHE:
+        d = _oracle_sf_dir()
+        t = pq.read_table(
+            f"{d}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).to_pandas()
+        t = t.sort_values("vec_id").head(train_sample)
+        sample = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in t["embedding"]]
+        )
+        sd = sample.shape[1] // m
+        _REPLAY_CACHE[key] = np.stack(
+            [
+                _pq_l2_kmeans(sample[:, i * sd : (i + 1) * sd], codes, kmeans_iters)
+                for i in range(m)
+            ]
+        )
+    return _REPLAY_CACHE[key]
+
+
+def _pq_cents_cte(m: int, codes: int) -> tuple[str, int]:
+    """``cents(m, code, n2, cv)`` VALUES rows (literal codebooks) plus
+    the subspace width; shared by the encode and ADC oracles. The
+    ``d`` expression mirrors the engine exactly:
+    ``n2 - 2.0 * list_dot_product(subvector, centroid)``."""
+    import numpy as np
+
+    books = _pq_codebooks(m, codes)
+    sd = books.shape[2]
+    rows = []
+    for i in range(m):
+        for j, c in enumerate(books[i]):
+            n2 = float(np.dot(c, c))
+            rows.append(
+                f"({i}, {j}, {n2!r}, "
+                f"CAST([{', '.join(repr(float(x)) for x in c)}] AS DOUBLE[]))"
+            )
+    return ", ".join(rows), sd
+
+
+def _pq_codes_ctes(m: int, codes: int) -> tuple[str, int]:
+    """The shared encode pipeline CTEs: per-(vector, subspace) argmin
+    code with the (d asc, code asc) tie rule, pivoted wide to
+    ``cw(vec_id, c0..c{m-1})``."""
+    cents, sd = _pq_cents_cte(m, codes)
+    pivot = ", ".join(
+        f"max(CASE WHEN m = {i} THEN code END) AS c{i}" for i in range(m)
+    )
+    return (
+        f"emb AS ({_DUCK_EMB}), "
+        f"cents(m, code, n2, cv) AS (VALUES {cents}), "
+        "cd AS (SELECT e.vec_id, c.m, c.code, c.n2 - 2.0 * "
+        f"list_dot_product(list_slice(e.v, c.m*{sd}+1, c.m*{sd}+{sd}), c.cv) "
+        "AS d FROM emb e CROSS JOIN cents c), "
+        "codes AS (SELECT vec_id, m, code FROM (SELECT vec_id, m, code, "
+        "row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, code ASC) "
+        "AS rn FROM cd) t WHERE rn = 1), "
+        f"cw AS (SELECT vec_id, {pivot} FROM codes GROUP BY vec_id)"
+    ), sd
+
+
+def _pq_encode_oracle(m: int = 4, codes: int = 8) -> str:
+    ctes, _ = _pq_codes_ctes(m, codes)
+    cols = ", ".join(f"CAST(c{i} AS INT) AS code{i}" for i in range(m))
+    return f"WITH {ctes} SELECT vec_id, {cols} FROM cw"
+
+
+def _pq_ann_oracle(m: int = 4, codes: int = 8, k: int = 5) -> str:
+    """Full PQ/ADC replay: literal codebooks -> argmin codes -> per-query
+    lookup-table terms -> left-assoc fixed-order sum over subspaces ->
+    (adist asc, vec_id asc) top-k."""
+    ctes, sd = _pq_codes_ctes(m, codes)
+    joins = []
+    for i in range(m):
+        on = f"q{i}.m = {i} AND q{i}.code = cw.c{i}"
+        if i:
+            on += f" AND q{i}.query_id = q0.query_id"
+        joins.append(f"JOIN qd q{i} ON {on}")
+    adist = "q0.d"
+    for i in range(1, m):
+        adist = f"({adist} + q{i}.d)"
+    return (
+        f"WITH {ctes}, q AS ({_DUCK_EMB_Q}), "
+        "qd AS (SELECT qq.query_id, c.m, c.code, c.n2 - 2.0 * "
+        f"list_dot_product(list_slice(qq.qv, c.m*{sd}+1, c.m*{sd}+{sd}), c.cv) "
+        "AS d FROM q qq CROSS JOIN cents c), "
+        f"scored AS (SELECT q0.query_id, cw.vec_id, {adist} AS adist "
+        f"FROM cw {' '.join(joins)}), "
+        "ranked AS (SELECT query_id, vec_id, adist, row_number() OVER ("
+        'PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS "rank" '
+        "FROM scored) "
+        'SELECT query_id, vec_id, "rank", '
+        "floor(adist * 1000000.0) / 1000000.0 AS adist "
+        f'FROM ranked WHERE "rank" <= {k}'
     )
 
 
@@ -5904,6 +6047,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_oracle(),
         "ivf_ann_topk": _ivf_ann_oracle(),
         "kmeans_assign": _kmeans_assign_oracle(),
+        "pq_encode": _pq_encode_oracle(),
+        "pq_ann_topk": _pq_ann_oracle(),
         "pagerank_fixed8": _pagerank_fixed_oracle(8, 0.8),
         "pagerank_warm": _pagerank_warm_oracle(8, 4, 0.8),
         "hits": _hits_oracle(8),

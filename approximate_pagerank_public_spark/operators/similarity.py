@@ -605,3 +605,185 @@ def mmr_rerank(
     return selected.select(
         "query_id", "vec_id", "mmr_rank", trunc.alias("mmr_score")
     )
+
+
+def _pq_l2_kmeans(sub: np.ndarray, codes: int, iters: int) -> np.ndarray:
+    """Deterministic Euclidean k-means for one PQ subspace.
+
+    Init = the first ``codes`` sample sub-vectors (sample is taken in id
+    order upstream, so reproducible); assignment by min squared L2 with
+    ties to the lower code; centroid = member mean; an empty code keeps
+    its previous centroid. Mirrors :func:`_kmeans_centroids` but in the
+    L2 geometry product quantization is defined over (Jegou et al.,
+    "Product quantization for nearest neighbor search", TPAMI 2011).
+    """
+    cents = sub[:codes].copy()
+    for _ in range(iters):
+        d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)  # ties -> lower code (argmin rule)
+        for c in range(codes):
+            members = sub[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def pq_train_codebooks(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 4,
+    codes: int = 8,
+    kmeans_iters: int = 5,
+    train_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """``(m, codes, dim//m)`` PQ codebooks trained on the deterministic
+    bounded driver-side sample (first ``train_sample`` vectors in id
+    order — the same recipe as the IVF coarse quantizer). The only
+    driver-side step of the PQ family; encode and search are fully
+    distributed codegen projections."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sample_rows = (
+        embeddings.orderBy(id_col).limit(train_sample).select(vec_col).collect()
+    )
+    sample = np.asarray([r[0] for r in sample_rows], dtype=np.float64)
+    sd = dim // m
+    return np.stack(
+        [
+            _pq_l2_kmeans(sample[:, i * sd : (i + 1) * sd], codes, kmeans_iters)
+            for i in range(m)
+        ]
+    )
+
+
+def _pq_dist_terms(
+    vec: F.Column, m_idx: int, sub_dim: int, book: np.ndarray
+) -> list[F.Column]:
+    """Per-code ADC distance terms for one subspace: ``||c||^2 - 2 x.c``
+    (the rank-equivalent part of ``||x - c||^2``; the ``||x||^2`` term
+    is constant per vector and never affects an argmin/top-k). Literal
+    centroid arrays + sequential-fold dot products — bit-identical to
+    the DuckDB ``list_dot_product`` replay, no UDF anywhere."""
+    sub = F.slice(vec, m_idx * sub_dim + 1, sub_dim)
+    terms = []
+    for c in book:
+        n2 = float(np.dot(c, c))
+        cl = F.array(*[F.lit(float(x)) for x in c])
+        terms.append(F.lit(n2) - F.lit(2.0) * _dot(sub, cl))
+    return terms
+
+
+def _pq_code_expr(
+    vec: F.Column, m_idx: int, sub_dim: int, book: np.ndarray
+) -> F.Column:
+    """Argmin code for one subspace: (distance asc, code asc) tie rule
+    via a codegen'd struct sort (the `_cell_sorted` pattern)."""
+    entries = [
+        F.struct(d.alias("d"), F.lit(i).alias("code"))
+        for i, d in enumerate(_pq_dist_terms(vec, m_idx, sub_dim, book))
+    ]
+    return F.array_sort(F.array(*entries))[0]["code"]
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 4,
+    codes: int = 8,
+    kmeans_iters: int = 5,
+    train_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """``(vec_id, code0..code{m-1})`` — product-quantization codes, one
+    uint-valued int column per subspace. Compresses a ``dim``-float
+    vector to ``m`` small ints (here 4x3 bits for 64 doubles).
+
+    Scale shape: training is the bounded driver-side sample; encoding is
+    a pure whole-stage-codegen projection (argmin over ``codes`` literal
+    dot products per subspace) — no shuffle, no UDF, no join, so it
+    streams over a 100-TB corpus at scan speed."""
+    if codebooks is None:
+        codebooks = pq_train_codebooks(
+            embeddings, dim, m, codes, kmeans_iters, train_sample, id_col, vec_col
+        )
+    sd = dim // m
+    v = F.col(vec_col).cast("array<double>")
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        *[
+            _pq_code_expr(v, i, sd, codebooks[i]).alias(f"code{i}")
+            for i in range(m)
+        ],
+    )
+
+
+def pq_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    m: int = 4,
+    codes: int = 8,
+    kmeans_iters: int = 5,
+    train_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """PQ/ADC approximate top-k: encode the corpus to ``m`` integer
+    codes, build a per-query (m x codes) distance lookup table, and rank
+    by the asymmetric distance ``sum_m lut[m][code_m]`` (Jegou et al.
+    2011). Returns ``(query_id, vec_id, adist, rank)``, nearest first.
+
+    Scale shape: the ADC scan is the point of PQ — each corpus row costs
+    ``m`` array lookups + ``m-1`` adds against a broadcast query table
+    instead of a ``dim``-wide float dot product, and the scan reads the
+    m-int codes, not the raw vectors. Top-k is two-level (per-partition
+    prune to k with the same (adist, id) tie rule, then the global
+    window over ``<= partitions x k`` survivors per query), so the only
+    shuffle is the pruned candidate set. Composing the scan inside IVF
+    cells (IVF-PQ) = feed :func:`ivf_ann_topk`'s cell candidates
+    through this ranking."""
+    books = pq_train_codebooks(
+        embeddings, dim, m, codes, kmeans_iters, train_sample, id_col, vec_col
+    )
+    sd = dim // m
+    corpus = pq_encode(
+        embeddings, dim, m, codes, id_col=id_col, vec_col=vec_col, codebooks=books
+    )
+    qv = F.col(query_vec_col).cast("array<double>")
+    q = queries.select(
+        F.col(query_id_col).alias("qid"),
+        *[
+            F.array(*_pq_dist_terms(qv, i, sd, books[i])).alias(f"lut{i}")
+            for i in range(m)
+        ],
+    )
+    paired = corpus.crossJoin(F.broadcast(q))
+    adist = F.element_at(F.col("lut0"), F.col("code0") + 1)
+    for i in range(1, m):
+        adist = adist + F.element_at(F.col(f"lut{i}"), F.col(f"code{i}") + 1)
+    scored = paired.select("qid", "vec_id", adist.alias("adist"))
+    order = [F.col("adist").asc(), F.col("vec_id").asc()]
+    local = Window.partitionBy("qid", F.spark_partition_id()).orderBy(*order)
+    pruned = (
+        scored.withColumn("_lr", F.row_number().over(local))
+        .where(F.col("_lr") <= k)
+        .drop("_lr")
+    )
+    w = Window.partitionBy("qid").orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id_col),
+            "vec_id",
+            "adist",
+            "rank",
+        )
+    )

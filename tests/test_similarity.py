@@ -243,3 +243,80 @@ def test_kmeans_assign_matches_numpy_argmax(spark, embeddings):
     # every vector got exactly one cell
     assert len(got) == pdf.shape[0]
     assert set(got.values()) <= set(range(n_cells))
+
+
+def _seqdot(a, b):
+    # the engine's F.aggregate fold: left-to-right f64 accumulation
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _pq_replay_codes(pdf, books, m, sd):
+    codes = {}
+    for _, row in pdf.iterrows():
+        v = np.asarray(row["embedding"], dtype=np.float64)
+        cs = []
+        for i in range(m):
+            sub = v[i * sd : (i + 1) * sd]
+            d = [
+                float(np.dot(c, c)) - 2.0 * _seqdot(sub, c) for c in books[i]
+            ]
+            best = min(range(len(d)), key=lambda j: (d[j], j))
+            cs.append(best)
+        codes[row["vec_id"]] = cs
+    return codes
+
+
+def test_pq_encode_matches_replay(spark, embeddings):
+    dim = len(embeddings.first()["embedding"])
+    m, codes = 4, 8
+    books = similarity.pq_train_codebooks(embeddings, dim, m=m, codes=codes)
+    got = (
+        similarity.pq_encode(embeddings, dim, m=m, codes=codes)
+        .toPandas()
+        .set_index("vec_id")
+    )
+    sd = dim // m
+    want = _pq_replay_codes(embeddings.toPandas(), books, m, sd)
+    assert len(got) == len(want)
+    for vid, cs in want.items():
+        for i in range(m):
+            assert int(got.loc[vid, f"code{i}"]) == cs[i], (vid, i)
+    for i in range(m):
+        assert got[f"code{i}"].between(0, codes - 1).all()
+
+
+def test_pq_ann_topk_matches_adc_replay(spark, embeddings, queries):
+    dim = len(embeddings.first()["embedding"])
+    m, codes, k = 4, 8, 5
+    books = similarity.pq_train_codebooks(embeddings, dim, m=m, codes=codes)
+    sd = dim // m
+    pdf = embeddings.toPandas()
+    code_map = _pq_replay_codes(pdf, books, m, sd)
+    got = similarity.pq_ann_topk(
+        embeddings, queries, dim=dim, k=k, m=m, codes=codes
+    ).toPandas()
+    for _, qrow in queries.toPandas().iterrows():
+        qv = np.asarray(qrow["query_vec"], dtype=np.float64)
+        lut = [
+            [
+                float(np.dot(c, c))
+                - 2.0 * _seqdot(qv[i * sd : (i + 1) * sd], c)
+                for c in books[i]
+            ]
+            for i in range(m)
+        ]
+        scored = []
+        for vid, cs in code_map.items():
+            adist = lut[0][cs[0]]
+            for i in range(1, m):
+                adist = adist + lut[i][cs[i]]
+            scored.append((adist, vid))
+        scored.sort()
+        mine = got[got["query_id"] == qrow["query_id"]].sort_values("rank")
+        assert mine["vec_id"].tolist() == [v for _, v in scored[:k]]
+        for (adist, _), engine_d in zip(scored[:k], mine["adist"]):
+            assert engine_d == adist  # bit parity, pre-truncation path
+        assert mine["rank"].tolist() == list(range(1, k + 1))
