@@ -1736,6 +1736,27 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "rank", _stable6("adist").alias("adist"))
 
 
+def q_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (coarse cells restrict candidates, PQ/ADC
+    ranks them) for the first 5 vectors as queries, n_probe=3 of 8
+    cells — the oracle replays BOTH deterministic trainings (spherical
+    k-means cells + per-subspace L2 codebooks) as literals and the
+    fixed-order ADC sum over the candidate set."""
+    from approximate_pagerank_public_spark.operators.similarity import (
+        ivfpq_ann_topk,
+    )
+
+    emb = _emb_double(spark, sf_dir)
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    return ivfpq_ann_topk(
+        emb, queries, dim=_emb_dim(sf_dir), k=5, n_cells=8, n_probe=3, m=4, codes=8
+    ).select("query_id", "vec_id", "rank", _stable6("adist").alias("adist"))
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard over deterministic candidate pairs
     (consecutive doc ids) — the LSH verification stage, oracle-checked."""
@@ -2596,6 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": q_kmeans_assign,
         "pq_encode": q_pq_encode,
         "pq_ann_topk": q_pq_ann_topk,
+        "ivfpq_ann_topk": q_ivfpq_ann_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "session_stats": q_session_stats,
         "hourly_rollup": q_hourly_rollup,
@@ -4350,6 +4372,59 @@ def _pq_ann_oracle(m: int = 4, codes: int = 8, k: int = 5) -> str:
     )
 
 
+def _ivfpq_ann_oracle(
+    n_cells: int = 8, n_probe: int = 3, m: int = 4, codes: int = 8, k: int = 5
+) -> str:
+    """IVF-PQ replay: BOTH trainings as literals (IVF spherical k-means
+    cells under ``icents`` names to avoid colliding with the PQ
+    ``cents`` CTEs) → argmax cell per vector, n_probe cells per query →
+    candidate pairs via the cell equi-join → fixed-order ADC sum over
+    the PQ codes → (adist asc, vec_id asc) top-k."""
+    ctes, sd = _pq_codes_ctes(m, codes)
+    cents = _ivf_centroids(n_cells)
+    irows = [
+        f"({i}, CAST([{', '.join(repr(float(x)) for x in c)}] AS DOUBLE[]))"
+        for i, c in enumerate(cents)
+    ]
+    joins = []
+    for i in range(m):
+        joins.append(
+            f"JOIN qd q{i} ON q{i}.query_id = cand.query_id "
+            f"AND q{i}.m = {i} AND q{i}.code = cw.c{i}"
+        )
+    adist = "q0.d"
+    for i in range(1, m):
+        adist = f"({adist} + q{i}.d)"
+    return (
+        f"WITH {ctes}, "
+        f"icents(cell, cv) AS (VALUES {', '.join(irows)}), "
+        "icd AS (SELECT e.vec_id, c.cell, list_dot_product(e.v, c.cv) AS d "
+        "FROM emb e CROSS JOIN icents c), "
+        "ica AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) "
+        "AS rn FROM icd) t WHERE rn = 1), "
+        f"q AS ({_DUCK_EMB_Q}), "
+        "iqd AS (SELECT qq.query_id, c.cell, list_dot_product(qq.qv, c.cv) "
+        "AS d FROM q qq CROSS JOIN icents c), "
+        "iqc AS (SELECT query_id, cell FROM (SELECT query_id, cell, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY d DESC, cell ASC) "
+        f"AS rn FROM iqd) t WHERE rn <= {n_probe}), "
+        "cand AS (SELECT iqc.query_id, ica.vec_id FROM ica "
+        "JOIN iqc USING (cell)), "
+        "qd AS (SELECT qq.query_id, c.m, c.code, c.n2 - 2.0 * "
+        f"list_dot_product(list_slice(qq.qv, c.m*{sd}+1, c.m*{sd}+{sd}), c.cv) "
+        "AS d FROM q qq CROSS JOIN cents c), "
+        f"scored AS (SELECT cand.query_id, cand.vec_id, {adist} AS adist "
+        f"FROM cand JOIN cw ON cw.vec_id = cand.vec_id {' '.join(joins)}), "
+        "ranked AS (SELECT query_id, vec_id, adist, row_number() OVER ("
+        'PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS "rank" '
+        "FROM scored) "
+        'SELECT query_id, vec_id, "rank", '
+        "floor(adist * 1000000.0) / 1000000.0 AS adist "
+        f'FROM ranked WHERE "rank" <= {k}'
+    )
+
+
 def _semantic_dedup_oracle(n_cells: int = 8, threshold: float = 0.45) -> str:
     """SemDeDup replay: literal centroids (same NumPy trainer as the
     engine — see ``_ivf_centroids``) → argmax cell assignment → within-
@@ -6049,6 +6124,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_assign": _kmeans_assign_oracle(),
         "pq_encode": _pq_encode_oracle(),
         "pq_ann_topk": _pq_ann_oracle(),
+        "ivfpq_ann_topk": _ivfpq_ann_oracle(),
         "pagerank_fixed8": _pagerank_fixed_oracle(8, 0.8),
         "pagerank_warm": _pagerank_warm_oracle(8, 4, 0.8),
         "hits": _hits_oracle(8),

@@ -787,3 +787,84 @@ def pq_ann_topk(
             "rank",
         )
     )
+
+
+def ivfpq_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    codes: int = 8,
+    kmeans_iters: int = 5,
+    train_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-PQ composed ANN (the FAISS ``IVFx,PQy``-style index expressed
+    as DataFrame ops): the coarse quantizer restricts each query to its
+    ``n_probe`` nearest cells, and candidates inside those cells are
+    ranked by the PQ asymmetric distance instead of a full-width dot
+    product. With ``n_probe == n_cells`` this degrades exactly to
+    :func:`pq_ann_topk` (every cell probed — invariant-tested).
+
+    Scale shape — this is the 100-TB search path: the corpus-side index
+    build is ONE whole-stage-codegen projection emitting ``(vec_id,
+    cell, code0..code{m-1})`` (argmax over ``n_cells`` literal dots +
+    ``m`` argmins over ``codes`` literal ADC terms; no shuffle, no UDF,
+    no join, scan-speed), the search joins that tiny-int table against
+    a broadcast ``Q x n_probe`` query-cell table (corpus never
+    reshuffles), and each surviving candidate costs ``m`` array lookups
+    + ``m-1`` adds. Raw vectors are read once at index build and never
+    again.
+    """
+    cents = _train_sample_centroids(
+        embeddings, id_col, vec_col, n_cells, kmeans_iters, train_sample
+    )
+    books = pq_train_codebooks(
+        embeddings, dim, m, codes, kmeans_iters, train_sample, id_col, vec_col
+    )
+    sd = dim // m
+    v = F.col(vec_col).cast("array<double>")
+    corpus = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        _cell_sorted(v, cents)[0]["cell"].alias("cell"),
+        *[_pq_code_expr(v, i, sd, books[i]).alias(f"code{i}") for i in range(m)],
+    )
+    qv = F.col(query_vec_col).cast("array<double>")
+    q = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.slice(_cell_sorted(qv, cents), 1, n_probe)
+        .cast("array<struct<negd:double,cell:int>>")
+        .alias("cells"),
+        *[
+            F.array(*_pq_dist_terms(qv, i, sd, books[i])).alias(f"lut{i}")
+            for i in range(m)
+        ],
+    ).select(
+        "qid",
+        F.explode("cells.cell").alias("cell"),
+        *[f"lut{i}" for i in range(m)],
+    )
+    cands = corpus.join(F.broadcast(q), "cell")
+    adist = F.element_at(F.col("lut0"), F.col("code0") + 1)
+    for i in range(1, m):
+        adist = adist + F.element_at(F.col(f"lut{i}"), F.col(f"code{i}") + 1)
+    scored = cands.select("qid", "vec_id", adist.alias("adist"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("adist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id_col),
+            "vec_id",
+            "adist",
+            "rank",
+        )
+    )

@@ -320,3 +320,40 @@ def test_pq_ann_topk_matches_adc_replay(spark, embeddings, queries):
         for (adist, _), engine_d in zip(scored[:k], mine["adist"]):
             assert engine_d == adist  # bit parity, pre-truncation path
         assert mine["rank"].tolist() == list(range(1, k + 1))
+
+
+def test_ivfpq_full_probe_equals_pq(spark, embeddings, queries):
+    # probing every cell makes the candidate set the whole corpus, so
+    # IVF-PQ must return exactly the plain PQ/ADC ranking
+    dim = len(embeddings.first()["embedding"])
+    n_cells, k = 4, 5
+    full = similarity.pq_ann_topk(
+        embeddings, queries, dim=dim, k=k, m=4, codes=8
+    ).toPandas()
+    ivf = similarity.ivfpq_ann_topk(
+        embeddings, queries, dim=dim, k=k, n_cells=n_cells,
+        n_probe=n_cells, m=4, codes=8,
+    ).toPandas()
+    cols = ["query_id", "vec_id", "rank"]
+    a = full.sort_values(cols).reset_index(drop=True)
+    b = ivf.sort_values(cols).reset_index(drop=True)
+    assert a[cols].equals(b[cols])
+    assert np.array_equal(a["adist"].to_numpy(), b["adist"].to_numpy())
+
+
+def test_ivfpq_results_are_cell_scoped(spark, embeddings, queries):
+    # with n_probe=1 every returned vector must live in the query's own
+    # top cell (candidates never leak across unprobed cells)
+    dim = len(embeddings.first()["embedding"])
+    n_cells = 4
+    cells = (
+        similarity.kmeans_assign(embeddings, n_cells=n_cells)
+        .toPandas()
+        .set_index("vec_id")["cell"]
+    )
+    got = similarity.ivfpq_ann_topk(
+        embeddings, queries, dim=dim, k=5, n_cells=n_cells, n_probe=1,
+        m=4, codes=8,
+    ).toPandas()
+    for _, row in got.iterrows():
+        assert cells[row["vec_id"]] == cells[row["query_id"]]
