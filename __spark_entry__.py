@@ -1379,6 +1379,27 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(docs, k=50)
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 6 BPE merge rules (Sennrich et al. 2016) learned over the
+    corpus vocabulary — exact integer pair counts, (count desc, left
+    asc, right asc) argmax each round; the oracle unrolls every round
+    as a CTE (pair count → argmax → literal string replace)."""
+    from approximate_pagerank_public_spark.operators.bpe import bpe_merges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_merges(docs, n_merges=6)
+
+
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 vocabulary words segmented by the 6 learned BPE merges —
+    the encode side: the same replace chain applied as a pure
+    projection."""
+    from approximate_pagerank_public_spark.operators.bpe import bpe_segment
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_segment(docs, n_merges=6, top_words=50)
+
+
 def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc out-of-vocabulary rate vs the corpus top-10 vocabulary
     (operators/textstats.py::oov_rate) — broadcast vocab join, integer
@@ -2591,6 +2612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "doclen_quantiles": q_doclen_quantiles,
         "vocab_topk": q_vocab_topk,
+        "bpe_merges": q_bpe_merges,
+        "bpe_segment": q_bpe_segment,
         "oov_rate": q_oov_rate,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -3262,6 +3285,61 @@ def _cms_tokens_oracle(width: int = 512, depth: int = 4) -> str:
         "ORDER BY n DESC, token ASC LIMIT 20)"
     )
     return cms_oracle_sql(relation, "value", width, depth, query_sql)
+
+
+def _bpe_ctes(n_merges: int = 6) -> str:
+    """The unrolled BPE training chain (no ``WITH`` prefix): w0 word
+    counts -> m0 initial per-char symbol strings -> per round r:
+    b{r-1} symbol arrays, p{r} weighted pair counts, best{r} the
+    (count desc, left asc, right asc) argmax, m{r} the literal
+    ``|l||r|`` -> ``|lr|`` replace — exactly
+    ``operators/bpe.py::bpe_merges``."""
+    parts = [
+        "w0 AS (SELECT w, count(*) AS cnt FROM (SELECT "
+        "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w "
+        "FROM documents) t WHERE regexp_matches(w, '^[a-z0-9]+$') "
+        "GROUP BY w), "
+        "m0 AS MATERIALIZED (SELECT w, cnt, "
+        "regexp_replace(w, '(.)', '|\\1|', 'g') AS s FROM w0)"
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"b{r - 1} AS (SELECT cnt, "
+            "string_split(substr(s, 2, length(s) - 2), '||') AS sy "
+            f"FROM m{r - 1}), "
+            f"p{r} AS (SELECT sy[i] AS l, sy[i + 1] AS rr, "
+            f"sum(cnt) AS total FROM b{r - 1}, "
+            "unnest(range(1, len(sy))) AS t(i) GROUP BY 1, 2), "
+            f"best{r} AS MATERIALIZED (SELECT l, rr, total FROM p{r} "
+            "ORDER BY total DESC, l ASC, rr ASC LIMIT 1), "
+            f"m{r} AS MATERIALIZED (SELECT w, cnt, "
+            "replace(s, '|' || b.l || '||' || b.rr || '|', "
+            f"'|' || b.l || b.rr || '|') AS s FROM m{r - 1} "
+            f"CROSS JOIN best{r} b)"
+        )
+    return ", ".join(parts)
+
+
+def _bpe_merges_oracle(n_merges: int = 6) -> str:
+    union = " UNION ALL ".join(
+        f"SELECT {r} AS round, l AS left_sym, rr AS right_sym, "
+        f"CAST(total AS BIGINT) AS freq FROM best{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"WITH {_bpe_ctes(n_merges)} SELECT * FROM ({union})"
+
+
+def _bpe_segment_oracle(n_merges: int = 6, top_words: int = 50) -> str:
+    return (
+        f"WITH {_bpe_ctes(n_merges)}, "
+        "seg AS (SELECT w, cnt, array_to_string(string_split("
+        f"substr(s, 2, length(s) - 2), '||'), ' ') AS pieces FROM m{n_merges}), "
+        "ranked AS (SELECT w, cnt, pieces, row_number() OVER ("
+        "ORDER BY cnt DESC, w ASC) AS rn FROM seg) "
+        "SELECT w, cnt, pieces, "
+        "CAST(len(string_split(pieces, ' ')) AS INT) AS n_pieces "
+        f"FROM ranked WHERE rn <= {top_words}"
+    )
 
 
 def _dedup_clusters_oracle() -> str:
@@ -6087,6 +6165,8 @@ def oracle_sql() -> dict[str, str]:
             "WHERE token <> '' GROUP BY token) "
             "SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT 50"
         ),
+        "bpe_merges": _bpe_merges_oracle(),
+        "bpe_segment": _bpe_segment_oracle(),
         "oov_rate": (
             "WITH toks AS (SELECT doc_id, unnest(string_split_regex("
             "lower(trim(text)), '\\s+')) AS token FROM documents), "
