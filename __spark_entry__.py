@@ -1830,6 +1830,19 @@ def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type activity z-scores — exact integer count moments,
+    one IEEE sqrt (correctly rounded on both engines) and one division,
+    stable6 at the output."""
+    from approximate_pagerank_public_spark.operators.events import rate_anomaly
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    r = rate_anomaly(ev)
+    return r.select(
+        "event_type", "window_idx", "n_events", _stable6("z").alias("z")
+    )
+
+
 def q_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping 1-hour/15-minute rollup anchored at the stream origin —
     overlapping windows, bounded 4x fan-out, exact integer counts."""
@@ -2644,6 +2657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "session_stats": q_session_stats,
         "hourly_rollup": q_hourly_rollup,
+        "rate_anomaly": q_rate_anomaly,
         "sliding_rollup": q_sliding_rollup,
         "turn_latency": q_turn_latency,
         "tool_latency": q_tool_latency,
@@ -6058,6 +6072,22 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY co.cohort_bucket, uh.h - co.cohort_bucket"
         ),
         "hourly_rollup": _HOURLY_ROLLUP_ORACLE,
+        "rate_anomaly": (
+            "WITH t0 AS (SELECT min(ts) AS t0 FROM events), "
+            "b AS (SELECT (epoch_us(ts) - epoch_us(t0)) // 3600000000 "
+            "AS widx, event_type FROM events CROSS JOIN t0), "
+            "c AS (SELECT widx, event_type, CAST(count(*) AS BIGINT) "
+            "AS cnt FROM b GROUP BY 1, 2), "
+            "s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nw, "
+            "CAST(sum(cnt) AS BIGINT) AS s1, "
+            "CAST(sum(cnt * cnt) AS BIGINT) AS s2 FROM c GROUP BY 1) "
+            "SELECT c.event_type, CAST(c.widx AS BIGINT) AS window_idx, "
+            "c.cnt AS n_events, floor((CASE WHEN s.nw * s.s2 - s.s1 * s.s1 = 0 "
+            "THEN 0.0 ELSE CAST(s.nw * c.cnt - s.s1 AS DOUBLE) / "
+            "sqrt(CAST(s.nw * s.s2 - s.s1 * s.s1 AS DOUBLE)) END) "
+            "* 1000000.0) / 1000000.0 AS z "
+            "FROM c JOIN s USING (event_type)"
+        ),
         "sliding_rollup": _SLIDING_ROLLUP_ORACLE,
         "stress": _stress_oracle(STRESS_SOURCES),
         "scc": (

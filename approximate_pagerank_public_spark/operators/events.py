@@ -607,3 +607,47 @@ def interval_join(
             gap.alias("gap_us"),
         )
     )
+
+
+def rate_anomaly(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    window_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Per-(event_type, window) activity z-score — the classic rate
+    anomaly detector over a metric stream: ``z = (c - mean) / std``
+    where the mean/std are taken over the type's PRESENT windows
+    (windows with zero events of that type contribute nothing — the
+    detector scores observed load against observed history).
+
+    Determinism: everything up to the final division is exact integer
+    arithmetic — ``z = (n·c - S1) / sqrt(n·S2 - S1²)`` with S1 = Σc,
+    S2 = Σc² per type — and IEEE-754 sqrt is correctly rounded on both
+    engines (the same cross-engine contract as
+    ``weighted_negative_samples``), so one division is the only
+    rounding site. ``z = 0`` when the variance is zero. Exactness
+    holds while the integer terms stay within 2^53 (hourly counts per
+    type — far beyond any realistic window load).
+
+    Scale shape: one map-side-combined count per (type, window), one
+    |types|-row stats aggregate broadcast back — no window-the-SQL-kind
+    over the event stream, no skew (the join key is event_type against
+    a broadcast side).
+    """
+    counts = hourly_rollup(events, ts_col, type_col, value_col, window_us).select(
+        "window_idx", "event_type", "n_events"
+    )
+    stats = counts.groupBy("event_type").agg(
+        F.count("*").alias("_nw"),
+        F.sum("n_events").alias("_s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("_s2"),
+    )
+    j = counts.join(F.broadcast(stats), "event_type")
+    num = F.col("_nw") * F.col("n_events") - F.col("_s1")
+    rad = F.col("_nw") * F.col("_s2") - F.col("_s1") * F.col("_s1")
+    z = F.when(rad == 0, F.lit(0.0)).otherwise(
+        num.cast("double") / F.sqrt(rad.cast("double"))
+    )
+    return j.select("event_type", "window_idx", "n_events", z.alias("z"))

@@ -299,3 +299,39 @@ def test_sliding_rollup_overlapping_windows(ev):
     # window 4 covers [20,30): view@20 purchase@21; window 3 [15,25) too
     assert out[(4, "view")] == 1 and out[(4, "purchase")] == 1
     assert out[(3, "view")] == 1 and out[(3, "purchase")] == 1
+
+
+def test_rate_anomaly_matches_numpy(spark, ev):
+    import numpy as np
+
+    from approximate_pagerank_public_spark.operators.events import rate_anomaly
+
+    got = rate_anomaly(ev).toPandas()
+    pdf = ev.toPandas()
+    t0 = pdf["ts"].min()
+    pdf["widx"] = ((pdf["ts"] - t0).dt.total_seconds() * 1e6 // 3_600_000_000).astype(int)
+    counts = pdf.groupby(["event_type", "widx"]).size()
+    for (etype, widx), c in counts.items():
+        cs = counts[etype].to_numpy(dtype=np.int64)
+        nw, s1, s2 = len(cs), cs.sum(), (cs * cs).sum()
+        rad = nw * s2 - s1 * s1
+        want = 0.0 if rad == 0 else (nw * c - s1) / np.sqrt(float(rad))
+        row = got[(got["event_type"] == etype) & (got["window_idx"] == widx)]
+        assert len(row) == 1
+        assert row["n_events"].iloc[0] == c
+        assert row["z"].iloc[0] == want  # bit parity: int ops + one sqrt + one div
+
+
+def test_rate_anomaly_zero_variance_is_zero(spark, ev):
+    from approximate_pagerank_public_spark.operators.events import rate_anomaly
+
+    # user 2's "view" at minute 5 and user 1's at minute 0/20 share hours?
+    # construct directly: a type with identical counts in every window
+    rows = [(i, _ts(0) + dt.timedelta(hours=h), 1, "flat", 1.0) for h, i in
+            [(0, 0), (1, 1), (2, 2)]]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = rate_anomaly(df).toPandas()
+    assert (got["z"] == 0.0).all()
+    assert (got["n_events"] == 1).all()
