@@ -1495,6 +1495,22 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficient(g)
 
 
+def q_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 SimRank pairs (3 iterations, C=0.8) over the entity graph
+    — iteration 1 is exact integers + one pinned division; later sums
+    ride the pagerank-oracle ulp argument; cut by (stable6 s desc, a,
+    b) on both sides."""
+    from approximate_pagerank_public_spark.operators.simrank import simrank
+
+    r = simrank(_edges(spark, sf_dir), iters=3, c=0.8)
+    s6 = _stable6("s").alias("s")
+    return (
+        r.select("a", "b", s6)
+        .orderBy(F.col("s").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(50)
+    )
+
+
 def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-neighbors link prediction over non-adjacent pairs
     (operators/linkpred.py). Oracled columns are exact ints + one IEEE
@@ -2637,6 +2653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "core_numbers": q_core_numbers,
         "clustering_coeff": q_clustering_coeff,
         "link_pred": q_link_prediction,
+        "simrank": q_simrank,
         "resource_alloc": q_resource_allocation,
         "peel_layers": q_peel_layers,
         "prefix_join": q_prefix_join,
@@ -3978,6 +3995,51 @@ def _clustering_coeff_oracle() -> str:
         "THEN 2.0 * coalesce(t.triangles, 0) / (deg.deg * (deg.deg - 1)) "
         "ELSE 0.0 END AS lcc "
         "FROM verts v LEFT JOIN deg USING (id) LEFT JOIN t USING (id)"
+    )
+
+
+def _simrank_oracle(iters: int = 3, c: float = 0.8, k: int = 50) -> str:
+    """SimRank unrolled: p1 = exact common-in-neighbor counts + the
+    pinned ``(C·t)/(dᵃ·dᵇ)`` projection; each later round = symmetric
+    closure + unit diagonal, two edge equi-joins, ONE sum per pair,
+    same pinned projection — the ``_pagerank_fixed_oracle`` ulp
+    argument carries the cross-engine match through the final 1e-6
+    truncation. Top-k cut by (truncated s desc, a asc, b asc)."""
+    cl = repr(float(c))
+    parts = [
+        f"WITH eraw AS MATERIALIZED ({_duck_edges_sql()}), ",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM eraw), ",
+        "verts AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM e UNION ALL SELECT dst FROM e)), ",
+        "din AS MATERIALIZED (SELECT dst AS id, CAST(count(*) AS BIGINT) "
+        "AS d FROM e GROUP BY dst), ",
+        "c1 AS (SELECT x.dst AS a, y.dst AS b, CAST(count(*) AS DOUBLE) "
+        "AS t FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst "
+        "GROUP BY 1, 2), ",
+        f"p1 AS MATERIALIZED (SELECT a, b, ({cl} * t) / "
+        "CAST(da.d * db.d AS DOUBLE) AS s FROM c1 "
+        "JOIN din da ON da.id = a JOIN din db ON db.id = b), ",
+    ]
+    for r in range(2, iters + 1):
+        parts.append(
+            f"sym{r - 1} AS (SELECT a AS i, b AS j, s FROM p{r - 1} "
+            f"UNION ALL SELECT b, a, s FROM p{r - 1} "
+            "UNION ALL SELECT id, id, 1.0 FROM verts), "
+            f"c{r} AS (SELECT ea.dst AS a, eb.dst AS b, sum(y.s) AS t "
+            f"FROM sym{r - 1} y JOIN e ea ON ea.src = y.i "
+            "JOIN e eb ON eb.src = y.j WHERE ea.dst < eb.dst "
+            "GROUP BY 1, 2), "
+            f"p{r} AS MATERIALIZED (SELECT a, b, ({cl} * t) / "
+            f"CAST(da.d * db.d AS DOUBLE) AS s FROM c{r} "
+            "JOIN din da ON da.id = a JOIN din db ON db.id = b), "
+        )
+    return (
+        "".join(parts)
+        + "t6 AS (SELECT a, b, floor(s * 1000000.0) / 1000000.0 AS s "
+        + f"FROM p{iters}) "
+        + "SELECT a, b, s FROM (SELECT a, b, s, row_number() OVER ("
+        + "ORDER BY s DESC, a ASC, b ASC) AS rn FROM t6) "
+        + f"WHERE rn <= {k}"
     )
 
 
@@ -6129,6 +6191,7 @@ def oracle_sql() -> dict[str, str]:
         "core_numbers": _coreness_oracle(),
         "clustering_coeff": _clustering_coeff_oracle(),
         "link_pred": _link_pred_oracle(3),
+        "simrank": _simrank_oracle(),
         "resource_alloc": _resource_allocation_oracle(3),
         "peel_layers": _peel_layers_oracle(3),
         "prefix_join": _prefix_join_oracle(9000),
