@@ -347,23 +347,65 @@ def prefix_filter_pairs(
         )
         .select("doc_id", "tok")
     )
+    # The prefix self-join's OUTPUT is Σ_t |bucket_t|² while its INPUT
+    # is tiny — precisely the blind spot of AQE's size-based
+    # coalescing (measured at sf0.1: the 15 MB exchange coalesced to
+    # ONE task that exploded ~1M pairs inside it, 90+ s on one
+    # thread). Two counter-measures, both result-invariant: salt the
+    # `a` side by hash(a) and replicate the `b` side across the salt
+    # range (each pair still meets exactly once, at g = hash(a)), and
+    # pin BOTH sides with an explicit repartition on the join keys —
+    # the join then reuses the user partitioning, which AQE never
+    # coalesces. Replication cost = prefix table × salt (prefixes are
+    # 1..few tokens per doc; salt ≈ task slots).
+    spark = docs.sparkSession
+    g_salt = max(int(spark.sparkContext.defaultParallelism), 8)
+    pa = pref.select(
+        F.col("doc_id").alias("a"),
+        "tok",
+        F.pmod(F.xxhash64("doc_id"), F.lit(g_salt)).cast("int").alias("g"),
+    )
+    salts = spark.range(g_salt).select(F.col("id").cast("int").alias("g"))
+    pb = pref.select(F.col("doc_id").alias("b"), "tok").crossJoin(
+        F.broadcast(salts)
+    )
     cand = (
-        pref.select(F.col("doc_id").alias("a"), "tok")
-        .join(pref.select(F.col("doc_id").alias("b"), "tok"), "tok")
+        pa.repartition(g_salt, "tok", "g")
+        .join(pb.repartition(g_salt, "tok", "g"), ["tok", "g"])
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
     )
+    # verify with per-doc token ARRAYS + array_intersect, not a
+    # (cand x tokens) fan-out join: the explosion of a high-fanout join
+    # is invisible to AQE (it coalesces on shuffle INPUT bytes — seen
+    # live at sf0.1: a 15 MB candidate exchange coalesced to ONE task
+    # that then expanded 40x inside the join, 90 s in a single thread).
+    # Array rows cost O(sza+szb) compute per candidate with no row
+    # growth, so size-based coalescing stays honest; array length is
+    # bounded by document length (no hub risk).
+    tarr = toks.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("tok")).alias("ta"),
+        F.count("*").alias("sz"),
+    )
     inter = (
-        cand.join(toks.select(F.col("doc_id").alias("a"), "tok"), "a")
-        .join(toks.select(F.col("doc_id").alias("b"), "tok"), ["b", "tok"])
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("inter"))
+        cand.join(
+            tarr.select(F.col("doc_id").alias("a"), F.col("ta").alias("_taa"),
+                        F.col("sz").alias("sza")),
+            "a",
+        )
+        .join(
+            tarr.select(F.col("doc_id").alias("b"), F.col("ta").alias("_tab"),
+                        F.col("sz").alias("szb")),
+            "b",
+        )
+        .select(
+            "a", "b", "sza", "szb",
+            F.size(F.array_intersect("_taa", "_tab")).cast("long").alias("inter"),
+        )
     )
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza")), "a")
-        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb")), "b")
-        .where(
+        inter.where(
             F.col("inter") * 10000
             >= F.lit(threshold_bp) * (F.col("sza") + F.col("szb") - F.col("inter"))
         )
