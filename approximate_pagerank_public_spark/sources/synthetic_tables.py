@@ -106,3 +106,56 @@ def synthesize_events(
         (F.pmod(h(4), F.lit(20000)) / F.lit(100.0)).alias("value"),
         F.concat(F.lit('{"k": '), F.pmod(h(5), F.lit(100)), F.lit("}")).alias("props"),
     )
+
+
+def synthesize_embeddings(
+    spark: SparkSession,
+    n_vecs: int = 2000,
+    dim: int = 64,
+    n_anchors: int = 8,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """``(vec_id, embedding: array<float>)`` matching the testdata
+    embeddings schema, for the ANN/PQ 10x scaling campaigns.
+
+    Fully codegen (xxhash64-derived, no RNG state): every vector is one
+    of ``n_anchors`` deterministic anchor directions plus per-component
+    hash noise — so k-means/IVF/PQ quantizers see real cluster
+    structure, not uniform dust — and ~5% of vectors replicate a lower
+    id exactly (near-dup load for the dedup family)."""
+    d = spark.range(
+        0, n_vecs, 1, partitions or spark.sparkContext.defaultParallelism
+    )
+    h0 = F.xxhash64(F.col("id"), F.lit(seed), F.lit(100))
+    d = d.select(
+        F.col("id").alias("vec_id"),
+        F.when(
+            (F.pmod(h0, F.lit(20)) == 0) & (F.col("id") >= 7),
+            F.col("id") - (F.pmod(h0, F.lit(7)) + 1),
+        )
+        .otherwise(F.col("id"))
+        .alias("orig"),
+    )
+    anchor = F.pmod(F.xxhash64(F.col("orig"), F.lit(seed), F.lit(101)), F.lit(n_anchors))
+
+    def comp(i):
+        base = (
+            F.pmod(F.xxhash64(anchor, i, F.lit(seed), F.lit(102)), F.lit(2001))
+            - F.lit(1000)
+        ).cast("double") / F.lit(1000.0)
+        noise = (
+            F.pmod(
+                F.xxhash64(F.col("orig"), i, F.lit(seed), F.lit(103)),
+                F.lit(2001),
+            )
+            - F.lit(1000)
+        ).cast("double") / F.lit(1000.0)
+        return (base + F.lit(0.3) * noise).cast("float")
+
+    vec = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), comp)
+    # label = the anchor id (the testdata's label column is a cluster
+    # label; here the anchor IS the ground-truth cluster)
+    return d.select(
+        "vec_id", vec.alias("embedding"), anchor.cast("int").alias("label")
+    )

@@ -257,3 +257,42 @@ def test_synthetic_documents_events_shape_and_determinism(spark):
     refe = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
     assert dict(ev.dtypes) == dict(refe.dtypes)
     assert ev.select("user_id").distinct().count() > 1
+
+
+def test_synthetic_embeddings_shape_and_determinism(spark):
+    """ANN/PQ 10x-campaign vectors: testdata schema parity, anchor
+    cluster structure, exact replicas, partitioning invariance."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from approximate_pagerank_public_spark.sources.synthetic_tables import (
+        synthesize_embeddings,
+    )
+
+    emb = synthesize_embeddings(spark, 400, dim=16, seed=42)
+    assert emb.columns == ["vec_id", "embedding", "label"]
+    ref = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    assert dict(emb.dtypes) == dict(ref.dtypes)
+    pdf = emb.toPandas()
+    assert len(pdf) == 400
+    assert all(len(v) == 16 for v in pdf["embedding"])
+    # exact replicas exist (near-dup load)
+    keys = pdf["embedding"].map(lambda v: tuple(v))
+    assert keys.duplicated().any()
+    # anchor structure: vectors concentrate on <= n_anchors directions
+    m = np.stack(pdf["embedding"].map(np.asarray))
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    # every vector has >= 10 near-parallel companions (same anchor)
+    assert (np.sum(sims > 0.85, axis=1) >= 10).all()
+    # partitioning-invariant
+    a = sorted(map(lambda r: (r[0], tuple(r[1])), emb.limit(50).collect()))
+    b = sorted(
+        map(
+            lambda r: (r[0], tuple(r[1])),
+            synthesize_embeddings(spark, 400, dim=16, seed=42, partitions=7)
+            .limit(50)
+            .collect(),
+        )
+    )
+    assert a == b
