@@ -434,13 +434,28 @@ def semantic_dedup(
         assigned = cap_bucket_size(
             assigned, ["cell"], "_sd_id", max_cell_size, label="semantic-dedup"
         )
+    # Salted pinned-partition self-join: with only n_cells join keys,
+    # AQE's size-based coalescing folds the tiny input exchange into a
+    # handful of tasks that then explode Σ cellᵢ² pairs inside
+    # (measured: 310 s / 21M pairs through ≤8 tasks). Same fix as
+    # triangles.salted_wedge_pairs — salt the a-side by hash(id),
+    # replicate the b-side across the salt range, pin both sides with
+    # repartition(P, cell, g); identical pair set.
+    spark = embeddings.sparkSession
+    p = max(int(spark.sparkContext.defaultParallelism), 8)
     a = assigned.select(
         "cell", F.col("_sd_id").alias("a_id"), F.col("_sd_v").alias("va")
-    )
+    ).withColumn("_g", F.pmod(F.xxhash64("a_id"), F.lit(p)).cast("int"))
+    salts = spark.range(p).select(F.col("id").cast("int").alias("_g"))
     b = assigned.select(
         "cell", F.col("_sd_id").alias("b_id"), F.col("_sd_v").alias("vb")
+    ).crossJoin(F.broadcast(salts))
+    pairs = (
+        a.repartition(p, "cell", "_g")
+        .join(b.repartition(p, "cell", "_g"), ["cell", "_g"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .drop("_g")
     )
-    pairs = a.join(b, "cell").where(F.col("a_id") < F.col("b_id"))
     scored = with_cosine(pairs, "va", "vb")
     return scored.where(F.col("cosine") >= F.lit(float(threshold))).select(
         "cell", "a_id", "b_id", "cosine"
