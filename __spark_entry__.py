@@ -1495,6 +1495,20 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficient(g)
 
 
+
+def q_spectral_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second eigenvector of the normalized adjacency (deflated power
+    iteration, 8 rounds) over the entity graph — the spectral
+    bisection/clustering primitive; u = sqrt(degree) deflation is
+    closed-form, so there's no first-eigenvector phase to replay."""
+    from approximate_pagerank_public_spark.operators.spectral import (
+        normalized_fiedler,
+    )
+
+    r = normalized_fiedler(_edges(spark, sf_dir), iters=8)
+    return r.select("id", _stable6("f").alias("f"))
+
+
 def q_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 SimRank pairs (3 iterations, C=0.8) over the entity graph
     — iteration 1 is exact integers + one pinned division; later sums
@@ -2654,6 +2668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff": q_clustering_coeff,
         "link_pred": q_link_prediction,
         "simrank": q_simrank,
+        "spectral_embedding": q_spectral_embedding,
         "resource_alloc": q_resource_allocation,
         "peel_layers": q_peel_layers,
         "prefix_join": q_prefix_join,
@@ -3761,6 +3776,58 @@ def _textrank_oracle(iters: int = 8, alpha: float = 0.85, topk: int = 20) -> str
         f"SELECT vt.token, pr.rank FROM ({pr}) pr "
         f"JOIN ({_TEXTRANK_VT_SQL}) vt ON vt.id = pr.id "
         f"ORDER BY pr.rank DESC, vt.token ASC LIMIT {int(topk)}"
+    )
+
+
+def _spectral_oracle(iters: int = 8) -> str:
+    """Deflated power iteration unrolled (operators/spectral.py):
+    u = sqrt(degree) is the CLOSED-FORM dominant eigenvector of the
+    normalized adjacency, uᵀu = Σd = 2m is an exact BIGINT, and every
+    iteration is (pinned projection) → (one edge aggregation of
+    ``y_j / (u_i·u_j)`` terms) → (one L2 norm) — the
+    ``_pagerank_fixed_oracle`` ulp-under-truncation argument carries
+    the cross-engine match."""
+    e_sql = _duck_edges_sql()
+    parts = [
+        f"WITH eraw AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({e_sql})), ",
+        "sym AS MATERIALIZED (SELECT DISTINCT j, i FROM "
+        "(SELECT src AS j, dst AS i FROM eraw "
+        "UNION ALL SELECT dst AS j, src AS i FROM eraw)), ",
+        "deg AS MATERIALIZED (SELECT i AS id, CAST(count(*) AS BIGINT) "
+        "AS d FROM sym GROUP BY i), ",
+        "u AS MATERIALIZED (SELECT id, sqrt(CAST(d AS DOUBLE)) AS u "
+        "FROM deg), ",
+        "m2 AS MATERIALIZED (SELECT CAST(sum(d) AS BIGINT) AS m FROM deg), ",
+        "x0 AS MATERIALIZED (SELECT id, "
+        "CAST((id * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5 "
+        "AS x FROM u), ",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"pj{k} AS MATERIALIZED (SELECT "
+            f"coalesce(sum(u.u * x{k}.x), 0.0) / "
+            "CAST((SELECT m FROM m2) AS DOUBLE) AS p "
+            f"FROM u JOIN x{k} USING (id)), "
+            f"y{k} AS MATERIALIZED (SELECT u.id, "
+            f"x{k}.x - ((SELECT p FROM pj{k}) * u.u) AS y "
+            f"FROM u JOIN x{k} USING (id)), "
+            f"zr{k} AS MATERIALIZED (SELECT sym.i AS id, "
+            f"sum(y{k}.y / (ui.u * uj.u)) AS z FROM sym "
+            f"JOIN y{k} ON y{k}.id = sym.j "
+            "JOIN u uj ON uj.id = sym.j JOIN u ui ON ui.id = sym.i "
+            "GROUP BY sym.i), "
+            f"z{k} AS MATERIALIZED (SELECT u.id, "
+            f"coalesce(zr{k}.z, 0.0) AS z FROM u "
+            f"LEFT JOIN zr{k} ON zr{k}.id = u.id), "
+            f"n{k} AS MATERIALIZED (SELECT coalesce(nullif("
+            f"sqrt(sum(z * z)), 0.0), 1.0) AS n FROM z{k}), "
+            f"x{k + 1} AS MATERIALIZED (SELECT id, "
+            f"z / (SELECT n FROM n{k}) AS x FROM z{k}), "
+        )
+    sql = "".join(parts).rstrip(", ")
+    return (
+        sql
+        + f" SELECT id, floor(x * 1000000.0) / 1000000.0 AS f FROM x{iters}"
     )
 
 
@@ -6192,6 +6259,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_oracle(),
         "link_pred": _link_pred_oracle(3),
         "simrank": _simrank_oracle(),
+        "spectral_embedding": _spectral_oracle(),
         "resource_alloc": _resource_allocation_oracle(3),
         "peel_layers": _peel_layers_oracle(3),
         "prefix_join": _prefix_join_oracle(9000),
