@@ -1661,6 +1661,18 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector projection onto the corpus's first principal component
+    (operators/pca.py): exact-integer moment pass (mapInArrow partial
+    Gram, no corpus shuffle) + a driver-side d×d power iteration whose
+    every fold the oracle replays in index order."""
+    from approximate_pagerank_public_spark.operators.pca import embedding_pca
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    r = embedding_pca(emb, iters=8)
+    return r.select("vec_id", _stable6("pc1").alias("pc1"))
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from approximate_pagerank_public_spark.operators.similarity import lsh_ann_topk
 
@@ -2677,6 +2689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
+        "embedding_pca": q_embedding_pca,
         "ann_lsh_topk": q_ann_lsh_topk,
         "rrf_fusion": q_rrf_fusion,
         "mmr_rerank": q_mmr_rerank,
@@ -2858,6 +2871,63 @@ def _ann_lsh_oracle() -> str:
         "floor(cosine * 1000000.0) / 1000000.0 AS cosine "
         'FROM ranked WHERE "rank" <= 5'
     )
+
+
+def _pca_oracle(iters: int = 8, dim: int | None = None) -> str:
+    """Full replay of operators/pca.py::embedding_pca — exact-integer
+    moments (quantize → HUGEINT Gram/sums), covariance with the pinned
+    ``(G/n − (s_t/n)(s_u/n))/1e12`` association, then the d×d power
+    iteration unrolled with every matvec row and norm a
+    ``list_reduce(list(... ORDER BY idx))`` sequential fold — matching
+    the engine's driver-side Python loops term for term. The final
+    projection is ``list_dot_product(q/1e6, pc) − mean·pc`` on both
+    sides (F.aggregate ≡ list_dot_product, the `_duck_cos` parity)."""
+    d = dim if dim is not None else _emb_dim()
+    parts = [
+        "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), ",
+        "qt AS MATERIALIZED (SELECT vec_id, list_transform(v, "
+        "x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS q FROM emb), ",
+        f"idx AS MATERIALIZED (SELECT CAST(range AS INTEGER) AS t "
+        f"FROM range(1, {d + 1})), ",
+        "mom AS MATERIALIZED (SELECT t.t, u.t AS u, "
+        "sum(qt.q[t.t] * qt.q[u.t]) AS g "
+        "FROM qt CROSS JOIN idx t CROSS JOIN idx u GROUP BY t.t, u.t), ",
+        "sv AS MATERIALIZED (SELECT t.t, sum(qt.q[t.t]) AS s "
+        "FROM qt CROSS JOIN idx t GROUP BY t.t), ",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM qt), ",
+        "cov AS MATERIALIZED (SELECT m.t, m.u, "
+        "(CAST(m.g AS DOUBLE) / (SELECT n FROM nn) - "
+        "(CAST(st.s AS DOUBLE) / (SELECT n FROM nn)) * "
+        "(CAST(su.s AS DOUBLE) / (SELECT n FROM nn))) / 1000000000000.0 AS c "
+        "FROM mom m JOIN sv st ON st.t = m.t JOIN sv su ON su.t = m.u), ",
+        "x0 AS MATERIALIZED (SELECT t, "
+        "CAST((t * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5 AS x "
+        "FROM idx), ",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"z{k} AS MATERIALIZED (SELECT c.t, "
+            f"list_reduce(list(c.c * x.x ORDER BY c.u), (a, b) -> a + b) "
+            f"AS z FROM cov c JOIN x{k} x ON x.t = c.u GROUP BY c.t), "
+            f"n{k} AS MATERIALIZED (SELECT coalesce(nullif(sqrt("
+            f"list_reduce(list(z * z ORDER BY t), (a, b) -> a + b)), 0.0), "
+            f"1.0) AS nrm FROM z{k}), "
+            f"x{k + 1} AS MATERIALIZED (SELECT t, "
+            f"z / (SELECT nrm FROM n{k}) AS x FROM z{k}), "
+        )
+    parts.append(
+        f"pcv AS MATERIALIZED (SELECT list(x ORDER BY t) AS pc "
+        f"FROM x{iters}), "
+        "md AS MATERIALIZED (SELECT list_reduce(list("
+        "((CAST(s.s AS DOUBLE) / (SELECT n FROM nn)) / 1000000.0) * x.x "
+        f"ORDER BY s.t), (a, b) -> a + b) AS mdot "
+        f"FROM sv s JOIN x{iters} x ON x.t = s.t) "
+        "SELECT vec_id, floor((list_dot_product(list_transform(q, "
+        "y -> CAST(y AS DOUBLE) / 1000000.0), (SELECT pc FROM pcv)) "
+        "- (SELECT mdot FROM md)) * 1000000.0) / 1000000.0 AS pc1 FROM qt"
+    )
+    return "".join(parts)
 
 
 def _embedding_near_dup_oracle() -> str:
@@ -6381,6 +6451,7 @@ def oracle_sql() -> dict[str, str]:
         "louvain_multilevel": _louvain_multilevel_oracle(2, 2),
         "minhash_lsh": _minhash_oracle(),
         "cosine_topk": _cosine_topk_oracle(),
+        "embedding_pca": _pca_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
         "mmr_rerank": _mmr_oracle(10, 5),
         "rrf_fusion": (
