@@ -1611,6 +1611,17 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs)
 
 
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded simhash near-duplicate pairs (Manku-style): 4×16-bit band
+    buckets via the salted pinned-partition pair join, then the exact
+    ``bit_count(xor) ≤ 8`` Hamming verify — integer-exact on both
+    engines."""
+    from approximate_pagerank_public_spark.operators.dedup import simhash_near_dup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_dup(docs, max_hamming=8, bands=4)
+
+
 def _emb_dim(sf_dir: str | None = None) -> int:
     """Embedding dimensionality, read from the parquet footer (row 0) —
     both the Spark queries and the oracle-SQL generator derive it from
@@ -2688,6 +2699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness": q_closeness,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "simhash_near_dup": q_simhash_near_dup,
         "cosine_topk": q_cosine_topk,
         "embedding_pca": q_embedding_pca,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -4466,6 +4478,30 @@ def _simhash_oracle() -> str:
         "h AS (SELECT doc_id, md5(tok) AS fp FROM toks), "
         f"b AS (SELECT doc_id, {', '.join(b_exprs)} FROM h GROUP BY doc_id) "
         f"SELECT doc_id, CAST({' + '.join(val_terms)} AS BIGINT) AS simhash FROM b"
+    )
+
+
+def _simhash_near_dup_oracle(max_hamming: int = 8, bands: int = 4) -> str:
+    """Replays ``dedup.simhash_near_dup``: the `_simhash_oracle`
+    signature relation, banded into ``bands`` equal-width buckets
+    (arithmetic shift + mask — identical to Spark's on negative int64),
+    distinct same-bucket pairs a<b, ``bit_count(xor)`` verify."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    band_sel = " UNION ALL ".join(
+        f"SELECT {b * (mask + 1)} + ((simhash >> {b * width}) & {mask}) AS bk, "
+        "doc_id FROM sig"
+        for b in range(bands)
+    )
+    return (
+        f"WITH sig AS MATERIALIZED ({_simhash_oracle()}), "
+        f"bk AS MATERIALIZED ({band_sel}), "
+        "p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bk x "
+        "JOIN bk y ON y.bk = x.bk AND x.doc_id < y.doc_id) "
+        "SELECT p.a, p.b, CAST(bit_count(xor(sa.simhash, sb.simhash)) "
+        "AS BIGINT) AS hamming FROM p "
+        "JOIN sig sa ON sa.doc_id = p.a JOIN sig sb ON sb.doc_id = p.b "
+        f"WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {int(max_hamming)}"
     )
 
 
@@ -6431,6 +6467,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_top20": _pagerank_top20_oracle(),
         "multi_ppr_top10": _multi_ppr_top10_oracle(),
         "simhash": _simhash_oracle(),
+        "simhash_near_dup": _simhash_near_dup_oracle(),
         "ivf_ann_topk": _ivf_ann_oracle(),
         "kmeans_assign": _kmeans_assign_oracle(),
         "pq_encode": _pq_encode_oracle(),

@@ -256,6 +256,67 @@ def simhash(
     return bit_sums.select("doc_id", expr.alias("simhash"))
 
 
+def simhash_near_dup(
+    docs: DataFrame,
+    max_hamming: int = 8,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_method: str = "md5",
+) -> DataFrame:
+    """``(a, b, hamming)`` with ``a < b`` — document pairs whose 64-bit
+    simhashes agree on at least one of ``bands`` equal-width bands AND
+    differ in ≤ ``max_hamming`` bits (the banded near-dup completion of
+    :func:`simhash` — the Manku/Charikar web-dedup recipe: any pair
+    within Hamming distance ``64/bands − 1`` per band is guaranteed to
+    share a band; wider distances are best-effort recall, exact
+    precision via the bit_count verify).
+
+    Scale shape: shuffle = docs × bands bucket rows; the within-bucket
+    pair join uses the salted pinned-partition layout
+    (`triangles.salted_wedge_pairs`) so a degenerate bucket's quadratic
+    output spreads across P tasks instead of exploding inside the 1-2
+    AQE-coalesced ones. The Hamming verify is two broadcast-sized
+    signature joins + one codegen'd ``bit_count(xor)`` — arithmetic the
+    DuckDB oracle replays bit-for-bit (shift/mask/xor/bit_count agree
+    on negative int64 on both engines, verified)."""
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
+    from .triangles import salted_wedge_pairs
+
+    sig = simhash(docs, id_col=id_col, text_col=text_col, hash_method=hash_method)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    parts = [
+        sig.select(
+            (
+                F.lit(b * (mask + 1))
+                + F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
+            ).alias("bk"),
+            "doc_id",
+        )
+        for b in range(bands)
+    ]
+    buckets = parts[0]
+    for x in parts[1:]:
+        buckets = buckets.unionAll(x)
+    pairs = salted_wedge_pairs(buckets, center="bk", endpoint="doc_id").distinct()
+    su = sig.select(F.col("doc_id").alias("u"), F.col("simhash").alias("hu"))
+    sv = sig.select(F.col("doc_id").alias("v"), F.col("simhash").alias("hv"))
+    return (
+        pairs.join(su, "u")
+        .join(sv, "v")
+        .select(
+            F.col("u").alias("a"),
+            F.col("v").alias("b"),
+            F.bit_count(F.col("hu").bitwiseXOR(F.col("hv")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def ngram_jaccard(
     docs: DataFrame,
     pairs: DataFrame,

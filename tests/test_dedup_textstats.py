@@ -104,6 +104,26 @@ def test_simhash_close_for_near_dups(docs_with_dups):
     assert hamming <= 16  # near-dup → close simhash
 
 
+def test_simhash_near_dup_pairs(docs_with_dups):
+    base = docs_with_dups.orderBy("doc_id").limit(3).collect()
+    got = dedup.simhash_near_dup(docs_with_dups, max_hamming=16).toPandas()
+    pairs = {(r.a, r.b): r.hamming for r in got.itertuples()}
+    # exact duplicate (9001 copies base[0]) → hamming 0
+    exact_key = (min(base[0]["doc_id"], 9001), max(base[0]["doc_id"], 9001))
+    assert pairs.get(exact_key) == 0
+    # near duplicate (9002 = base[1] + tail) → small positive hamming
+    near_key = (min(base[1]["doc_id"], 9002), max(base[1]["doc_id"], 9002))
+    assert near_key in pairs and pairs[near_key] <= 16
+    # symmetric/canonical: every pair a < b, no self-pairs
+    assert (got["a"] < got["b"]).all()
+
+
+def test_simhash_near_dup_tight_threshold_keeps_exact_only(docs_with_dups):
+    got = dedup.simhash_near_dup(docs_with_dups, max_hamming=0).toPandas()
+    assert (got["hamming"] == 0).all()
+    assert len(got) >= 1  # the planted exact duplicate survives
+
+
 def test_token_count(spark):
     d = spark.createDataFrame([(1, "hello world foo")], ["doc_id", "text"])
     row = textstats.token_count(d).first()
