@@ -2321,6 +2321,53 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks(docs, chunk_tokens=256)
 
 
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc overlapping token windows (the RAG / long-context
+    chunker): 16-token windows at stride 12, md5 chunk fingerprints —
+    a pure per-row map, no shuffle (operators/curation.py::chunk_windows)."""
+    from approximate_pagerank_public_spark.operators.curation import (
+        chunk_windows,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_windows(docs, window=16, stride=12)
+
+
+def _pii_text_col() -> "F.Column":
+    """Deterministic PII-bearing derived text: the synthetic corpus has
+    no real PII, so docs with ``doc_id % 3 != 0`` get a suffix carrying
+    one email, one IPv4, one 16-digit card-like run and one phone-like
+    sequence, all derived from doc_id — the oracle builds the identical
+    string in SQL, so counts and the redacted fingerprint are non-trivial
+    on BOTH sides."""
+    did = F.col("doc_id").cast("string")
+    suffix = F.concat(
+        F.lit(" contact user"),
+        did,
+        F.lit("@example.com ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 card 4111111111111"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit(" tel +1 555 01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    return F.when(F.col("doc_id") % 3 == 0, F.col("text")).otherwise(
+        F.concat(F.col("text"), suffix)
+    )
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction over the PII-salted corpus: per-doc match
+    counts for 4 pattern classes and the md5 of the redacted text
+    (operators/curation.py::pii_scan) — codegen-only regex pass."""
+    from approximate_pagerank_public_spark.operators.curation import pii_scan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", _pii_text_col().alias("text")
+    )
+    return pii_scan(docs)
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-window dedup (Lee et al. 2022 at fixed 8-token
     window granularity): per document, how many sliding windows also
@@ -2748,6 +2795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "dup_spans": q_dup_spans,
         "pack_chunks": q_pack_chunks,
+        "chunk_windows": q_chunk_windows,
+        "pii_scan": q_pii_scan,
         "textrank": q_textrank,
         "pricing_summary": q_pricing_summary,
         "segment_top_orders": q_segment_top_orders,
@@ -6622,6 +6671,51 @@ def oracle_sql() -> dict[str, str]:
             "CAST(start_tok // 256 AS BIGINT) AS chunk_first, "
             "CAST((start_tok + n_tokens - 1) // 256 AS BIGINT) AS chunk_last "
             "FROM c"
+        ),
+        "chunk_windows": (
+            # same 16/12 window/stride as q_chunk_windows; list_slice is
+            # 1-based inclusive-end (clamped via least), matching Spark's
+            # slice(toks, start+1, 16) clamp
+            "WITH base AS (SELECT doc_id, "
+            "string_split_regex(lower(trim(text)), '\\s+') AS toks, "
+            "CAST(length(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) "
+            "AS n FROM documents), "
+            "b2 AS (SELECT * FROM base WHERE n > 0), "
+            "s AS (SELECT doc_id, toks, n, "
+            "unnest(generate_series(0, n - 1, 12)) AS start_tok FROM b2) "
+            "SELECT doc_id, CAST(start_tok // 12 AS BIGINT) AS chunk_idx, "
+            "CAST(start_tok AS BIGINT) AS start_tok, "
+            "CAST(least(16, n - start_tok) AS BIGINT) AS n_tokens, "
+            "md5(array_to_string(list_slice(toks, start_tok + 1, "
+            "least(start_tok + 16, n)), ' ')) AS chunk_fp "
+            "FROM s"
+        ),
+        "pii_scan": (
+            # identical PII-salted text as _pii_text_col, identical
+            # pattern set/order as curation.PII_PATTERNS (RE2 and Java
+            # regex agree on these backreference-free patterns)
+            "WITH salted AS (SELECT doc_id, "
+            "CASE WHEN doc_id % 3 = 0 THEN text ELSE text "
+            "|| ' contact user' || CAST(doc_id AS VARCHAR) "
+            "|| '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) "
+            "|| '.7 card 4111111111111' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') "
+            "|| ' tel +1 555 01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') "
+            "END AS text FROM documents) "
+            "SELECT doc_id, "
+            "CAST(length(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, "
+            "CAST(length(regexp_extract_all(text, "
+            "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ipv4, "
+            "CAST(length(regexp_extract_all(text, "
+            "'\\b[0-9]{13,19}\\b')) AS BIGINT) AS n_digit_run, "
+            "CAST(length(regexp_extract_all(text, "
+            "'\\+[0-9][0-9 ()-]{6,}[0-9]')) AS BIGINT) AS n_phone, "
+            "md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'), "
+            "'\\b[0-9]{13,19}\\b', '<NUM>', 'g'), "
+            "'\\+[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g')) AS redacted_fp "
+            "FROM salted"
         ),
         "pricing_summary": _pricing_summary_oracle(),
         "segment_top_orders": _segment_top_orders_oracle(),

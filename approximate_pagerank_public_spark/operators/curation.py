@@ -501,3 +501,104 @@ def line_dedup(
             ).alias("clean_text"),
         )
     )
+
+
+def chunk_windows(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document overlapping token windows — the RAG / long-context
+    chunker (sliding context windows WITHIN each document, complementing
+    :func:`pack_chunks`' cross-document packing placement).
+
+    Tokens are the whitespace tokens of ``lower(trim(text))``. Window
+    starts are ``0, stride, 2*stride, ...`` while ``start < n_tokens``;
+    each chunk covers ``tokens[start : start+window]`` clamped at the
+    document end, so with ``stride < window`` consecutive chunks overlap
+    by ``window - stride`` tokens and every token belongs to ≥1 chunk.
+    Returns ``(doc_id, chunk_idx, start_tok, n_tokens, chunk_fp)`` with
+    ``chunk_idx = start_tok / stride`` and ``chunk_fp = md5`` of the
+    space-rejoined chunk text (the compact identity used for downstream
+    chunk-level dedup).
+
+    Scale shape: a pure per-row map (sequence + posexplode + slice) —
+    no shuffle, no cross-document state; output rows ≈ corpus tokens /
+    stride. All values are integers or md5 hex, so a DuckDB
+    generate_series + list_slice replay is hash-exact.
+    """
+    if int(window) < 1 or int(stride) < 1:
+        raise ValueError("window and stride must be >= 1")
+    w, s = int(window), int(stride)
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("_toks"), F.size(toks).alias("_n")
+    ).where(F.col("_n") > 0)
+    starts = F.sequence(F.lit(0), F.col("_n") - 1, F.lit(s))
+    exploded = base.select(
+        "doc_id", "_toks", "_n", F.explode(starts).alias("start_tok")
+    )
+    chunk = F.slice(F.col("_toks"), F.col("start_tok") + 1, w)
+    return exploded.select(
+        "doc_id",
+        (F.col("start_tok") / s).cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.least(F.lit(w), F.col("_n") - F.col("start_tok"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.md5(F.encode(F.array_join(chunk, " "), "UTF-8")).alias("chunk_fp"),
+    )
+
+
+#: PII patterns portable across Java regex (Spark) and RE2 (DuckDB):
+#: plain character classes and bounded quantifiers only — no
+#: backreferences, no lookaround, so both engines produce identical
+#: leftmost non-overlapping match sets.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("digit_run", r"\b[0-9]{13,19}\b", "<NUM>"),
+    ("phone", r"\+[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def pii_scan(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document PII pattern scan + redaction — the pre-training
+    privacy-scrub pass every corpus pipeline runs before release.
+
+    Counts non-overlapping matches of each :data:`PII_PATTERNS` class
+    (emails, dotted IPv4s, 13-19 digit runs — card/account-like — and
+    ``+``-prefixed phone-like sequences) in the ORIGINAL text, and
+    produces a redacted text in which the classes are replaced IN
+    DECLARATION ORDER (emails first, so an address is ``<EMAIL>`` before
+    the digit-run pass can see its digits). Returns
+    ``(doc_id, n_email, n_ipv4, n_digit_run, n_phone, redacted_fp)``
+    where ``redacted_fp = md5(redacted text)`` — the fingerprint proves
+    the redacted output byte-identical cross-engine without hauling the
+    text through the contract hash.
+
+    Scale shape: a pure per-row map — one scan, no shuffle, no UDF
+    (``regexp_extract_all`` / ``regexp_replace`` run in whole-stage
+    codegen); at 100 TB this is the cheapest class of pass over the
+    corpus.
+    """
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    red = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *counts,
+        F.md5(F.encode(red, "UTF-8")).alias("redacted_fp"),
+    )

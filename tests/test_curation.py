@@ -257,3 +257,84 @@ def test_line_dedup_chunk_mode_order_preserved(spark):
     }
     assert got[1] == (2, 2, "a b c d")
     assert got[2] == (2, 1, "e f")
+
+
+def test_chunk_windows_overlap_and_clamp(spark):
+    from approximate_pagerank_public_spark.operators.curation import (
+        chunk_windows,
+    )
+
+    # 10 tokens, window 4, stride 3 -> starts 0,3,6,9; last two clamp
+    docs = _docs(spark, [(1, "a b c d e f g h i j")])
+    rows = {
+        r["start_tok"]: r
+        for r in chunk_windows(docs, window=4, stride=3).collect()
+    }
+    assert sorted(rows) == [0, 3, 6, 9]
+    assert rows[0]["n_tokens"] == 4 and rows[0]["chunk_idx"] == 0
+    assert rows[3]["n_tokens"] == 4 and rows[3]["chunk_idx"] == 1
+    assert rows[6]["n_tokens"] == 4
+    assert rows[9]["n_tokens"] == 1 and rows[9]["chunk_idx"] == 3
+    # consecutive chunks share window-stride tokens: chunk fps of the
+    # same token content are identical across docs (pure content id)
+    docs2 = _docs(spark, [(2, "a b c d e f g h i j")])
+    rows2 = {
+        r["start_tok"]: r["chunk_fp"]
+        for r in chunk_windows(docs2, window=4, stride=3).collect()
+    }
+    assert all(rows2[s] == rows[s]["chunk_fp"] for s in rows2)
+
+
+def test_chunk_windows_single_short_doc(spark):
+    from approximate_pagerank_public_spark.operators.curation import (
+        chunk_windows,
+    )
+
+    docs = _docs(spark, [(7, "  Only Two  ")])
+    out = chunk_windows(docs, window=64, stride=48).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["chunk_idx"], r["start_tok"], r["n_tokens"]) == (0, 0, 2)
+    with pytest.raises(ValueError):
+        chunk_windows(docs, window=0, stride=4)
+
+
+def test_pii_scan_counts_and_redaction_order(spark):
+    from approximate_pagerank_public_spark.operators.curation import pii_scan
+
+    docs = _docs(
+        spark,
+        [
+            (
+                1,
+                "mail a.b+c@ex-ample.org then 10.1.2.3 and "
+                "4111111111111111 call +1 (555) 010-1234 done",
+            ),
+            (2, "no pii here at all"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in pii_scan(docs).collect()}
+    r1, r2 = out[1], out[2]
+    assert (r1["n_email"], r1["n_ipv4"], r1["n_digit_run"], r1["n_phone"]) == (
+        1,
+        1,
+        1,
+        1,
+    )
+    assert (r2["n_email"], r2["n_ipv4"], r2["n_digit_run"], r2["n_phone"]) == (
+        0,
+        0,
+        0,
+        0,
+    )
+    # email digits are redacted BEFORE the digit-run pass: a doc whose
+    # only digits sit inside an email keeps n_digit_run counting the
+    # original text, but the redacted text contains <EMAIL>, not <NUM>
+    docs3 = _docs(spark, [(3, "x 1234567890123@example.com y")])
+    fp3 = pii_scan(docs3).collect()[0]
+    from pyspark.sql import functions as F2
+
+    expect = docs3.sparkSession.createDataFrame(
+        [("x <EMAIL> y",)], "t string"
+    ).select(F2.md5(F2.encode("t", "UTF-8")).alias("fp"))
+    assert fp3["redacted_fp"] == expect.collect()[0]["fp"]
