@@ -2117,6 +2117,32 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS, k=3-gram, window w=4): per-window
+    rightmost-min gram hash via one lexicographic string-min window
+    (operators/dedup.py::winnow_fingerprints) — DuckDB replays the
+    identical md5 keys and frame."""
+    from approximate_pagerank_public_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_fingerprints(docs, k=3, w=4)
+
+
+def q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS match ranking: doc pairs sharing >= 3 distinct winnowing
+    fingerprints, posting lists capped at 64 docs (deterministic
+    smallest-doc_id truncation, replayed by the oracle); the pair join
+    runs in the salted pinned-partition wedge layout."""
+    from approximate_pagerank_public_spark.operators.dedup import (
+        winnow_matches,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_matches(docs, k=3, w=4, min_shared=3, cap=64)
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style global first-occurrence line dedup at 8-token chunk
     granularity (operators/curation.py::line_dedup) — per-doc kept
@@ -2745,6 +2771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_indegree": q_topk_indegree,
         "closeness": q_closeness,
         "minhash_lsh": q_minhash_lsh,
+        "winnow_fps": q_winnow_fps,
+        "winnow_matches": q_winnow_matches,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
         "cosine_topk": q_cosine_topk,
@@ -4319,6 +4347,32 @@ def _bm25_oracle(terms: tuple[str, ...], k: int = 10) -> str:
         'SELECT doc_id, score_micro, CAST(row_number() OVER '
         '(ORDER BY score_micro DESC, doc_id ASC) AS INTEGER) AS "rank" '
         f"FROM tot ORDER BY score_micro DESC, doc_id ASC LIMIT {k}"
+    )
+
+
+def _winnow_fps_cte(k: int = 3, w: int = 4) -> str:
+    """Shared winnowing CTE: positioned k-gram md5s, rightmost-min
+    selection per w-window via the lexicographic ``h || ':' ||
+    lpad(10^9 - pos)`` key — byte-for-byte the engine's recipe
+    (operators/dedup.py::winnow_fingerprints)."""
+    return (
+        "toks AS (SELECT doc_id, string_split(lower(regexp_replace(text, "
+        "'\\s+', ' ', 'g')), ' ') AS t FROM documents), "
+        "grams AS (SELECT doc_id, "
+        f"unnest(generate_series(0, greatest(length(t) - {k}, 0))) AS pos, "
+        "t FROM toks), "
+        "h AS (SELECT doc_id, pos, md5(array_to_string(list_slice(t, pos + 1, "
+        f"least(pos + {k}, length(t))), ' ')) AS h FROM grams), "
+        "keyed AS (SELECT doc_id, pos, "
+        "h || ':' || lpad(CAST(1000000000 - pos AS VARCHAR), 10, '0') AS key, "
+        "max(pos) OVER (PARTITION BY doc_id) AS np FROM h), "
+        "winner AS (SELECT doc_id, pos, np, "
+        "min(key) OVER (PARTITION BY doc_id ORDER BY pos "
+        f"ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS wk FROM keyed), "
+        "sel AS (SELECT DISTINCT doc_id, "
+        "CAST(1000000000 - CAST(substring(wk, 34, 10) AS BIGINT) AS BIGINT) AS pos, "
+        "substring(wk, 1, 32) AS fp FROM winner "
+        f"WHERE pos >= least({w - 1}, np))"
     )
 
 
@@ -6716,6 +6770,22 @@ def oracle_sql() -> dict[str, str]:
             "'\\b[0-9]{13,19}\\b', '<NUM>', 'g'), "
             "'\\+[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g')) AS redacted_fp "
             "FROM salted"
+        ),
+        "winnow_fps": (
+            "WITH " + _winnow_fps_cte(3, 4) + " "
+            "SELECT doc_id, pos, fp FROM sel"
+        ),
+        "winnow_matches": (
+            "WITH " + _winnow_fps_cte(3, 4) + ", "
+            "dfp AS (SELECT DISTINCT doc_id, fp FROM sel), "
+            "capped AS (SELECT doc_id, fp FROM "
+            "(SELECT doc_id, fp, row_number() OVER (PARTITION BY fp "
+            "ORDER BY doc_id) AS rn FROM dfp) WHERE rn <= 64), "
+            "pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id "
+            "FROM capped a JOIN capped b ON a.fp = b.fp "
+            "AND a.doc_id < b.doc_id) "
+            "SELECT a_id, b_id, CAST(count(*) AS BIGINT) AS shared "
+            "FROM pairs GROUP BY a_id, b_id HAVING count(*) >= 3"
         ),
         "pricing_summary": _pricing_summary_oracle(),
         "segment_top_orders": _segment_top_orders_oracle(),

@@ -571,3 +571,115 @@ def duplicate_clusters(
         F.least(F.col("doc_id"), F.coalesce("r", F.col("doc_id"))).alias("rep_id"),
     )
     return out.withColumn("keep", F.col("doc_id") == F.col("rep_id"))
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): positioned word ``k``-gram
+    hashes, and from every window of ``w`` consecutive gram hashes the
+    minimal hash is selected (ties → RIGHTMOST position, the paper's
+    robust-winnowing rule), guaranteeing a shared substring of length
+    ``w + k - 1`` tokens always yields a shared selected fingerprint.
+    Returns distinct ``(doc_id, pos, fp)`` — ``fp`` is the md5 hex of
+    the gram, so lexicographic min equals a deterministic hash order
+    and a DuckDB window replay is hash-exact.
+
+    The rightmost-min selection is ONE string ``min`` window over
+    ``fp || ':' || lpad(10^9 - pos)`` (minimal hash, then largest pos,
+    in a single lexicographic key) with a ``w-1 PRECEDING`` row frame;
+    docs with fewer than ``w`` grams keep their final (partial) window
+    so every non-empty doc emits ≥1 fingerprint. A doc shorter than
+    ``k`` tokens emits its whole text as one degenerate gram (the
+    ``shingles`` convention).
+
+    Scale shape: one shuffle (window partition = doc_id), per-doc
+    linear work, no cross-doc state — the fingerprint table is
+    ~|tokens| / ((w+1)/2) rows corpus-wide.
+    """
+    if int(k) < 1 or int(w) < 1:
+        raise ValueError("k and w must be >= 1")
+    kk, ww = int(k), int(w)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(_normalized_text(text_col), " ").alias("toks"),
+    )
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("toks") - kk, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, kk)),
+            )
+        ).alias("pos", "gram"),
+    ).select(
+        "doc_id", "pos", F.md5(F.encode(F.col("gram"), "UTF-8")).alias("h")
+    )
+    key = F.concat(
+        F.col("h"),
+        F.lit(":"),
+        F.lpad((F.lit(1000000000) - F.col("pos")).cast("string"), 10, "0"),
+    )
+    doc_w = Window.partitionBy("doc_id")
+    frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(ww - 1), Window.currentRow)
+    )
+    sel = (
+        grams.withColumn("_key", key)
+        .withColumn("_np", F.max("pos").over(doc_w))
+        .withColumn("_wk", F.min("_key").over(frame))
+        .where(F.col("pos") >= F.least(F.lit(ww - 1), F.col("_np")))
+        .select(
+            "doc_id",
+            (F.lit(1000000000) - F.substring("_wk", 34, 10).cast("long"))
+            .cast("long")
+            .alias("pos"),
+            F.substring("_wk", 1, 32).alias("fp"),
+        )
+    )
+    return sel.distinct()
+
+
+def winnow_matches(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    cap: int | None = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MOSS-style cross-document match ranking: pairs of documents by
+    the number of DISTINCT winnowing fingerprints they share —
+    ``(a_id, b_id, shared)`` with ``a_id < b_id`` and
+    ``shared >= min_shared``.
+
+    Scale shape: the per-doc fingerprint sets join on the fingerprint
+    value — a quadratic-OUTPUT self-join, so it uses the salted
+    pinned-partition wedge layout (``triangles.salted_wedge_pairs``;
+    AQE's input-sized coalescing would fold the tiny fingerprint table
+    into 1-2 exploding tasks) and each fingerprint's posting list is
+    deterministically capped at ``cap`` docs (smallest doc_ids kept —
+    boilerplate grams shared by millions of docs are exactly the ones
+    that carry no match signal; the truncation is replayed by the
+    oracle).
+    """
+    from .triangles import salted_wedge_pairs
+
+    fps = winnow_fingerprints(
+        docs, k=k, w=w, id_col=id_col, text_col=text_col
+    ).select("doc_id", "fp").distinct()
+    fps = cap_bucket_size(fps, ["fp"], "doc_id", cap, label="winnow")
+    pairs = salted_wedge_pairs(fps, center="fp", endpoint="doc_id")
+    return (
+        pairs.groupBy(F.col("u").alias("a_id"), F.col("v").alias("b_id"))
+        .agg(F.count("*").cast("long").alias("shared"))
+        .where(F.col("shared") >= int(min_shared))
+    )

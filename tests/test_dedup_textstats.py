@@ -421,3 +421,61 @@ def test_bm25_requires_terms(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         textstats.bm25_topk(docs, [])
+
+
+def _wdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    # winnowing guarantee: a shared token run of length >= w + k - 1
+    # (here 4 + 3 - 1 = 6) always yields >= 1 shared selected fp
+    common = "alpha beta gamma delta epsilon zeta"
+    a = _wdocs(spark, [(1, f"xx yy {common} zz"), (2, f"pp {common} qq rr")])
+    fps = dedup.winnow_fingerprints(a, k=3, w=4)
+    shared = (
+        fps.where(F.col("doc_id") == 1)
+        .select("fp")
+        .intersect(fps.where(F.col("doc_id") == 2).select("fp"))
+        .count()
+    )
+    assert shared >= 1
+    m = dedup.winnow_matches(a, k=3, w=4, min_shared=1).collect()
+    assert len(m) == 1 and m[0]["a_id"] == 1 and m[0]["b_id"] == 2
+    assert m[0]["shared"] == shared
+
+
+def test_winnow_selection_is_windowed_subset(spark):
+    # every selected pos is a valid gram position, selection is sparse
+    # (<= one per window end) and deterministic across runs
+    text = " ".join(f"w{i % 7}" for i in range(40))
+    d = _wdocs(spark, [(5, text)])
+    out1 = sorted(
+        (r["pos"], r["fp"]) for r in dedup.winnow_fingerprints(d, k=3, w=4).collect()
+    )
+    out2 = sorted(
+        (r["pos"], r["fp"]) for r in dedup.winnow_fingerprints(d, k=3, w=4).collect()
+    )
+    assert out1 == out2
+    n_positions = 40 - 3 + 1
+    assert all(0 <= p < n_positions for p, _ in out1)
+    assert 1 <= len(out1) <= n_positions - 4 + 1
+
+
+def test_winnow_short_doc_degenerate_gram(spark):
+    # doc shorter than k tokens -> one whole-doc gram, one fingerprint
+    d = _wdocs(spark, [(9, "tiny doc")])
+    out = dedup.winnow_fingerprints(d, k=3, w=4).collect()
+    assert len(out) == 1 and out[0]["pos"] == 0
+    with pytest.raises(ValueError):
+        dedup.winnow_fingerprints(d, k=0, w=4)
+
+
+def test_winnow_matches_cap_bounds_posting_list(spark):
+    # 6 identical docs, cap=3: every fp's posting list truncates to the
+    # 3 smallest doc_ids -> only pairs among {1,2,3} survive
+    rows = [(i, "same same same same same same same") for i in range(1, 7)]
+    d = _wdocs(spark, rows)
+    m = dedup.winnow_matches(d, k=3, w=4, min_shared=1, cap=3)
+    got = {(r["a_id"], r["b_id"]) for r in m.collect()}
+    assert got == {(1, 2), (1, 3), (2, 3)}
