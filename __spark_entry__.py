@@ -2548,6 +2548,34 @@ def q_pagerank_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.ranks().select("id", _stable6("rank").alias("rank"))
 
 
+def q_tool_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori frequent tool sets (k=1-3, support = distinct
+    conversations containing the whole set, min 20) — the market-basket
+    pass over the conv×tool incidence; the salted wedge layout runs the
+    within-conversation pair join (operators/bipartite.py::
+    frequent_itemsets)."""
+    from approximate_pagerank_public_spark.operators.bipartite import (
+        frequent_itemsets,
+    )
+
+    t = _transcripts(spark, sf_dir)
+    inc = t.where(F.col("role") == "tool").select("conv_id", "tool")
+    return frequent_itemsets(
+        inc, "conv_id", "tool", min_support=20, max_items_per_part=256
+    )
+
+
+def q_role_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-sequence trigram counts over the stable turn order — the
+    second-order conversation-flow signature (operators/events.py::
+    role_trigrams)."""
+    from approximate_pagerank_public_spark.operators.events import (
+        role_trigrams,
+    )
+
+    return role_trigrams(_transcripts(spark, sf_dir))
+
+
 def q_tool_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bipartite projection conv×tool → tool–tool co-occurrence counts,
     per-conversation item cap 4 (deterministic lexicographic truncation
@@ -2834,6 +2862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_revenue": q_returned_revenue,
         "pagerank_decay": q_pagerank_decay,
         "tool_cooccurrence": q_tool_cooccurrence,
+        "tool_itemsets": q_tool_itemsets,
+        "role_trigrams": q_role_trigrams,
         "butterflies": q_butterflies,
         "neighbor_agg": q_neighbor_agg,
         "skipgram_pmi": q_skipgram_pmi,
@@ -6851,6 +6881,41 @@ def oracle_sql() -> dict[str, str]:
             8, 0.8, e_sql=_duck_decayed_edges_sql()
         ),
         "tool_cooccurrence": _tool_cooccurrence_oracle(cap=4, min_count=2),
+        "tool_itemsets": (
+            # plain 2-/3-way self-joins; by downward closure this equals
+            # the engine's A-priori-pruned lattice at the same support
+            "WITH inc AS (SELECT DISTINCT conv_id AS part, tool AS item "
+            f"FROM ({_duck_transcripts_cte()}) WHERE role = 'tool'), "
+            "capped AS (SELECT part, item FROM (SELECT part, item, "
+            "row_number() OVER (PARTITION BY part ORDER BY item) AS rk "
+            "FROM inc) WHERE rk <= 256), "
+            "l1 AS (SELECT item, CAST(count(*) AS BIGINT) AS support "
+            "FROM capped GROUP BY item HAVING count(*) >= 20), "
+            "inc1 AS (SELECT part, item FROM capped "
+            "WHERE item IN (SELECT item FROM l1)), "
+            "l2 AS (SELECT a.item AS ia, b.item AS ib, "
+            "CAST(count(*) AS BIGINT) AS support FROM inc1 a JOIN inc1 b "
+            "ON a.part = b.part AND a.item < b.item "
+            "GROUP BY a.item, b.item HAVING count(*) >= 20), "
+            "l3 AS (SELECT a.item AS ia, b.item AS ib, c.item AS ic, "
+            "CAST(count(*) AS BIGINT) AS support FROM inc1 a "
+            "JOIN inc1 b ON a.part = b.part AND a.item < b.item "
+            "JOIN inc1 c ON a.part = c.part AND b.item < c.item "
+            "GROUP BY a.item, b.item, c.item HAVING count(*) >= 20) "
+            "SELECT CAST(1 AS INT) AS k, item AS itemset, support FROM l1 "
+            "UNION ALL SELECT CAST(2 AS INT), ia || '|' || ib, support FROM l2 "
+            "UNION ALL SELECT CAST(3 AS INT), ia || '|' || ib || '|' || ic, "
+            "support FROM l3"
+        ),
+        "role_trigrams": (
+            f"WITH t AS ({_duck_transcripts_cte()}), "
+            "tri AS (SELECT "
+            "lag(role, 2) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS r1, "
+            "lag(role, 1) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS r2, "
+            "role AS r3 FROM t) "
+            "SELECT r1, r2, r3, CAST(count(*) AS BIGINT) AS n FROM tri "
+            "WHERE r1 IS NOT NULL GROUP BY r1, r2, r3"
+        ),
         "butterflies": (
             f"WITH inc AS MATERIALIZED (SELECT DISTINCT conv_id, tool "
             f"FROM ({t_cte}) WHERE role = 'tool'), "

@@ -134,3 +134,107 @@ FROM capped a JOIN capped b ON a.part = b.part AND a.item < b.item
 GROUP BY a.item, b.item
 HAVING count(*) >= {MIN}
 """
+
+
+def frequent_itemsets(
+    incidence: DataFrame,
+    part_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_items_per_part: int | None = 256,
+) -> DataFrame:
+    """A-priori frequent itemsets up to size 3 over a two-mode
+    ``(part, item)`` incidence — the classic distributed market-basket
+    pass (Agrawal & Srikant 1994), here for "which tool combinations
+    recur across conversations".
+
+    Support of an itemset = number of distinct parts containing ALL its
+    items (duplicates collapsed, per-part item lists deterministically
+    capped at ``max_items_per_part`` by item order — same bound as
+    :func:`cooccurrence`). Returns ``(k, itemset, support)`` for every
+    itemset of size 1-3 with ``support >= min_support``; ``itemset`` is
+    the ``'|'``-joined sorted item list, so the result is hash-exact.
+
+    Scale shape: the within-part pair enumeration (Σk² output from an
+    input-linear list) runs in the salted pinned-partition wedge layout
+    (``triangles.salted_wedge_pairs`` with the part kept — AQE's
+    input-sized coalescing would fold it into 1-2 exploding tasks);
+    the L3 extension join pins an explicit ``repartition(p, part)`` on
+    both sides for the same reason. L3 extends each within-part
+    frequent pair ``(a, b)`` with part items ``c > b``, both sides
+    semi-joined against the BROADCAST frequent-pair/item sets first
+    (the A-priori monotonicity prune — by downward closure the reported
+    triples are exactly those with ``support >= min_support``, so the
+    prune changes cost, never results, and a plain SQL 3-way-join
+    oracle replays it). Frequent-set broadcasts are safe by
+    construction: L1/L2 sizes are support-thresholded, and at 100 TB
+    ``min_support`` scales with corpus size.
+    """
+    from .triangles import salted_wedge_pairs
+
+    inc = incidence.select(
+        F.col(part_col).alias("part"), F.col(item_col).alias("item")
+    ).distinct()
+    if max_items_per_part is not None:
+        w = Window.partitionBy("part").orderBy("item")
+        inc = (
+            inc.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= max_items_per_part)
+            .drop("_rk")
+        )
+    spark = inc.sparkSession
+    p = max(int(spark.sparkContext.defaultParallelism), 8)
+
+    l1 = (
+        inc.groupBy("item")
+        .agg(F.count("*").cast("long").alias("support"))
+        .where(F.col("support") >= int(min_support))
+    )
+    inc1 = inc.join(F.broadcast(l1.select("item")), "item").select("part", "item")
+
+    pairs_in_part = salted_wedge_pairs(
+        inc1, center="part", endpoint="item", keep_center=True
+    ).select("part", F.col("u").alias("ia"), F.col("v").alias("ib"))
+    l2 = (
+        pairs_in_part.groupBy("ia", "ib")
+        .agg(F.count("*").cast("long").alias("support"))
+        .where(F.col("support") >= int(min_support))
+    )
+
+    part_pairs = pairs_in_part.join(F.broadcast(l2.select("ia", "ib")), ["ia", "ib"])
+    triples_in_part = (
+        part_pairs.repartition(p, "part")
+        .join(
+            inc1.select("part", F.col("item").alias("ic")).repartition(p, "part"),
+            "part",
+        )
+        .where(F.col("ic") > F.col("ib"))
+    )
+    # prune: (ia, ic) and (ib, ic) must also be frequent pairs
+    triples_in_part = triples_in_part.join(
+        F.broadcast(l2.select(F.col("ia"), F.col("ib").alias("ic"))),
+        ["ia", "ic"],
+    ).join(
+        F.broadcast(l2.select(F.col("ia").alias("ib"), F.col("ib").alias("ic"))),
+        ["ib", "ic"],
+    )
+    l3 = (
+        triples_in_part.groupBy("ia", "ib", "ic")
+        .agg(F.count("*").cast("long").alias("support"))
+        .where(F.col("support") >= int(min_support))
+    )
+
+    out1 = l1.select(
+        F.lit(1).cast("int").alias("k"), F.col("item").alias("itemset"), "support"
+    )
+    out2 = l2.select(
+        F.lit(2).cast("int").alias("k"),
+        F.concat_ws("|", "ia", "ib").alias("itemset"),
+        "support",
+    )
+    out3 = l3.select(
+        F.lit(3).cast("int").alias("k"),
+        F.concat_ws("|", "ia", "ib", "ic").alias("itemset"),
+        "support",
+    )
+    return out1.unionAll(out2).unionAll(out3)

@@ -651,3 +651,32 @@ def rate_anomaly(
         num.cast("double") / F.sqrt(rad.cast("double"))
     )
     return j.select("event_type", "window_idx", "n_events", z.alias("z"))
+
+
+def role_trigrams(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+) -> DataFrame:
+    """Second-order conversation-flow counts: role-sequence trigrams
+    ``(r1, r2, r3, n)`` over each conversation's stable ``turn_idx``
+    order — the step beyond :func:`event_transitions`' bigram matrix
+    (who speaks after whom *given* the previous two turns; the flow
+    signature that separates tool-looping agents from ping-pong chats).
+
+    One conversation-key shuffle + two ``lag`` windows sharing the same
+    sort, then a map-side-combined count over ≤ |roles|³ groups. The
+    window never spans conversations, so no global ordering exists
+    anywhere — the 100-TB shape is one shuffle of the (conv_id, role)
+    projection.
+    """
+    w = Window.partitionBy(conv_col).orderBy(F.col(order_col).asc())
+    tri = transcripts.select(
+        F.lag(F.col(role_col), 2).over(w).alias("r1"),
+        F.lag(F.col(role_col), 1).over(w).alias("r2"),
+        F.col(role_col).alias("r3"),
+    ).where(F.col("r1").isNotNull())
+    return tri.groupBy("r1", "r2", "r3").agg(
+        F.count("*").cast("long").alias("n")
+    )

@@ -146,6 +146,7 @@ def salted_wedge_pairs(
     center: str = "w",
     endpoint: str = "x",
     carry: str | None = None,
+    keep_center: bool = False,
 ) -> DataFrame:
     """Self-join a (center, endpoint) wedge list on the center vertex
     with the fan-out-safe layout. A wedge join's OUTPUT is Σ deg(w)²
@@ -163,7 +164,10 @@ def salted_wedge_pairs(
     quadratic output side.
 
     ``carry``: optional extra column carried from the ``u`` side (e.g.
-    the RA micro-weight). Returns ``(u, v[, carry])`` with ``u < v``.
+    the RA micro-weight). Returns ``(u, v[, carry])`` with ``u < v``;
+    with ``keep_center=True`` the center column is retained under its
+    original name (for within-part pair mining that aggregates per
+    center afterwards).
     """
     spark = nb.sparkSession
     p = max(int(spark.sparkContext.defaultParallelism), 8)
@@ -175,12 +179,15 @@ def salted_wedge_pairs(
     b = nb.select(
         F.col(center).alias("_w"), F.col(endpoint).alias("v")
     ).crossJoin(F.broadcast(salts))
-    return (
+    joined = (
         a.repartition(p, "_w", "_g")
         .join(b.repartition(p, "_w", "_g"), ["_w", "_g"])
         .where(F.col("u") < F.col("v"))
-        .drop("_w", "_g")
+        .drop("_g")
     )
+    if keep_center:
+        return joined.withColumnRenamed("_w", center)
+    return joined.drop("_w")
 
 
 def four_cycles_df(graph: Graph, max_wedge_degree: int | None = None) -> DataFrame:

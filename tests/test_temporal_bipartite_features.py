@@ -280,3 +280,76 @@ def test_butterfly_count_random_matches_brute(spark):
     )
     got = butterfly_count(inc, "part", "item").first()["butterflies"]
     assert got == want, (got, want)
+
+
+def test_frequent_itemsets_supports_and_closure(spark):
+    from approximate_pagerank_public_spark.operators.bipartite import (
+        frequent_itemsets,
+    )
+
+    # baskets: {a,b,c} x3, {a,b} x1, {c,d} x2
+    rows = []
+    for p, items in enumerate(
+        [
+            ("a", "b", "c"),
+            ("a", "b", "c"),
+            ("a", "b", "c"),
+            ("a", "b"),
+            ("c", "d"),
+            ("c", "d"),
+        ]
+    ):
+        rows += [(f"p{p}", it) for it in items]
+    inc = spark.createDataFrame(rows, "part string, item string")
+    out = {
+        (r["k"], r["itemset"]): r["support"]
+        for r in frequent_itemsets(inc, "part", "item", min_support=3).collect()
+    }
+    assert out[(1, "a")] == 4 and out[(1, "b")] == 4 and out[(1, "c")] == 5
+    assert (1, "d") not in out  # support 2 < 3
+    assert out[(2, "a|b")] == 4 and out[(2, "a|c")] == 3 and out[(2, "b|c")] == 3
+    assert (2, "c|d") not in out
+    assert out[(3, "a|b|c")] == 3
+    assert len([k for k in out if k[0] == 3]) == 1
+
+
+def test_frequent_itemsets_cap_truncates_deterministically(spark):
+    from approximate_pagerank_public_spark.operators.bipartite import (
+        frequent_itemsets,
+    )
+
+    # cap=2 keeps the 2 lexicographically smallest items per part:
+    # {a,b,z} x3 -> z never enters any basket
+    rows = [(f"p{p}", it) for p in range(3) for it in ("a", "b", "z")]
+    inc = spark.createDataFrame(rows, "part string, item string")
+    out = {
+        (r["k"], r["itemset"])
+        for r in frequent_itemsets(
+            inc, "part", "item", min_support=2, max_items_per_part=2
+        ).collect()
+    }
+    assert (1, "z") not in out and (2, "a|b") in out and len(out) == 3
+
+
+def test_role_trigrams_counts(spark):
+    from approximate_pagerank_public_spark.operators.events import (
+        role_trigrams,
+    )
+
+    rows = [
+        ("c1", 0, "user"),
+        ("c1", 1, "assistant"),
+        ("c1", 2, "tool"),
+        ("c1", 3, "assistant"),
+        ("c2", 0, "user"),
+        ("c2", 1, "assistant"),
+        ("c2", 2, "tool"),
+    ]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    out = {
+        (r["r1"], r["r2"], r["r3"]): r["n"] for r in role_trigrams(t).collect()
+    }
+    assert out == {
+        ("user", "assistant", "tool"): 2,
+        ("assistant", "tool", "assistant"): 1,
+    }
