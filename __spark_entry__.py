@@ -2143,6 +2143,19 @@ def q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_matches(docs, k=3, w=4, min_shared=3, cap=64)
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment near-dups (Broder's second
+    measure): ordered pairs with |S(src) ∩ S(dst)| / |S(src)| >= 0.8 —
+    integer-exact threshold cut, capped posting-list candidates, salted
+    wedge pair join (operators/dedup.py::containment_pairs)."""
+    from approximate_pagerank_public_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return containment_pairs(docs, threshold_bp=8000, shingle_n=3, cap=64)
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style global first-occurrence line dedup at 8-token chunk
     granularity (operators/curation.py::line_dedup) — per-doc kept
@@ -2800,6 +2813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness": q_closeness,
         "minhash_lsh": q_minhash_lsh,
         "winnow_fps": q_winnow_fps,
+        "containment": q_containment,
         "winnow_matches": q_winnow_matches,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
@@ -6804,6 +6818,33 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fps": (
             "WITH " + _winnow_fps_cte(3, 4) + " "
             "SELECT doc_id, pos, fp FROM sel"
+        ),
+        "containment": (
+            "WITH toksrc AS (SELECT doc_id, "
+            "string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') "
+            "AS toks FROM documents), "
+            "sh AS (SELECT doc_id, unnest(list_distinct("
+            "[array_to_string(toks[i+1:i+3], ' ') "
+            "for i in range(0, greatest(len(toks) - 3, 0) + 1)])) AS shingle "
+            "FROM toksrc), "
+            "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+            "posting AS (SELECT doc_id, shingle FROM (SELECT doc_id, shingle, "
+            "row_number() OVER (PARTITION BY shingle ORDER BY doc_id) AS rn "
+            "FROM sh) WHERE rn <= 64), "
+            "cand AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v "
+            "FROM posting a JOIN posting b "
+            "ON a.shingle = b.shingle AND a.doc_id < b.doc_id), "
+            "pairs AS (SELECT u, v FROM cand UNION ALL SELECT v, u FROM cand), "
+            "inter AS (SELECT p.u, p.v, count(*) AS i FROM pairs p "
+            "JOIN sh sa ON sa.doc_id = p.u "
+            "JOIN sh sb ON sb.doc_id = p.v AND sb.shingle = sa.shingle "
+            "GROUP BY p.u, p.v) "
+            "SELECT i.u AS src_id, i.v AS dst_id, CAST(i.i AS BIGINT) AS inter, "
+            "CAST(za.sz AS BIGINT) AS src_sz, CAST(zb.sz AS BIGINT) AS dst_sz, "
+            "floor(i.i / za.sz * 1000000.0) / 1000000.0 AS containment "
+            "FROM inter i JOIN sizes za ON za.doc_id = i.u "
+            "JOIN sizes zb ON zb.doc_id = i.v "
+            "WHERE i.i * 10000 >= 8000 * za.sz"
         ),
         "winnow_matches": (
             "WITH " + _winnow_fps_cte(3, 4) + ", "

@@ -683,3 +683,80 @@ def winnow_matches(
         .agg(F.count("*").cast("long").alias("shared"))
         .where(F.col("shared") >= int(min_shared))
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold_bp: int = 8000,
+    shingle_n: int = 3,
+    cap: int | None = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection by shingle containment
+    ``C(A→B) = |S(A) ∩ S(B)| / |S(A)|`` (Broder 1997's second
+    resemblance measure): flags "A is (mostly) contained in B" —
+    quotes, subsets and boilerplate-wrapped copies whose Jaccard is
+    LOW because the sizes differ, the case symmetric dedup
+    (:func:`minhash_lsh_candidates`, :func:`prefix_filter_pairs`)
+    structurally misses. Returns every ordered pair with
+    ``containment >= threshold_bp / 10000``:
+    ``(src_id, dst_id, inter, src_sz, dst_sz, containment)``
+    (containment stable6-truncated; ``src != dst``).
+
+    Candidates = pairs sharing ≥1 shingle, found by a posting-list
+    join: each shingle's posting list is deterministically capped at
+    ``cap`` docs (smallest doc_ids — a boilerplate shingle in 10⁶ docs
+    carries no containment signal, same bound as the LSH bucket cap)
+    and pair enumeration runs in the salted pinned-partition wedge
+    layout. The exact intersection count then comes from the
+    pair-scoped shingle join (the :func:`ngram_jaccard` verify shape) —
+    never an all-pairs scan. All counts are integers; the containment
+    ratio is ONE IEEE division, so a DuckDB replay is hash-exact.
+    """
+    from .triangles import salted_wedge_pairs
+
+    sh = shingles(docs, id_col, text_col, shingle_n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    posting = cap_bucket_size(sh, ["shingle"], "doc_id", cap, label="containment")
+    und = (
+        salted_wedge_pairs(posting, center="shingle", endpoint="doc_id")
+        .distinct()
+    )
+    pairs = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sa = sh.select(F.col("doc_id").alias("u"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("v"), "shingle")
+    inter = (
+        pairs.join(sa, "u")
+        .join(sb, ["v", "shingle"])
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("u"), F.col("sz").alias("src_sz"))
+    zb = sizes.select(F.col("doc_id").alias("v"), F.col("sz").alias("dst_sz"))
+    out = (
+        inter.join(za, "u")
+        .join(zb, "v")
+        .select(
+            F.col("u").alias("src_id"),
+            F.col("v").alias("dst_id"),
+            "inter",
+            F.col("src_sz").cast("long").alias("src_sz"),
+            F.col("dst_sz").cast("long").alias("dst_sz"),
+        )
+    )
+    # integer-exact threshold cut (inter/src_sz >= bp/10000 without any
+    # float in the filter); the reported ratio is ONE IEEE division,
+    # stable6-truncated
+    return out.where(
+        F.col("inter") * 10000 >= F.lit(int(threshold_bp)) * F.col("src_sz")
+    ).select(
+        "src_id",
+        "dst_id",
+        "inter",
+        "src_sz",
+        "dst_sz",
+        (F.floor(F.col("inter") / F.col("src_sz") * 1000000.0) / 1000000.0).alias(
+            "containment"
+        ),
+    )

@@ -479,3 +479,36 @@ def test_winnow_matches_cap_bounds_posting_list(spark):
     m = dedup.winnow_matches(d, k=3, w=4, min_shared=1, cap=3)
     got = {(r["a_id"], r["b_id"]) for r in m.collect()}
     assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_containment_asymmetric_subset_detected(spark):
+    # doc 1 (12 tokens) is fully contained in doc 2 (30 tokens):
+    # containment 1->2 is 1.0 while Jaccard is low (~0.36)
+    inner = " ".join(f"t{i}" for i in range(12))
+    outer = " ".join(f"p{i}" for i in range(9)) + " " + inner + " " + " ".join(
+        f"s{i}" for i in range(9)
+    )
+    d = _wdocs(spark, [(1, inner), (2, outer), (3, "totally different words here")])
+    out = {
+        (r["src_id"], r["dst_id"]): r
+        for r in dedup.containment_pairs(d, threshold_bp=8000, shingle_n=3).collect()
+    }
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    assert r["containment"] == 1.0 and r["inter"] == r["src_sz"] == 10
+    # the reverse direction is NOT >= 0.8 (10/28), and doc 3 shares nothing
+    assert (2, 1) not in out
+    assert not any(3 in k for k in out)
+
+
+def test_containment_cap_is_deterministic(spark):
+    # identical docs beyond the cap never become candidates
+    rows = [(i, "x y z x y z x y z") for i in range(1, 6)]
+    d = _wdocs(spark, rows)
+    out = {
+        (r["src_id"], r["dst_id"])
+        for r in dedup.containment_pairs(
+            d, threshold_bp=8000, shingle_n=3, cap=2
+        ).collect()
+    }
+    assert out == {(1, 2), (2, 1)}
