@@ -647,6 +647,49 @@ def winnow_fingerprints(
     return sel.distinct()
 
 
+def capped_posting_pairs(
+    posting: DataFrame,
+    key_col: str = "fp",
+    member_col: str = "doc_id",
+) -> DataFrame:
+    """Enumerate ``(u, v)`` member pairs (``u < v``) per posting-list
+    key, for posting lists ALREADY bounded by :func:`cap_bucket_size`.
+
+    With the bound in hand, the right layout is NOT a self-join at all:
+    collect each key's members into one (≤ cap)-element sorted array —
+    ONE map-side-combinable exchange of the input rows, no replication —
+    and emit the C(n,2) pairs by an in-row index explode. Fan-out per
+    group is ≤ C(cap, 2) (bounded work inside the task that owns the
+    group, no AQE-coalescing hazard), versus the salted-self-join
+    layout whose input replication costs rows × P — measured 210 s →
+    29 s on the 200k-doc winnow-match probe (7M capped posting rows,
+    P=32). The salted wedge join remains the correct tool when the
+    per-center fan-out is UNBOUNDED (wedge joins on raw degrees); this
+    is the capped-bucket twin.
+    """
+    lists = posting.groupBy(F.col(key_col).alias("_k")).agg(
+        F.sort_array(F.collect_list(F.col(member_col))).alias("_ms")
+    )
+    n = F.size("_ms")
+    idx_pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, n - 1),
+                lambda j: F.struct(
+                    F.element_at("_ms", i + 1).alias("u"),
+                    F.element_at("_ms", j + 1).alias("v"),
+                ),
+            ),
+        )
+    )
+    return (
+        lists.where(n >= 2)
+        .select(F.explode(idx_pairs).alias("_p"))
+        .select(F.col("_p.u").alias("u"), F.col("_p.v").alias("v"))
+    )
+
+
 def winnow_matches(
     docs: DataFrame,
     k: int = 3,
@@ -661,23 +704,28 @@ def winnow_matches(
     ``(a_id, b_id, shared)`` with ``a_id < b_id`` and
     ``shared >= min_shared``.
 
-    Scale shape: the per-doc fingerprint sets join on the fingerprint
-    value — a quadratic-OUTPUT self-join, so it uses the salted
-    pinned-partition wedge layout (``triangles.salted_wedge_pairs``;
-    AQE's input-sized coalescing would fold the tiny fingerprint table
-    into 1-2 exploding tasks) and each fingerprint's posting list is
-    deterministically capped at ``cap`` docs (smallest doc_ids kept —
-    boilerplate grams shared by millions of docs are exactly the ones
-    that carry no match signal; the truncation is replayed by the
-    oracle).
+    Scale shape: each fingerprint's posting list is deterministically
+    capped at ``cap`` docs (smallest doc_ids kept — boilerplate grams
+    shared by millions of docs are exactly the ones that carry no match
+    signal; the truncation is replayed by the oracle), and pair
+    enumeration then uses :func:`capped_posting_pairs` — in-row C(n,2)
+    explode over the collected (≤ cap)-member lists, one exchange, no
+    self-join input replication (measured 210 s → salted vs in-row at
+    the 200k-doc probe; see the helper). ``cap=None`` falls back to the
+    salted pinned-partition wedge layout, the unbounded-fan-out tool.
     """
     from .triangles import salted_wedge_pairs
 
     fps = winnow_fingerprints(
         docs, k=k, w=w, id_col=id_col, text_col=text_col
     ).select("doc_id", "fp").distinct()
-    fps = cap_bucket_size(fps, ["fp"], "doc_id", cap, label="winnow")
-    pairs = salted_wedge_pairs(fps, center="fp", endpoint="doc_id")
+    if cap is not None:
+        fps = cap_bucket_size(fps, ["fp"], "doc_id", cap, label="winnow")
+        pairs = capped_posting_pairs(fps, key_col="fp", member_col="doc_id")
+    else:
+        # unbounded posting lists: fall back to the salted wedge layout
+        # (a collect_list row could not hold a 10^6-doc posting)
+        pairs = salted_wedge_pairs(fps, center="fp", endpoint="doc_id")
     return (
         pairs.groupBy(F.col("u").alias("a_id"), F.col("v").alias("b_id"))
         .agg(F.count("*").cast("long").alias("shared"))
@@ -708,8 +756,10 @@ def containment_pairs(
     join: each shingle's posting list is deterministically capped at
     ``cap`` docs (smallest doc_ids — a boilerplate shingle in 10⁶ docs
     carries no containment signal, same bound as the LSH bucket cap)
-    and pair enumeration runs in the salted pinned-partition wedge
-    layout. The exact intersection count then comes from the
+    and pair enumeration uses :func:`capped_posting_pairs` (in-row
+    C(n,2) explode, no self-join replication; the salted wedge layout
+    is the ``cap=None`` fallback). The exact intersection count then
+    comes from the
     pair-scoped shingle join (the :func:`ngram_jaccard` verify shape) —
     never an all-pairs scan. All counts are integers; the containment
     ratio is ONE IEEE division, so a DuckDB replay is hash-exact.
@@ -719,21 +769,37 @@ def containment_pairs(
     sh = shingles(docs, id_col, text_col, shingle_n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     posting = cap_bucket_size(sh, ["shingle"], "doc_id", cap, label="containment")
-    und = (
-        salted_wedge_pairs(posting, center="shingle", endpoint="doc_id")
-        .distinct()
-    )
+    if cap is not None:
+        und = capped_posting_pairs(
+            posting, key_col="shingle", member_col="doc_id"
+        ).distinct()
+    else:
+        und = (
+            salted_wedge_pairs(posting, center="shingle", endpoint="doc_id")
+            .distinct()
+        )
     pairs = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    za = sizes.select(F.col("doc_id").alias("u"), F.col("sz").alias("src_sz"))
+    zb = sizes.select(F.col("doc_id").alias("v"), F.col("sz").alias("dst_sz"))
+    # size-filter prune BEFORE the exact-verify join, result-invariant:
+    # inter <= dst_sz, so containment src->dst >= bp/10000 needs
+    # 10000*dst_sz >= bp*src_sz — drops the hopeless direction of every
+    # size-skewed candidate without touching the shingle tables
+    pairs = (
+        pairs.join(za, "u")
+        .join(zb, "v")
+        .where(
+            F.col("dst_sz") * 10000 >= F.lit(int(threshold_bp)) * F.col("src_sz")
+        )
+    )
     sa = sh.select(F.col("doc_id").alias("u"), "shingle")
     sb = sh.select(F.col("doc_id").alias("v"), "shingle")
     inter = (
-        pairs.join(sa, "u")
+        pairs.select("u", "v").join(sa, "u")
         .join(sb, ["v", "shingle"])
         .groupBy("u", "v")
         .agg(F.count("*").cast("long").alias("inter"))
     )
-    za = sizes.select(F.col("doc_id").alias("u"), F.col("sz").alias("src_sz"))
-    zb = sizes.select(F.col("doc_id").alias("v"), F.col("sz").alias("dst_sz"))
     out = (
         inter.join(za, "u")
         .join(zb, "v")
