@@ -2225,6 +2225,19 @@ def q_ktruss4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges
 
 
+def q_clique_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=3 clique percolation (CPM): per-triangle overlapping-community
+    labels — min 60-bit md5 triangle key reachable through shared-edge
+    chains; per-edge MIN-STAR reduction (linear in postings) + the
+    shared star-CC loop (operators/triangles.py::clique_percolation)."""
+    from approximate_pagerank_public_spark.operators.triangles import (
+        clique_percolation,
+    )
+
+    g = _graph(spark, sf_dir)
+    return clique_percolation(g)
+
+
 def q_greedy_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jones-Plassmann greedy coloring, md5-derandomized static
     priorities — the oracle unrolls the identical rounds in SQL (round
@@ -2755,6 +2768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club": q_rich_club,
         "wl_colors": q_wl_colors,
         "triad_census": q_triad_census,
+        "clique_communities": q_clique_communities,
         "stress": q_stress,
         "betweenness": q_betweenness,
         "bfs_dist": q_bfs_from_min_conv,
@@ -6109,6 +6123,38 @@ def oracle_sql() -> dict[str, str]:
         "degree_distribution": (
             f"WITH deg AS (SELECT src, count(*) AS outdeg FROM ({e_sql}) GROUP BY src) "
             "SELECT outdeg, count(*) AS n_vertices FROM deg GROUP BY outdeg"
+        ),
+        "clique_communities": (
+            # CPM oracle: same md5 triangle keys + the same per-edge
+            # min-star reduction (component-preserving), closure via
+            # recursive min-label CTE
+            f"WITH RECURSIVE e AS MATERIALIZED ({e_sql}), "
+            "canon AS MATERIALIZED (SELECT DISTINCT least(src,dst) AS u, "
+            "greatest(src,dst) AS v FROM e WHERE src <> dst), "
+            "tri AS MATERIALIZED (SELECT ab.u AS a, ab.v AS b, bc.v AS c "
+            "FROM canon ab JOIN canon bc ON bc.u = ab.v "
+            "JOIN canon ac ON ac.u = ab.u AND ac.v = bc.v), "
+            "trik AS MATERIALIZED (SELECT a, b, c, "
+            "CAST('0x' || substr(md5(CAST(a AS VARCHAR) || ':' || "
+            "CAST(b AS VARCHAR) || ':' || CAST(c AS VARCHAR)), 1, 15) "
+            "AS BIGINT) AS tid FROM tri), "
+            "posting AS (SELECT CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR) "
+            "AS ek, tid FROM trik "
+            "UNION ALL SELECT CAST(a AS VARCHAR) || ':' || CAST(c AS VARCHAR), "
+            "tid FROM trik "
+            "UNION ALL SELECT CAST(b AS VARCHAR) || ':' || CAST(c AS VARCHAR), "
+            "tid FROM trik), "
+            "mins AS (SELECT ek, min(tid) AS m FROM posting GROUP BY ek), "
+            "stars AS (SELECT DISTINCT p.tid AS a, m.m AS b FROM posting p "
+            "JOIN mins m USING (ek) WHERE p.tid <> m.m), "
+            "sym AS (SELECT a, b FROM stars UNION "
+            "SELECT b AS a, a AS b FROM stars), "
+            "reach(id, lbl) AS (SELECT tid, tid FROM trik "
+            "UNION SELECT s.a AS id, r.lbl FROM sym s JOIN reach r "
+            "ON r.id = s.b) "
+            "SELECT t.a, t.b, t.c, c.community FROM trik t JOIN "
+            "(SELECT id, min(lbl) AS community FROM reach GROUP BY id) c "
+            "ON c.id = t.tid"
         ),
         "triangle_count": (
             f"WITH e AS ({e_sql}), "

@@ -475,3 +475,95 @@ def edge_support(graph: Graph, orientation: str = "id") -> DataFrame:
         .join(per_edge, ["u", "v"], "left")
         .select("u", "v", F.coalesce("s", F.lit(0)).cast("long").alias("support"))
     )
+
+
+def clique_percolation(
+    graph: Graph,
+    max_rounds: int = 60,
+    broadcast_max_pairs: int = 2_000_000,
+) -> DataFrame:
+    """k=3 clique percolation communities (CPM — Palla, Derényi, Farkas
+    & Vicsek, Nature 2005): two triangles belong to one community iff
+    connected through a chain of triangles sharing an EDGE; vertices in
+    no triangle belong to no community (and a vertex may sit in several
+    — CPM is the classic OVERLAPPING community model). Returns one row
+    per triangle ``(a, b, c, community)`` with ``community`` = the
+    minimum triangle key reachable in the triangle-adjacency graph.
+
+    Triangle keys are 60-bit md5 integers of ``'a:b:c'`` (the engine's
+    portable hash family — DuckDB replays them bit-for-bit; collision
+    odds 2^-60 per pair). Scale shape: the triangle-adjacency graph is
+    NEVER materialized pairwise — each shared edge contributes a
+    per-edge MIN-STAR (every triangle on edge e links to e's minimum
+    key: component-identical to the full Σ t_e² adjacency, but LINEAR
+    in the edge→triangle postings), and the component labels come from
+    the same large-star/small-star loop as every other pair-list CC
+    (``components.star_components_edges``, O(log n) rounds, nothing on
+    the driver).
+    """
+    from .components import star_components_edges
+
+    e = canonical_edges(graph)
+    tri = _triangles_of(e)
+    tid = F.conv(
+        F.substring(F.md5(F.concat_ws(":", "a", "b", "c")), 1, 15), 16, 10
+    ).cast("long")
+    # materialize the keyed triangle list ONCE — the three posting
+    # branches and the final label join would otherwise re-run the
+    # triangle wedge join 4x (localCheckpoint, not persist: the lineage
+    # behind it is the expensive part, and the blocks are the operator's
+    # own working set)
+    trik = tri.withColumn("tid", tid).localCheckpoint()
+    posting = (
+        trik.select(F.concat_ws(":", "a", "b").alias("ek"), "tid")
+        .unionAll(trik.select(F.concat_ws(":", "a", "c").alias("ek"), "tid"))
+        .unionAll(trik.select(F.concat_ws(":", "b", "c").alias("ek"), "tid"))
+    )
+    mins = posting.groupBy("ek").agg(F.min("tid").alias("m"))
+    stars = (
+        posting.join(mins, "ek")
+        .where(F.col("tid") != F.col("m"))
+        .select(F.col("tid").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+    spark = e.sparkSession
+    # same cutover discipline as dedup.duplicate_clusters: the star
+    # pairs are the OUTPUT of the reduction (≤ one per posting row) —
+    # small sets union-find on the driver (the star loop's per-round
+    # fixpoint jobs cost more than the whole scan), big sets run the
+    # distributed star loop
+    stars = stars.persist()
+    if stars.count() <= broadcast_max_pairs:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for row in stars.select("a", "b").toLocalIterator():
+            a, b = int(row["a"]), int(row["b"])
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        stars.unpersist()
+        rep_rows = [(x, find(x)) for x in parent]
+        if rep_rows:
+            roots = F.broadcast(spark.createDataFrame(rep_rows, "a long, r long"))
+        else:
+            roots = spark.createDataFrame([], "a long, r long")
+    else:
+        p = max(int(spark.sparkContext.defaultParallelism), 8)
+        roots, _rounds = star_components_edges(spark, stars, p, max_rounds)
+        stars.unpersist()
+    out = trik.join(roots, trik["tid"] == roots["a"], "left").select(
+        trik["a"].alias("a"),
+        "b",
+        "c",
+        F.least(F.col("tid"), F.coalesce("r", F.col("tid"))).alias("community"),
+    )
+    return out

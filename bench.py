@@ -378,11 +378,19 @@ def main() -> None:
             "contamination > 0"
         ).count()
 
+    def winnow(_rep):
+        from approximate_pagerank_public_spark.operators.dedup import (
+            winnow_matches,
+        )
+
+        return winnow_matches(_docs(), k=3, w=4, min_shared=3, cap=64).count()
+
     run("q_dedup_minhash", dedup_minhash)
     if os.path.exists(f"{SF_DIR}/embeddings.parquet"):
         run("q_ann_lsh", ann_lsh)
     run("q_text_pipeline", text_pipeline, n=min(REPEATS, 3))
     run("q_decontam", decontam, n=min(REPEATS, 3))
+    run("q_winnow", winnow, n=min(REPEATS, 3))
 
     # ---- synthetic SpMV throughput (scaling workload) --------------------
     spmv_rep_medians: list[float] = []

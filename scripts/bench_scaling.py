@@ -34,8 +34,14 @@ def run_at(cpus: int, env_extra: dict | None = None) -> dict:
         env=env,
         check=True,
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    # bench.py prints the FULL blob first and a compact medians-only
+    # line last (for the driver's tail capture) — take the one that
+    # carries "extra" (the full blob)
+    blobs = [
+        json.loads(l) for l in out.stdout.splitlines() if l.startswith("{")
+    ]
+    full = [b for b in blobs if "extra" in b]
+    return full[-1] if full else blobs[-1]
 
 
 def measure(n: int, env_extra: dict, label: str, note: str, trials: int | None = None) -> dict:

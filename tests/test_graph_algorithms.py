@@ -402,3 +402,37 @@ def test_seeded_lpa_two_islands(spark):
     }
     assert got == {0: 7, 1: 7, 2: 7, 10: 9, 11: 9}
     g.unpersist()
+
+
+def test_clique_percolation_communities(spark):
+    from approximate_pagerank_public_spark.operators.triangles import (
+        clique_percolation,
+    )
+
+    # K4 on {0,1,2,3} (4 triangles, all edge-chained -> ONE community);
+    # isolated triangle {5,6,7}; edge-sharing pair {8,9,10}+{9,10,11}
+    # (one community of 2); vertex-only-sharing {12,13,14}+{14,15,16}
+    # (two DIFFERENT communities — CPM requires a shared EDGE)
+    src = [0, 0, 0, 1, 1, 2, 5, 5, 6, 8, 8, 9, 9, 10, 12, 12, 13, 14, 14, 15]
+    dst = [1, 2, 3, 2, 3, 3, 6, 7, 7, 9, 10, 10, 11, 11, 13, 14, 14, 15, 16, 16]
+    g = Graph.from_edge_arrays(
+        spark, src, dst, num_vertices=17, num_partitions=4
+    )
+    rows = clique_percolation(g).collect()
+    comm_of = {tuple(sorted((r["a"], r["b"], r["c"]))): r["community"] for r in rows}
+    assert len(comm_of) == 9  # 4 (K4) + 1 + 2 + 2
+    k4 = {comm_of[t] for t in [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)]}
+    assert len(k4) == 1
+    pair = {comm_of[(8, 9, 10)], comm_of[(9, 10, 11)]}
+    assert len(pair) == 1
+    assert comm_of[(12, 13, 14)] != comm_of[(14, 15, 16)]
+    assert comm_of[(5, 6, 7)] not in k4 | pair
+    # community label is the min reachable triangle key -> a member
+    labels = {r["community"] for r in rows}
+    tids = set()
+    import hashlib
+
+    for t in comm_of:
+        a, b, c = t
+        tids.add(int(hashlib.md5(f"{a}:{b}:{c}".encode()).hexdigest()[:15], 16))
+    assert labels <= tids
