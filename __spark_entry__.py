@@ -108,6 +108,57 @@ def _duck_edges_sql() -> str:
     return EDGES_SQL_TEMPLATE.format(SRC=f"({_duck_transcripts_cte()})")
 
 
+def _duck_bridges_ctes(e_sql: str) -> str:
+    """Shared CTE chain (for a ``WITH RECURSIVE`` header) replaying
+    ``operators/biconnect.py`` verbatim: min-label CC roots → BFS
+    forest levels → min-parent tree → md5-60bit non-tree values →
+    per-vertex ``bit_xor`` incidence → subtree XOR via the descendant
+    closure → ``br`` = tree edges with signature 0."""
+    # non-recursive CTEs MATERIALIZED (repo invariant: DuckDB inlines
+    # plain CTEs, and re-inlining the recursive subtrees downstream
+    # blows up evaluation combinatorially)
+    return (
+        f"e AS MATERIALIZED ({e_sql}), "
+        "und AS MATERIALIZED (SELECT src, dst FROM e "
+        "  UNION SELECT dst, src FROM e), "
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM und), "
+        "r(id, lbl) AS (SELECT id, id FROM verts "
+        "  UNION SELECT und.dst, r.lbl FROM r JOIN und ON r.id = und.src), "
+        "comp AS MATERIALIZED "
+        "  (SELECT id, min(lbl) AS component FROM r GROUP BY id), "
+        "lr(id, d) AS (SELECT component, 0 FROM "
+        "  (SELECT DISTINCT component FROM comp) "
+        "  UNION SELECT und.dst, lr.d + 1 FROM lr "
+        "  JOIN und ON lr.id = und.src WHERE lr.d < 300), "
+        "lv AS MATERIALIZED (SELECT id, min(d) AS lvl FROM lr GROUP BY id), "
+        "tree AS MATERIALIZED "
+        "  (SELECT u.dst AS id, min(u.src) AS parent FROM und u "
+        "  JOIN lv la ON la.id = u.src JOIN lv lb ON lb.id = u.dst "
+        "  WHERE la.lvl = lb.lvl - 1 GROUP BY u.dst), "
+        "pairs AS MATERIALIZED "
+        "  (SELECT src AS a, dst AS b FROM und WHERE src < dst), "
+        # NOT EXISTS, not EXCEPT: DuckDB refuses set-op CTE bodies
+        # inside a WITH RECURSIVE list
+        "nt AS MATERIALIZED (SELECT p.a, p.b FROM pairs p WHERE NOT EXISTS "
+        "  (SELECT 1 FROM tree t WHERE least(t.id, t.parent) = p.a "
+        "   AND greatest(t.id, t.parent) = p.b)), "
+        "h AS MATERIALIZED (SELECT a, b, CAST('0x' || substr(md5('br:' || "
+        "  CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 15) "
+        "  AS BIGINT) AS hv FROM nt), "
+        "wv AS MATERIALIZED (SELECT id, bit_xor(hv) AS w FROM "
+        "  (SELECT a AS id, hv FROM h UNION ALL SELECT b AS id, hv FROM h) "
+        "  GROUP BY id), "
+        "dsc(anc, x) AS (SELECT id, id FROM verts "
+        "  UNION SELECT d.anc, t.id FROM dsc d JOIN tree t ON t.parent = d.x), "
+        "sig AS MATERIALIZED "
+        "  (SELECT d.anc AS id, bit_xor(coalesce(w.w, 0)) AS sig "
+        "  FROM dsc d LEFT JOIN wv w ON w.id = d.x GROUP BY d.anc), "
+        "br AS MATERIALIZED (SELECT least(t.id, t.parent) AS a, "
+        "  greatest(t.id, t.parent) AS b "
+        "  FROM tree t JOIN sig s ON s.id = t.id WHERE s.sig = 0)"
+    )
+
+
 def _duck_vertices_sql() -> str:
     from approximate_pagerank_public_spark.operators.etl import VERTICES_SQL_TEMPLATE
 
@@ -643,6 +694,60 @@ def q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = _graph(spark, sf_dir)
     return component_sizes(connected_components(g)).orderBy("component")
+
+
+#: the full transcript graph is hub-dense and 2-edge-connected
+#: everywhere (zero bridges — a vacuous check), so the biconnectivity
+#: queries run on a deterministic ~25% spanning subgraph that mixes
+#: pendant trees and cycles (49 bridges / 303 pairs at sf0.01)
+_BRIDGE_EDGE_COND = "(src * 131 + dst) % 8 < 2"
+
+
+def _bridge_subgraph(spark: SparkSession, sf_dir: str):
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    g = _graph(spark, sf_dir)
+    e2 = g.edges.where(F.expr(_BRIDGE_EDGE_COND))
+    return Graph(
+        e2, num_vertices=g.num_vertices, num_partitions=g.num_partitions
+    ), e2
+
+
+def q_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bridge edges via cycle-space XOR sampling (Pritchard &
+    Thurimella) over the deterministic BFS forest — the md5 chain is
+    replayed verbatim by the oracle (recursive-CTE forest + descendant
+    closure + bit_xor)."""
+    from approximate_pagerank_public_spark.operators.biconnect import bridges
+
+    g2, _e2 = _bridge_subgraph(spark, sf_dir)
+    out = bridges(g2).orderBy("a", "b").localCheckpoint()
+    g2.unpersist()
+    return out
+
+
+def q_two_edge_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-edge-connected component labels: star-CC over the non-bridge
+    pair list; bridge-only vertices are singletons (restricted to the
+    subgraph's non-isolated vertices — the oracle's vertex universe)."""
+    from approximate_pagerank_public_spark.operators.biconnect import (
+        two_edge_components,
+    )
+
+    g2, e2 = _bridge_subgraph(spark, sf_dir)
+    verts_in = (
+        e2.select(F.col("src").alias("id"))
+        .union(e2.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    out = (
+        two_edge_components(g2)
+        .join(verts_in, "id")
+        .select("id", "component")
+        .localCheckpoint()
+    )
+    g2.unpersist()
+    return out
 
 
 def q_seeded_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1653,6 +1758,18 @@ def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
+
+
+def q_kcenter_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-first) seed selection over the
+    embedding corpus — argmax chain on bit-identical left-fold
+    distances; oracle unrolls the 8 greedy rounds."""
+    from approximate_pagerank_public_spark.operators.similarity import (
+        kcenter_seeds,
+    )
+
+    emb = _emb_double(spark, sf_dir)
+    return kcenter_seeds(emb, k=8)
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2750,6 +2867,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_norm_off": q_ppr_norm_off,
         "multi_ppr_top10": q_multi_ppr_top10,
         "connected_components": q_connected_components,
+        "bridges": q_bridges,
+        "two_edge_components": q_two_edge_components,
+        "kcenter_seeds": q_kcenter_seeds,
         "cc_star": q_cc_star,
         "component_sizes": q_component_sizes,
         "label_propagation": q_label_propagation,
@@ -2916,6 +3036,42 @@ def _duck_cos(a: str, b: str) -> str:
 
 _DUCK_EMB = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
 _DUCK_EMB_Q = "SELECT vec_id AS query_id, v AS qv FROM emb ORDER BY query_id LIMIT 5"
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    """Unrolled greedy farthest-first rounds (``similarity.
+    kcenter_seeds``): identical ``(aa − 2·dot) + bb`` association,
+    DuckDB ``list_dot_product`` == the Spark left fold."""
+    ctes = [
+        f"emb AS MATERIALIZED ({_DUCK_EMB})",
+        "base AS MATERIALIZED (SELECT vec_id, v, "
+        "list_dot_product(v, v) AS aa FROM emb)",
+        "c1 AS MATERIALIZED (SELECT vec_id, v, aa FROM base "
+        "ORDER BY vec_id LIMIT 1)",
+        "m2 AS MATERIALIZED (SELECT b.vec_id, b.v, b.aa, "
+        "((b.aa - 2 * list_dot_product(b.v, c.v)) + c.aa) AS mind2 "
+        "FROM base b, c1 c)",
+        "c2 AS MATERIALIZED (SELECT * FROM m2 "
+        "ORDER BY mind2 DESC, vec_id ASC LIMIT 1)",
+    ]
+    for i in range(3, k + 1):
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT m.vec_id, m.v, m.aa, "
+            f"least(m.mind2, ((m.aa - 2 * list_dot_product(m.v, c.v)) "
+            f"+ c.aa)) AS mind2 FROM m{i - 1} m, c{i - 1} c)"
+        )
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT * FROM m{i} "
+            "ORDER BY mind2 DESC, vec_id ASC LIMIT 1)"
+        )
+    sel = [
+        "SELECT CAST(1 AS BIGINT) AS pos, vec_id, 0.0 AS radius FROM c1"
+    ] + [
+        f"SELECT CAST({i} AS BIGINT), vec_id, "
+        f"floor(mind2 * 1000000.0) / 1000000.0 FROM c{i}"
+        for i in range(2, k + 1)
+    ]
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(sel)
 
 
 def _cosine_topk_oracle() -> str:
@@ -6236,6 +6392,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT component, count(*) AS size FROM comp GROUP BY component "
             "ORDER BY component"
         ),
+        "bridges": (
+            "WITH RECURSIVE "
+            + _duck_bridges_ctes(
+                f"SELECT * FROM ({e_sql}) WHERE {_BRIDGE_EDGE_COND}"
+            )
+            + " SELECT a, b FROM br ORDER BY a, b"
+        ),
+        "two_edge_components": (
+            "WITH RECURSIVE "
+            + _duck_bridges_ctes(
+                f"SELECT * FROM ({e_sql}) WHERE {_BRIDGE_EDGE_COND}"
+            )
+            + ", "
+            "nb AS (SELECT p.a, p.b FROM pairs p WHERE NOT EXISTS "
+            "  (SELECT 1 FROM br WHERE br.a = p.a AND br.b = p.b)), "
+            "undnb AS (SELECT a AS src, b AS dst FROM nb "
+            "  UNION SELECT b, a FROM nb), "
+            "r2(id, lbl) AS (SELECT id, id FROM verts "
+            "  UNION SELECT u.dst, r2.lbl FROM r2 JOIN undnb u "
+            "  ON r2.id = u.src) "
+            "SELECT id, min(lbl) AS component FROM r2 GROUP BY id"
+        ),
         "bfs_dist": (
             f"WITH RECURSIVE e AS ({e_sql}), "
             "r(id, dist) AS ("
@@ -6681,6 +6859,7 @@ def oracle_sql() -> dict[str, str]:
         "louvain_multilevel": _louvain_multilevel_oracle(2, 2),
         "minhash_lsh": _minhash_oracle(),
         "cosine_topk": _cosine_topk_oracle(),
+        "kcenter_seeds": _kcenter_oracle(8),
         "embedding_pca": _pca_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
         "mmr_rerank": _mmr_oracle(10, 5),

@@ -883,3 +883,64 @@ def ivfpq_ann_topk(
             "rank",
         )
     )
+
+
+def kcenter_seeds(embeddings: DataFrame, k: int = 8) -> DataFrame:
+    """``(pos, vec_id, radius)`` — greedy k-center / farthest-first
+    traversal (Gonzalez 1985, the 2-approximation): start from the
+    minimum ``vec_id``; each round pick the vector farthest (squared
+    Euclidean) from the selected set (ties → smaller ``vec_id``) and
+    fold its distances into the running min.  The classic diverse-seed
+    selector for clustering / coreset / eval-set construction over an
+    embedding corpus.
+
+    Exactness: every distance is ``(aa − 2·dot(a,b)) + bb`` with each
+    dot the engine's pinned left-fold (bit-identical to DuckDB
+    ``list_dot_product``) and the exact-power-of-two ``2·`` — so every
+    argmax comparison is bit-identical cross-engine; ``radius`` (the
+    picked vector's distance² at selection time, the k-center radius
+    sequence) is stable6-truncated only at output.
+
+    Scale shape: state is one (vec_id, v, aa, mind2) row per vector,
+    partition-parallel; each of the k rounds is ONE codegen'd
+    least()/fold update plus a top-1 ``orderBy`` (takeOrdered — no
+    full sort materialization) and ships exactly one center row to the
+    driver.  No pairwise materialization anywhere: O(k·N) distance
+    evaluations total, the textbook farthest-first cost."""
+    from approximate_pagerank_public_spark.plans.checkpoint import (
+        free_local_ckpt,
+        local_ckpt,
+    )
+
+    spark = embeddings.sparkSession
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    base = emb.select("vec_id", "v", _dot("v", "v").alias("aa"))
+    first = base.orderBy("vec_id").first()
+    picked = [(1, int(first["vec_id"]), 0.0)]
+    center_v, center_aa = list(first["v"]), float(first["aa"])
+
+    state, state_ids = local_ckpt(
+        base.select("vec_id", "v", "aa", F.lit(None).cast("double").alias("mind2"))
+    )
+    for pos in range(2, int(k) + 1):
+        c = F.array(*[F.lit(float(x)) for x in center_v])
+        d2 = (F.col("aa") - 2.0 * _dot("v", c)) + F.lit(center_aa)
+        new, new_ids = local_ckpt(
+            state.select(
+                "vec_id", "v", "aa", F.least("mind2", d2).alias("mind2")
+            )
+        )
+        free_local_ckpt(spark, state_ids)
+        state, state_ids = new, new_ids
+        top = state.orderBy(F.col("mind2").desc(), F.col("vec_id").asc()).first()
+        picked.append(
+            (pos, int(top["vec_id"]), float(np.floor(top["mind2"] * 1e6) / 1e6))
+        )
+        center_v, center_aa = list(top["v"]), float(top["aa"])
+    free_local_ckpt(spark, state_ids)
+    import pandas as pd
+
+    out = pd.DataFrame(picked, columns=["pos", "vec_id", "radius"])
+    return spark.createDataFrame(out.astype({"pos": "int64", "vec_id": "int64"}))
