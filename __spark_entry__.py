@@ -2637,6 +2637,70 @@ def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped two-nation shipping volume by ship year —
+    integer cent·percent revenue, both flow directions."""
+    from approximate_pagerank_public_spark.operators.relational import (
+        volume_shipping,
+    )
+    from approximate_pagerank_public_spark.sources.readers import load_table
+
+    return volume_shipping(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share per order year: exact BIGINT
+    numerator/denominator plus the stable6 of their single IEEE
+    division."""
+    from approximate_pagerank_public_spark.operators.relational import (
+        market_share,
+    )
+    from approximate_pagerank_public_spark.sources.readers import load_table
+
+    return market_share(
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped maximum-revenue supplier(s) of a quarter —
+    exact-integer max + equality join reproduces ties identically."""
+    from approximate_pagerank_public_spark.operators.relational import (
+        top_supplier,
+    )
+    from approximate_pagerank_public_spark.sources.readers import load_table
+
+    return top_supplier(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped OR-of-brackets revenue over lineitem ⋈ part."""
+    from approximate_pagerank_public_spark.operators.relational import (
+        bracket_revenue,
+    )
+    from approximate_pagerank_public_spark.sources.readers import load_table
+
+    return bracket_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
 def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10-shaped returned-item revenue: top-20 customers by
     returned (l_returnflag='R') revenue in one quarter, with nation.
@@ -3008,6 +3072,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_share": q_promo_share,
         "order_priority": q_order_priority,
         "returned_revenue": q_returned_revenue,
+        "volume_shipping": q_volume_shipping,
+        "market_share": q_market_share,
+        "top_supplier": q_top_supplier,
+        "bracket_revenue": q_bracket_revenue,
         "pagerank_decay": q_pagerank_decay,
         "tool_cooccurrence": q_tool_cooccurrence,
         "tool_itemsets": q_tool_itemsets,
@@ -3930,6 +3998,84 @@ def _regional_revenue_oracle() -> str:
         "AND o_orderdate >= TIMESTAMP '1996-01-01' "
         "AND o_orderdate < TIMESTAMP '1998-01-01' "
         "GROUP BY n_name"
+    )
+
+
+def _volume_shipping_oracle() -> str:
+    """`operators/relational.py::volume_shipping` (Q7 shape)."""
+    return (
+        "SELECT supp_nation, cust_nation, l_year, "
+        f"CAST(sum({_REV_CPCT_SQL}) AS BIGINT) AS revenue_cpct FROM "
+        "(SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "CAST(date_part('year', l_shipdate) AS BIGINT) AS l_year, "
+        "l_extendedprice, l_discount "
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        "WHERE n1.n_name IN ('NATION_1','NATION_2') "
+        "AND n2.n_name IN ('NATION_1','NATION_2') "
+        "AND n1.n_name <> n2.n_name "
+        "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01') "
+        "GROUP BY supp_nation, cust_nation, l_year"
+    )
+
+
+def _market_share_oracle() -> str:
+    """`operators/relational.py::market_share` (Q8 shape)."""
+    num = f"sum(CASE WHEN supp_name = 'NATION_3' THEN {_REV_CPCT_SQL} ELSE 0 END)"
+    den = f"sum({_REV_CPCT_SQL})"
+    return (
+        f"SELECT o_year, CAST({num} AS BIGINT) AS nation_cpct, "
+        f"CAST({den} AS BIGINT) AS total_cpct, "
+        f"floor((CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE)) "
+        "* 1000000.0) / 1000000.0 AS mkt_share FROM "
+        "(SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS o_year, "
+        "sn.n_name AS supp_name, l_extendedprice, l_discount "
+        "FROM region JOIN nation cn ON cn.n_regionkey = r_regionkey "
+        "JOIN customer ON c_nationkey = cn.n_nationkey "
+        "JOIN orders ON o_custkey = c_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN part ON l_partkey = p_partkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+        "WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY' "
+        "AND o_orderdate >= TIMESTAMP '1995-01-01' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01') "
+        "GROUP BY o_year"
+    )
+
+
+def _top_supplier_oracle() -> str:
+    """`operators/relational.py::top_supplier` (Q15 shape)."""
+    return (
+        "WITH rev AS MATERIALIZED (SELECT l_suppkey, "
+        f"CAST(sum({_REV_CPCT_SQL}) AS BIGINT) AS total_revenue_cpct "
+        "FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-07-01' "
+        "AND l_shipdate < TIMESTAMP '1996-10-01' GROUP BY l_suppkey) "
+        "SELECT s_suppkey, s_name, total_revenue_cpct "
+        "FROM rev JOIN supplier ON l_suppkey = s_suppkey "
+        "WHERE total_revenue_cpct = "
+        "(SELECT max(total_revenue_cpct) FROM rev)"
+    )
+
+
+def _bracket_revenue_oracle() -> str:
+    """`operators/relational.py::bracket_revenue` (Q19 shape)."""
+    q = "CAST(round(l_quantity) AS BIGINT)"
+    return (
+        f"SELECT CAST(coalesce(sum({_REV_CPCT_SQL}), 0) AS BIGINT) "
+        "AS revenue_cpct, count(*) AS n_lines "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 "
+        f"AND {q} BETWEEN 1 AND 11) "
+        "OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10 "
+        f"AND {q} BETWEEN 10 AND 20) "
+        "OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15 "
+        f"AND {q} BETWEEN 20 AND 30)"
     )
 
 
@@ -7086,6 +7232,10 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": _pricing_summary_oracle(),
         "segment_top_orders": _segment_top_orders_oracle(),
         "regional_revenue": _regional_revenue_oracle(),
+        "volume_shipping": _volume_shipping_oracle(),
+        "market_share": _market_share_oracle(),
+        "top_supplier": _top_supplier_oracle(),
+        "bracket_revenue": _bracket_revenue_oracle(),
         "promo_share": _promo_share_oracle(),
         "order_priority": _order_priority_oracle(),
         "returned_revenue": _returned_revenue_oracle(),

@@ -213,3 +213,177 @@ def promo_revenue_share(
             ).alias("promo_share"),
         )
     )
+
+
+def volume_shipping(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q7-shaped volume shipping: revenue flowing between two
+    nations (supplier side ↔ customer side, both directions) by ship
+    year.  Plan: the two-nation filter lands on the broadcast nation
+    dim twice (supp/cust aliases); the cross-nation predicate is a
+    residual on the hash join, every aggregate map-side combinable."""
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    ).where(F.col("supp_nation").isin(nation_a, nation_b))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ).where(F.col("cust_nation").isin(nation_a, nation_b))
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    )
+    return (
+        li.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n2, F.col("c_nationkey") == F.col("cn_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(_revenue_cpct()).alias("revenue_cpct"))
+    )
+
+
+def market_share(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    region_name: str = "EUROPE",
+    supp_nation: str = "NATION_3",
+    p_type: str = "ECONOMY",
+    date_from: str = "1995-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q8-shaped market share: of all ``p_type`` revenue sold
+    into one region's customers, the fraction supplied from one
+    nation, per order year.  Numerator/denominator stay exact BIGINT
+    cent·percent; the share is ONE IEEE division of those two ints,
+    stable6-truncated at the edge (bit-identical cross-engine)."""
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_name")
+    )
+    joined = (
+        region.where(F.col("r_name") == region_name)
+        .join(n_cust, F.col("cr_key") == F.col("r_regionkey"))
+        .join(customer, F.col("c_nationkey") == F.col("cn_key"))
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(part.where(F.col("p_type") == p_type), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n_supp, F.col("s_nationkey") == F.col("sn_key"))
+    )
+    num = F.sum(
+        F.when(F.col("supp_name") == supp_nation, _revenue_cpct()).otherwise(F.lit(0))
+    )
+    den = F.sum(_revenue_cpct())
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            num.alias("nation_cpct"),
+            den.alias("total_cpct"),
+        )
+        .select(
+            "o_year",
+            "nation_cpct",
+            "total_cpct",
+            (
+                F.floor(
+                    (
+                        F.col("nation_cpct").cast("double")
+                        / F.col("total_cpct").cast("double")
+                    )
+                    * 1000000.0
+                )
+                / 1000000.0
+            ).alias("mkt_share"),
+        )
+    )
+
+
+def top_supplier(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-07-01",
+    date_to: str = "1996-10-01",
+) -> DataFrame:
+    """TPC-H Q15-shaped: the supplier(s) with the maximum quarter
+    revenue (exact integer cent·percent — the max and the equality
+    join are on exact BIGINTs, so ties reproduce identically).  Plan:
+    one map-side-combinable agg over the date-pruned lineitem scan, a
+    1-row max, and a broadcast-joined supplier dim."""
+    rev = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_revenue_cpct()).alias("total_revenue_cpct"))
+    )
+    mx = rev.agg(F.max("total_revenue_cpct").alias("mr"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue_cpct") == F.col("mr"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue_cpct")
+        )
+    )
+
+
+def bracket_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brackets: tuple = (
+        ("Brand#1", 1, 5, 1, 11),
+        ("Brand#13", 1, 10, 10, 20),
+        ("Brand#20", 1, 15, 20, 30),
+    ),
+) -> DataFrame:
+    """TPC-H Q19-shaped bracketed revenue: an OR of (brand, size
+    range, quantity range) predicates over lineitem ⋈ part — the
+    classic pushed-disjunction join.  One BIGINT revenue + line count
+    row.  Plan: part predicates prune the broadcast dim before the
+    join; quantity residuals evaluate in codegen."""
+    qty = F.round(F.col("l_quantity")).cast("long")
+    conds = None
+    for brand, smin, smax, qmin, qmax in brackets:
+        c = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size").between(smin, smax))
+            & (qty >= qmin)
+            & (qty <= qmax)
+        )
+        conds = c if conds is None else (conds | c)
+    return (
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .where(conds)
+        .agg(
+            F.coalesce(F.sum(_revenue_cpct()), F.lit(0)).alias("revenue_cpct"),
+            F.count("*").alias("n_lines"),
+        )
+    )

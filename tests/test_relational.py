@@ -161,3 +161,82 @@ def test_returned_revenue_topk_hand_golden(spark):
     assert got["revenue_cpct"].tolist() == [2000 * 100, 1000 * 90]
     assert got["acctbal_cents"].tolist() == [5678, 1234]
     assert got["n_name"].tolist() == ["X", "X"]
+
+
+def test_top_supplier_hand_golden(spark):
+    from approximate_pagerank_public_spark.operators.relational import (
+        top_supplier,
+    )
+
+    li = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "l_suppkey": [1, 1, 2, 3],
+                "l_extendedprice": [10.00, 5.00, 14.00, 14.00],
+                "l_discount": [0.0, 0.0, 0.0, 0.0],
+                "l_shipdate": pd.to_datetime(
+                    ["1996-07-02", "1996-08-01", "1996-07-15", "1997-01-01"]
+                ),
+            }
+        )
+    )
+    sup = spark.createDataFrame(
+        pd.DataFrame(
+            {"s_suppkey": [1, 2, 3], "s_name": ["s1", "s2", "s3"]}
+        )
+    )
+    got = top_supplier(sup, li).toPandas().sort_values("s_suppkey")
+    # supplier 1: 1500 cpct*100 = 150000; supplier 2: 140000; 3 out of window
+    assert list(got["s_suppkey"]) == [1]
+    assert int(got["total_revenue_cpct"].iloc[0]) == 1000 * 100 + 500 * 100
+
+
+def test_bracket_revenue_hand_golden(spark):
+    from approximate_pagerank_public_spark.operators.relational import (
+        bracket_revenue,
+    )
+
+    li = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "l_partkey": [1, 2, 3],
+                "l_quantity": [5.0, 30.0, 25.0],
+                "l_extendedprice": [10.00, 20.00, 40.00],
+                "l_discount": [0.0, 0.0, 0.5],
+            }
+        )
+    )
+    part = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "p_partkey": [1, 2, 3],
+                "p_brand": ["Brand#1", "Brand#1", "Brand#20"],
+                "p_size": [3, 3, 10],
+            }
+        )
+    )
+    got = bracket_revenue(li, part).toPandas()
+    # row1: qty 5 in [1,11] size 3 in [1,5] -> 1000*100
+    # row2: qty 30 outside [1,11] -> excluded
+    # row3: Brand#20 size 10 in [1,15], qty 25 in [20,30] -> 4000*50
+    assert int(got["revenue_cpct"].iloc[0]) == 1000 * 100 + 4000 * 50
+    assert int(got["n_lines"].iloc[0]) == 2
+
+
+def test_volume_shipping_both_directions(spark):
+    from approximate_pagerank_public_spark.operators.relational import (
+        volume_shipping,
+    )
+    from approximate_pagerank_public_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = volume_shipping(
+        load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "nation"),
+    ).toPandas()
+    # never the same nation on both sides, years within the window
+    assert ((got["supp_nation"] != got["cust_nation"]).all())
+    assert set(got["l_year"]).issubset({1996, 1997})
