@@ -118,9 +118,13 @@ def _duck_bridges_ctes(e_sql: str) -> str:
     # plain CTEs, and re-inlining the recursive subtrees downstream
     # blows up evaluation combinatorially)
     return (
+        # explicit DISTINCT: inside WITH RECURSIVE, DuckDB compiles a
+        # top-level-UNION CTE as a (non-self-referencing) recursive CTE
+        # and the UNION degrades to UNION ALL (measured: 2452 vs 2396
+        # rows) — min-label consumers don't care, XOR/count consumers do
         f"e AS MATERIALIZED ({e_sql}), "
-        "und AS MATERIALIZED (SELECT src, dst FROM e "
-        "  UNION SELECT dst, src FROM e), "
+        "und AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "  (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)), "
         "verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM und), "
         "r(id, lbl) AS (SELECT id, id FROM verts "
         "  UNION SELECT und.dst, r.lbl FROM r JOIN und ON r.id = und.src), "
@@ -748,6 +752,35 @@ def q_two_edge_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g2.unpersist()
     return out
+
+
+def q_euler_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row Eulerian feasibility summary (odd-degree count +
+    non-isolated component count ⇒ circuit/path booleans)."""
+    from approximate_pagerank_public_spark.operators.graphstats import (
+        euler_check,
+    )
+
+    g = _graph(spark, sf_dir)
+    return euler_check(g)
+
+
+def q_hitting_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absorbing-walk hitting probability of `tool:tool_error` (with
+    `role:system` as a competing absorber), 8 Jacobi rounds — the
+    pagerank_fixed8 determinism convention, unrolled-CTE oracle."""
+    from approximate_pagerank_public_spark.operators.absorbing import (
+        hitting_probability,
+    )
+
+    g = _graph(spark, sf_dir)
+    names = g.vertex_names
+    t = [int(r["id"]) for r in names.where(
+        F.col("entity") == "tool:tool_error").collect()]
+    a = [int(r["id"]) for r in names.where(
+        F.col("entity") == "role:system").collect()]
+    res = hitting_probability(g, t, a, iters=8)
+    return res.select("id", _stable6("p").alias("p"))
 
 
 def q_seeded_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2934,6 +2967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bridges": q_bridges,
         "two_edge_components": q_two_edge_components,
         "kcenter_seeds": q_kcenter_seeds,
+        "euler_check": q_euler_check,
+        "hitting_prob": q_hitting_prob,
         "cc_star": q_cc_star,
         "component_sizes": q_component_sizes,
         "label_propagation": q_label_propagation,
@@ -4168,6 +4203,40 @@ def _repetition_stats_oracle(n: int = 2) -> str:
         "/ 1000000.0 AS dup_ngram_frac "
         "FROM base b LEFT JOIN la USING (doc_id) LEFT JOIN tg t USING (doc_id) "
         "LEFT JOIN dup d USING (doc_id)"
+    )
+
+
+def _hitting_prob_oracle(iters: int = 8) -> str:
+    """`operators/absorbing.py::hitting_probability` unrolled — same
+    clamped-Jacobi rounds, same ``(weight · p)`` per-src sums (the
+    pagerank_fixed8 convention: stable6 truncation at the edge absorbs
+    the engines' differing in-group summation orders)."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_duck_edges_sql()}), ",
+        f"v AS MATERIALIZED ({_duck_vertices_sql()}), ",
+        "t AS MATERIALIZED (SELECT id FROM v WHERE "
+        "entity = 'tool:tool_error'), ",
+        "ab AS MATERIALIZED (SELECT id FROM v WHERE "
+        "entity = 'role:system'), ",
+        "p0 AS MATERIALIZED (SELECT id, CASE WHEN id IN "
+        "(SELECT id FROM t) THEN 1.0 ELSE 0.0 END AS p FROM v), ",
+    ]
+    for k in range(int(iters)):
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT e.src, sum(e.weight * q.p) AS s "
+            f"FROM e JOIN p{k} q ON q.id = e.dst GROUP BY e.src), "
+        )
+        parts.append(
+            f"p{k + 1} AS MATERIALIZED (SELECT v.id, "
+            "CASE WHEN v.id IN (SELECT id FROM t) THEN 1.0 "
+            "WHEN v.id IN (SELECT id FROM ab) THEN 0.0 "
+            f"ELSE coalesce(s{k}.s, 0.0) END AS p "
+            f"FROM v LEFT JOIN s{k} ON s{k}.src = v.id), "
+        )
+    body = "".join(parts)[:-2]  # drop trailing ", "
+    return (
+        body
+        + f" SELECT id, floor(p * 1000000.0) / 1000000.0 AS p FROM p{int(iters)}"
     )
 
 
@@ -7006,6 +7075,31 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _minhash_oracle(),
         "cosine_topk": _cosine_topk_oracle(),
         "kcenter_seeds": _kcenter_oracle(8),
+        "hitting_prob": _hitting_prob_oracle(8),
+        "euler_check": (
+            # DISTINCT spelled out — see the _duck_bridges_ctes note on
+            # DuckDB's recursive-UNION dedup degradation
+            f"WITH RECURSIVE e AS MATERIALIZED ({e_sql}), "
+            "und AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+            "  (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)), "
+            "pairs AS MATERIALIZED "
+            "  (SELECT src AS a, dst AS b FROM und WHERE src < dst), "
+            "deg AS MATERIALIZED (SELECT id, count(*) AS deg FROM "
+            "  (SELECT a AS id FROM pairs UNION ALL SELECT b FROM pairs) "
+            "  GROUP BY id), "
+            "verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM und), "
+            "r(id, lbl) AS (SELECT id, id FROM verts "
+            "  UNION SELECT und.dst, r.lbl FROM r JOIN und ON r.id = und.src), "
+            "comp AS MATERIALIZED "
+            "  (SELECT id, min(lbl) AS component FROM r GROUP BY id), "
+            "agg AS (SELECT CAST(sum(deg % 2) AS BIGINT) AS odd_degree, "
+            "  CAST(count(DISTINCT component) AS BIGINT) AS "
+            "  n_used_components FROM deg JOIN comp USING (id)) "
+            "SELECT odd_degree, n_used_components, "
+            "(odd_degree = 0 AND n_used_components = 1) AS has_circuit, "
+            "(odd_degree IN (0, 2) AND n_used_components = 1) AS has_path "
+            "FROM agg"
+        ),
         "embedding_pca": _pca_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
         "mmr_rerank": _mmr_oracle(10, 5),

@@ -489,3 +489,48 @@ def degree_outliers(graph: Graph) -> DataFrame:
         )
         .select("id", "degree", F.col("med").cast("long"), F.col("mad").cast("long"))
     )
+
+
+def euler_check(graph: Graph) -> DataFrame:
+    """One-row Eulerian feasibility summary of the symmetrized simple
+    graph: ``(odd_degree, n_used_components, has_circuit, has_path)``.
+    A connected (over non-isolated vertices) graph has an Euler circuit
+    iff every degree is even, and an Euler path iff 0 or 2 vertices
+    have odd degree.  Degrees count the deduped undirected pair list.
+
+    Scale shape: one distinct + one map-side-combinable degree agg,
+    plus the existing components pass — no new machinery."""
+    from approximate_pagerank_public_spark.operators.components import (
+        connected_components,
+    )
+
+    e = graph.edges.select("src", "dst")
+    pairs = (
+        e.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("a").alias("id"))
+        .unionAll(pairs.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    comp = connected_components(graph)
+    used = deg.join(comp, "id")
+    agg = used.agg(
+        F.sum((F.col("deg") % 2).cast("long")).alias("odd_degree"),
+        F.countDistinct("component").alias("n_used_components"),
+    )
+    return agg.select(
+        F.coalesce("odd_degree", F.lit(0)).alias("odd_degree"),
+        F.coalesce("n_used_components", F.lit(0)).alias("n_used_components"),
+        (
+            (F.col("odd_degree") == 0) & (F.col("n_used_components") == 1)
+        ).alias("has_circuit"),
+        (
+            F.col("odd_degree").isin(0, 2) & (F.col("n_used_components") == 1)
+        ).alias("has_path"),
+    )
