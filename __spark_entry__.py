@@ -754,6 +754,19 @@ def q_two_edge_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder bow-tie census of the directed link graph: CORE (largest
+    SCC, ties → smaller label), OUT, IN, TENDRIL (incl. tubes),
+    DISCONNECTED — one SCC pass + two reach passes + one weak-CC pass
+    composed into a codegen'd CASE."""
+    from approximate_pagerank_public_spark.operators.scc import (
+        bowtie_decomposition,
+    )
+
+    g = _graph(spark, sf_dir)
+    return bowtie_decomposition(g).select("id", "cls")
+
+
 def q_euler_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row Eulerian feasibility summary (odd-degree count +
     non-isolated component count ⇒ circuit/path booleans)."""
@@ -2969,6 +2982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcenter_seeds": q_kcenter_seeds,
         "euler_check": q_euler_check,
         "hitting_prob": q_hitting_prob,
+        "bowtie": q_bowtie,
         "cc_star": q_cc_star,
         "component_sizes": q_component_sizes,
         "label_propagation": q_label_propagation,
@@ -6921,6 +6935,43 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT r.a, e.dst FROM r JOIN e ON r.b = e.src) "
             "SELECT r1.a AS id, min(r1.b) AS scc FROM r r1 "
             "JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a GROUP BY r1.a"
+        ),
+        "bowtie": (
+            # transitive closure r(a,b) (the scc oracle's relation) →
+            # largest-SCC core → fwd/bwd reach sets → weak-CC min-label
+            # → the same CASE precedence as the engine
+            f"WITH RECURSIVE e AS MATERIALIZED ({e_sql}), "
+            "verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM "
+            "  (SELECT src FROM e UNION ALL SELECT dst AS src FROM e)), "
+            "r(a, b) AS (SELECT id, id FROM verts "
+            "  UNION SELECT r.a, e.dst FROM r JOIN e ON r.b = e.src), "
+            "scc AS MATERIALIZED (SELECT r1.a AS id, min(r1.b) AS scc "
+            "  FROM r r1 JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a "
+            "  GROUP BY r1.a), "
+            "core AS MATERIALIZED (SELECT scc FROM "
+            "  (SELECT scc, count(*) AS n FROM scc GROUP BY scc) "
+            "  ORDER BY n DESC, scc ASC LIMIT 1), "
+            "corev AS MATERIALIZED (SELECT id FROM scc "
+            "  WHERE scc = (SELECT scc FROM core)), "
+            "fwd AS MATERIALIZED (SELECT DISTINCT r.b AS id FROM r "
+            "  WHERE r.a IN (SELECT id FROM corev)), "
+            "bwd AS MATERIALIZED (SELECT DISTINCT r.a AS id FROM r "
+            "  WHERE r.b IN (SELECT id FROM corev)), "
+            "und AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+            "  (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)), "
+            "w(id, lbl) AS (SELECT id, id FROM verts "
+            "  UNION SELECT und.dst, w.lbl FROM w JOIN und ON w.id = und.src), "
+            "wcc AS MATERIALIZED "
+            "  (SELECT id, min(lbl) AS component FROM w GROUP BY id), "
+            "corewc AS MATERIALIZED (SELECT component FROM wcc "
+            "  WHERE id = (SELECT min(id) FROM corev)) "
+            "SELECT s.id, CASE "
+            "WHEN s.scc = (SELECT scc FROM core) THEN 'CORE' "
+            "WHEN s.id IN (SELECT id FROM fwd) THEN 'OUT' "
+            "WHEN s.id IN (SELECT id FROM bwd) THEN 'IN' "
+            "WHEN w2.component = (SELECT component FROM corewc) "
+            "THEN 'TENDRIL' ELSE 'DISCONNECTED' END AS cls "
+            "FROM scc s JOIN wcc w2 ON w2.id = s.id"
         ),
         "sssp_dist": _sssp_oracle(0),
         "lang_id": _lang_id_oracle(),

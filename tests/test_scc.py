@@ -113,3 +113,29 @@ def test_scc_broadcast_distributed_parity(g_rand):
     )
     assert b["id"].tolist() == d["id"].tolist()
     assert b["scc"].tolist() == d["scc"].tolist()
+
+
+def test_bowtie_hand_golden_and_parity(spark):
+    """Classic bow-tie: 2-cycle core, IN feeder, OUT sink, tendril off
+    the IN side, disconnected pair."""
+    from approximate_pagerank_public_spark.operators.scc import (
+        bowtie_decomposition,
+    )
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    edges = [(0, 1), (1, 0), (2, 0), (1, 3), (2, 4), (5, 6)]
+    src, dst = zip(*edges)
+    g = Graph.from_edge_arrays(spark, src, dst, num_vertices=7, num_partitions=4)
+    try:
+        expect = {
+            0: "CORE", 1: "CORE", 2: "IN", 3: "OUT", 4: "TENDRIL",
+            5: "DISCONNECTED", 6: "DISCONNECTED",
+        }
+        for mode in ("broadcast", "distributed"):
+            got = {
+                int(r["id"]): r["cls"]
+                for r in bowtie_decomposition(g, mode=mode).collect()
+            }
+            assert got == expect, mode
+    finally:
+        g.unpersist()
