@@ -77,6 +77,23 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _graph(spark, sf_dir).edges
 
 
+def _scc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(id, scc)`` shared by scc / scc_condensation / critical_path
+    (one SCC pass per session, localCheckpoint-materialized)."""
+    from approximate_pagerank_public_spark.operators.scc import (
+        strongly_connected_components,
+    )
+
+    return _q_cached(
+        spark,
+        sf_dir,
+        "scc_labels",
+        lambda: strongly_connected_components(_graph(spark, sf_dir))
+        .select("id", "scc")
+        .localCheckpoint(),
+    )
+
+
 def _walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DeepWalk corpus shared by random_walks / skipgram /
     skipgram_pmi (identical parameters) — materialized once."""
@@ -767,6 +784,44 @@ def q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bowtie_decomposition(g).select("id", "cls")
 
 
+def q_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest path (in edges) ending at each SCC-condensation node —
+    max-plus frontier relaxation over the condensation DAG (rounds =
+    DAG depth); the overall max is the graph's critical path length."""
+    from approximate_pagerank_public_spark.operators.scc import (
+        dag_longest_path,
+    )
+
+    g = _graph(spark, sf_dir)
+    labels = _scc_labels(spark, sf_dir)
+    e = g.edges.select("src", "dst")
+    ce = (
+        e.join(labels.select(F.col("id").alias("src"), F.col("scc").alias("s1")), "src")
+        .join(labels.select(F.col("id").alias("dst"), F.col("scc").alias("s2")), "dst")
+        .where(F.col("s1") != F.col("s2"))
+        .select(F.col("s1").alias("src"), F.col("s2").alias("dst"))
+        .distinct()
+    )
+    nodes = labels.select(F.col("scc").alias("id")).distinct()
+    return (
+        dag_longest_path(ce, nodes)
+        .select(F.col("id").alias("scc"), "longest")
+        .orderBy("scc")
+    )
+
+
+def q_max_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage document selection (k=5) over the
+    3-gram shingle universe — submodular greedy, unrolled-round
+    oracle."""
+    from approximate_pagerank_public_spark.operators.curation import (
+        max_coverage_docs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return max_coverage_docs(docs, k=5)
+
+
 def q_euler_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row Eulerian feasibility summary (odd-degree count +
     non-isolated component count ⇒ circuit/path booleans)."""
@@ -1164,13 +1219,7 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (conversational feedback loops); label = min vertex id per SCC.
     Oracle: transitive closure (recursive CTE) — min mutually-reachable
     id. Integer labels propagated by min ⇒ hash-exact."""
-    from approximate_pagerank_public_spark.operators.scc import (
-        strongly_connected_components,
-    )
-    from approximate_pagerank_public_spark.plans.graph import Graph
-
-    g = _graph(spark, sf_dir)
-    return strongly_connected_components(g).select("id", "scc")
+    return _scc_labels(spark, sf_dir)
 
 
 def q_sssp_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1279,12 +1328,8 @@ def q_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
     single nodes — ``(scc_src, scc_dst, n_edges)`` per cross-component
     edge class. Two broadcast-sized label joins over the edge relation;
     self-pairs dropped (those are the intra-SCC edges)."""
-    from approximate_pagerank_public_spark.operators.scc import (
-        strongly_connected_components,
-    )
-
     g = _graph(spark, sf_dir)
-    labels = strongly_connected_components(g).select("id", "scc")
+    labels = _scc_labels(spark, sf_dir)
     e = g.edges.select("src", "dst")
     return (
         e.join(labels.select(F.col("id").alias("src"), F.col("scc").alias("scc_src")), "src")
@@ -2983,6 +3028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "euler_check": q_euler_check,
         "hitting_prob": q_hitting_prob,
         "bowtie": q_bowtie,
+        "critical_path": q_critical_path,
+        "max_coverage": q_max_coverage,
         "cc_star": q_cc_star,
         "component_sizes": q_component_sizes,
         "label_propagation": q_label_propagation,
@@ -4218,6 +4265,32 @@ def _repetition_stats_oracle(n: int = 2) -> str:
         "FROM base b LEFT JOIN la USING (doc_id) LEFT JOIN tg t USING (doc_id) "
         "LEFT JOIN dup d USING (doc_id)"
     )
+
+
+def _max_coverage_oracle(k: int = 5) -> str:
+    """`operators/curation.py::max_coverage_docs` unrolled: k greedy
+    rounds of (count, argmax, retire-covered-shingles)."""
+    parts = [f"WITH {_DUCK_SHINGLES}, ", "r1 AS MATERIALIZED (SELECT doc_id, shingle FROM sh), "]
+    for i in range(1, k + 1):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT doc_id, count(*) AS gain "
+            f"FROM r{i} GROUP BY doc_id "
+            "ORDER BY gain DESC, doc_id ASC LIMIT 1), "
+        )
+        if i < k:
+            parts.append(
+                f"r{i + 1} AS MATERIALIZED (SELECT r.doc_id, r.shingle "
+                f"FROM r{i} r WHERE r.shingle NOT IN "
+                f"(SELECT shingle FROM r{i} "
+                f"WHERE doc_id = (SELECT doc_id FROM c{i}))), "
+            )
+    body = "".join(parts)[:-2]
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS pos, doc_id, "
+        f"CAST(gain AS BIGINT) AS new_shingles FROM c{i}"
+        for i in range(1, k + 1)
+    )
+    return body + " " + sel
 
 
 def _hitting_prob_oracle(iters: int = 8) -> str:
@@ -6973,6 +7046,27 @@ def oracle_sql() -> dict[str, str]:
             "THEN 'TENDRIL' ELSE 'DISCONNECTED' END AS cls "
             "FROM scc s JOIN wcc w2 ON w2.id = s.id"
         ),
+        "critical_path": (
+            f"WITH RECURSIVE e AS MATERIALIZED ({e_sql}), "
+            "verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM "
+            "  (SELECT src FROM e UNION ALL SELECT dst AS src FROM e)), "
+            "r(a, b) AS (SELECT id, id FROM verts "
+            "  UNION SELECT r.a, e.dst FROM r JOIN e ON r.b = e.src), "
+            "scc AS MATERIALIZED (SELECT r1.a AS id, min(r1.b) AS scc "
+            "  FROM r r1 JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a "
+            "  GROUP BY r1.a), "
+            "ce AS MATERIALIZED (SELECT DISTINCT s1.scc AS src, "
+            "  s2.scc AS dst FROM e "
+            "  JOIN scc s1 ON s1.id = e.src JOIN scc s2 ON s2.id = e.dst "
+            "  WHERE s1.scc <> s2.scc), "
+            "nodes AS MATERIALIZED (SELECT DISTINCT scc AS id FROM scc), "
+            "lp(id, d) AS (SELECT id, CAST(0 AS BIGINT) FROM nodes "
+            "  UNION SELECT ce.dst, lp.d + 1 FROM lp "
+            "  JOIN ce ON lp.id = ce.src WHERE lp.d < 300) "
+            "SELECT id AS scc, max(d) AS longest FROM lp GROUP BY id "
+            "ORDER BY scc"
+        ),
+        "max_coverage": _max_coverage_oracle(5),
         "sssp_dist": _sssp_oracle(0),
         "lang_id": _lang_id_oracle(),
         "eccentricity": (

@@ -635,3 +635,51 @@ def bowtie_decomposition(graph: Graph, mode: str = "auto") -> DataFrame:
             .alias("cls"),
         )
     )
+
+
+def dag_longest_path(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 10_000,
+) -> DataFrame:
+    """``(id, longest)`` — longest path (in edges) ENDING at each node
+    of a DAG, by max-plus frontier relaxation: per round ONE edges ⋈
+    state join + a map-side-combinable ``groupBy(dst).max`` + a
+    greatest() merge, ``local_ckpt`` rotation; rounds = DAG depth.
+    Raises if ``max_iter`` rounds still improve (a cycle — the caller
+    promised a DAG, e.g. the SCC condensation)."""
+    from approximate_pagerank_public_spark.plans.checkpoint import (
+        free_local_ckpt,
+        local_ckpt,
+    )
+
+    spark = edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    state, s_ids = local_ckpt(
+        nodes.select("id", F.lit(0).cast("long").alias("d")).repartition(p, "id")
+    )
+    for _ in range(max_iter):
+        cand = (
+            edges.join(state.select(F.col("id").alias("src"), "d"), "src")
+            .groupBy("dst")
+            .agg((F.max("d") + 1).alias("nd"))
+            .select(F.col("dst").alias("id"), "nd")
+        )
+        new, n_ids = local_ckpt(
+            state.join(cand, "id", "left")
+            .select("id", F.greatest("d", "nd").alias("d"))
+            .repartition(p, "id")
+        )
+        improved = (
+            new.join(state.withColumnRenamed("d", "_old"), "id")
+            .where(F.col("d") > F.col("_old"))
+            .count()
+        )
+        free_local_ckpt(spark, s_ids)
+        state, s_ids = new, n_ids
+        if improved == 0:
+            return state.withColumnRenamed("d", "longest")
+    raise RuntimeError(  # pragma: no cover — DAG depth << max_iter
+        f"dag_longest_path still improving after {max_iter} rounds — "
+        "input has a cycle"
+    )

@@ -338,3 +338,23 @@ def test_pii_scan_counts_and_redaction_order(spark):
         [("x <EMAIL> y",)], "t string"
     ).select(F2.md5(F2.encode("t", "UTF-8")).alias("fp"))
     assert fp3["redacted_fp"] == expect.collect()[0]["fp"]
+
+
+def test_max_coverage_greedy_hand_golden(spark):
+    from approximate_pagerank_public_spark.operators.curation import (
+        max_coverage_docs,
+    )
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": ["a b c d", "a b c", "x y z w v"],
+            }
+        )
+    )
+    got = [tuple(map(int, r)) for r in max_coverage_docs(docs, k=5).collect()]
+    # doc2 covers 3 shingles, then doc0 adds 2; doc1's only shingle is
+    # then covered -> early stop
+    assert got == [(1, 2, 3), (2, 0, 2)]

@@ -139,3 +139,19 @@ def test_bowtie_hand_golden_and_parity(spark):
             assert got == expect, mode
     finally:
         g.unpersist()
+
+
+def test_dag_longest_path_hand_golden(spark):
+    from approximate_pagerank_public_spark.operators.scc import dag_longest_path
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(
+        pd.DataFrame({"src": [0, 1, 0], "dst": [1, 2, 2]})
+    )
+    nodes = spark.createDataFrame(pd.DataFrame({"id": [0, 1, 2, 3]}))
+    got = {
+        int(r["id"]): int(r["longest"])
+        for r in dag_longest_path(e, nodes).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 0}
