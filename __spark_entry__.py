@@ -784,6 +784,18 @@ def q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bowtie_decomposition(g).select("id", "cls")
 
 
+def q_attack_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Albert–Barabási targeted-attack robustness curve: giant weak
+    component size after removing the top-k highest-degree hubs,
+    k ∈ {0,1,4,16}."""
+    from approximate_pagerank_public_spark.operators.graphstats import (
+        attack_tolerance,
+    )
+
+    g = _graph(spark, sf_dir)
+    return attack_tolerance(g).orderBy("k")
+
+
 def q_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest path (in edges) ending at each SCC-condensation node —
     max-plus frontier relaxation over the condensation DAG (rounds =
@@ -3030,6 +3042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie": q_bowtie,
         "critical_path": q_critical_path,
         "max_coverage": q_max_coverage,
+        "attack_tolerance": q_attack_tolerance,
         "cc_star": q_cc_star,
         "component_sizes": q_component_sizes,
         "label_propagation": q_label_propagation,
@@ -4265,6 +4278,58 @@ def _repetition_stats_oracle(n: int = 2) -> str:
         "FROM base b LEFT JOIN la USING (doc_id) LEFT JOIN tg t USING (doc_id) "
         "LEFT JOIN dup d USING (doc_id)"
     )
+
+
+def _attack_tolerance_oracle(ks=(0, 1, 4, 16)) -> str:
+    """`operators/graphstats.py::attack_tolerance` — per k: drop the
+    global (deg DESC, id ASC) top-k hit list, min-label CC over the
+    survivors, max component size."""
+    e_sql = _duck_edges_sql()
+    parts = [
+        f"WITH RECURSIVE e AS MATERIALIZED ({e_sql}), ",
+        "und AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)), ",
+        "pairs AS MATERIALIZED "
+        "(SELECT src AS a, dst AS b FROM und WHERE src < dst), ",
+        "deg AS MATERIALIZED (SELECT id, count(*) AS deg FROM "
+        "(SELECT a AS id FROM pairs UNION ALL SELECT b FROM pairs) "
+        "GROUP BY id), ",
+        "hits AS MATERIALIZED (SELECT id, row_number() OVER "
+        "(ORDER BY deg DESC, id ASC) AS rn FROM deg), ",
+    ]
+    sels = []
+    for k in sorted(int(x) for x in ks):
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT a, b FROM pairs "
+            f"WHERE a NOT IN (SELECT id FROM hits WHERE rn <= {k}) "
+            f"AND b NOT IN (SELECT id FROM hits WHERE rn <= {k})), "
+        )
+        parts.append(
+            f"u{k} AS MATERIALIZED (SELECT DISTINCT id FROM "
+            f"(SELECT a AS id FROM s{k} UNION ALL SELECT b FROM s{k})), "
+        )
+        parts.append(
+            f"y{k} AS MATERIALIZED (SELECT a AS src, b AS dst FROM s{k} "
+            f"UNION ALL SELECT b, a FROM s{k}), "
+        )
+        parts.append(
+            f"r{k}(id, lbl) AS (SELECT id, id FROM u{k} "
+            f"UNION SELECT y{k}.dst, r{k}.lbl FROM r{k} "
+            f"JOIN y{k} ON r{k}.id = y{k}.src), "
+        )
+        parts.append(
+            f"c{k} AS MATERIALIZED "
+            f"(SELECT id, min(lbl) AS comp FROM r{k} GROUP BY id), "
+        )
+        sels.append(
+            f"SELECT CAST({k} AS BIGINT) AS k, "
+            f"CAST((SELECT count(*) FROM hits WHERE rn <= {k}) AS BIGINT) "
+            "AS removed, "
+            "CAST(coalesce((SELECT max(n) FROM "
+            f"(SELECT comp, count(*) AS n FROM c{k} GROUP BY comp)), 0) "
+            "AS BIGINT) AS giant_size"
+        )
+    return "".join(parts)[:-2] + " " + " UNION ALL ".join(sels)
 
 
 def _max_coverage_oracle(k: int = 5) -> str:
@@ -7067,6 +7132,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY scc"
         ),
         "max_coverage": _max_coverage_oracle(5),
+        "attack_tolerance": _attack_tolerance_oracle(),
         "sssp_dist": _sssp_oracle(0),
         "lang_id": _lang_id_oracle(),
         "eccentricity": (

@@ -534,3 +534,83 @@ def euler_check(graph: Graph) -> DataFrame:
             F.col("odd_degree").isin(0, 2) & (F.col("n_used_components") == 1)
         ).alias("has_path"),
     )
+
+
+def attack_tolerance(graph: Graph, ks=(0, 1, 4, 16)) -> DataFrame:
+    """``(k, removed, giant_size)`` — the Albert–Barabási targeted-
+    attack curve: remove the ``k`` highest-degree vertices (undirected
+    degree, ties → smaller id) and report the largest surviving weak
+    component.  The standard robustness census of a hub-dominated link
+    graph (scale-free graphs fall apart under targeted removal while
+    surviving random failure).
+
+    Scale shape: ONE degree aggregation picks the global top-max(k)
+    hit list (a tiny broadcastable set); each curve point is then one
+    large-star/small-star CC pass DIRECTLY over the surviving pair
+    list (no Graph/CSR rebuild) — the curve costs |ks| star-CC passes,
+    nothing quadratic.  ``removed`` echoes how many hit-list vertices
+    actually exist (k may exceed |V|)."""
+    from approximate_pagerank_public_spark.operators.components import (
+        star_components_edges,
+    )
+
+    e = graph.edges.select("src", "dst")
+    pairs = (
+        e.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        pairs.select(F.col("a").alias("id"))
+        .unionAll(pairs.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    kmax = max(int(x) for x in ks)
+    hits = [
+        int(r["id"])
+        for r in deg.orderBy(F.col("deg").desc(), F.col("id").asc())
+        .limit(kmax)
+        .collect()
+    ]
+    rows = []
+    for k in sorted(int(x) for x in ks):
+        removed = hits[:k]
+        surv = pairs
+        if removed:
+            surv = pairs.where(
+                ~F.col("a").isin(removed) & ~F.col("b").isin(removed)
+            )
+        if surv.limit(1).count() == 0:
+            rows.append((k, len(removed), 0))
+            continue
+        roots, _rounds = star_components_edges(
+            graph.spark, surv, graph.num_partitions
+        )
+        # only vertices still carrying an edge count toward the giant
+        used = (
+            surv.select(F.col("a").alias("id"))
+            .unionAll(surv.select(F.col("b").alias("id")))
+            .distinct()
+        )
+        comp = used.join(roots, used["id"] == roots["a"], "left").select(
+            F.least(F.col("id"), F.coalesce("r", F.col("id"))).alias("component")
+        )
+        giant = (
+            comp.groupBy("component")
+            .agg(F.count("*").alias("n"))
+            .agg(F.max("n").alias("g"))
+            .first()["g"]
+        )
+        rows.append((k, len(removed), int(giant)))
+    import pandas as pd
+
+    return graph.spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "removed", "giant_size"]).astype(
+            "int64"
+        ),
+        "k long, removed long, giant_size long",
+    )

@@ -310,3 +310,26 @@ def test_degree_gini_regular_and_star(spark):
     )
     assert row["gini"] == want
     g.unpersist()
+
+
+def test_attack_tolerance_star_plus_triangle(spark):
+    from approximate_pagerank_public_spark.operators.graphstats import (
+        attack_tolerance,
+    )
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    # hub 0 with leaves 1-4; disjoint triangle 5-6-7
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (5, 6), (6, 7), (7, 5)]
+    src, dst = zip(*edges)
+    g = Graph.from_edge_arrays(spark, src, dst, num_vertices=8, num_partitions=4)
+    try:
+        got = {
+            int(r["k"]): (int(r["removed"]), int(r["giant_size"]))
+            for r in attack_tolerance(g, ks=(0, 1, 2, 4)).collect()
+        }
+        # k=1 removes the hub (deg 4) -> triangle survives;
+        # k=2 also removes id 5 (deg-2 tie -> smallest id) -> one edge;
+        # k=4 removes 0,5,6,7 -> nothing left
+        assert got == {0: (0, 5), 1: (1, 3), 2: (2, 2), 4: (4, 0)}
+    finally:
+        g.unpersist()
