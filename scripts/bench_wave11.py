@@ -81,6 +81,36 @@ def main() -> None:
         t0 = time.time()
         rows = kcenter_seeds(emb, k=8).collect()
         out.update(n_vecs=200_000, dim=64, seeds=[int(r["vec_id"]) for r in rows])
+    elif which == "coverage":
+        from approximate_pagerank_public_spark.operators.curation import (
+            max_coverage_docs,
+        )
+        from approximate_pagerank_public_spark.sources.synthetic_tables import (
+            synthesize_documents,
+        )
+
+        docs = synthesize_documents(spark, n_docs=200_000).localCheckpoint()
+        t0 = time.time()
+        rows = max_coverage_docs(docs, k=5).collect()
+        out.update(
+            n_docs=200_000,
+            picks=[(int(r["doc_id"]), int(r["new_shingles"])) for r in rows],
+        )
+    elif which == "attack":
+        from approximate_pagerank_public_spark.operators.graphstats import (
+            attack_tolerance,
+        )
+
+        n, m = 10_000_000, 20_000_000
+        g = _graph(spark, n, m)
+        ne = g.num_edges
+        t0 = time.time()
+        rows = attack_tolerance(g, ks=(0, 16)).collect()
+        out.update(
+            num_vertices=n,
+            num_edges=ne,
+            curve=[(int(r["k"]), int(r["giant_size"])) for r in rows],
+        )
     elif which == "tpch":
         import __spark_entry__ as E
 
