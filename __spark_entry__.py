@@ -725,13 +725,23 @@ _BRIDGE_EDGE_COND = "(src * 131 + dst) % 8 < 2"
 
 
 def _bridge_subgraph(spark: SparkSession, sf_dir: str):
+    """Sparse subgraph shared by bridges/two_edge_components — ONE
+    Graph build per session (the two queries otherwise pay it twice).
+    The cached Graph stays persisted for the session; the contract
+    session is short-lived, so no unpersist bookkeeping."""
     from approximate_pagerank_public_spark.plans.graph import Graph
 
-    g = _graph(spark, sf_dir)
-    e2 = g.edges.where(F.expr(_BRIDGE_EDGE_COND))
-    return Graph(
-        e2, num_vertices=g.num_vertices, num_partitions=g.num_partitions
-    ), e2
+    def build():
+        g = _graph(spark, sf_dir)
+        e2 = g.edges.where(F.expr(_BRIDGE_EDGE_COND))
+        return (
+            Graph(
+                e2, num_vertices=g.num_vertices, num_partitions=g.num_partitions
+            ),
+            e2,
+        )
+
+    return _q_cached(spark, sf_dir, "bridge_subgraph", build)
 
 
 def q_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -742,9 +752,7 @@ def q_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from approximate_pagerank_public_spark.operators.biconnect import bridges
 
     g2, _e2 = _bridge_subgraph(spark, sf_dir)
-    out = bridges(g2).orderBy("a", "b").localCheckpoint()
-    g2.unpersist()
-    return out
+    return bridges(g2).orderBy("a", "b")
 
 
 def q_two_edge_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -761,14 +769,11 @@ def q_two_edge_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(e2.select(F.col("dst").alias("id")))
         .distinct()
     )
-    out = (
+    return (
         two_edge_components(g2)
         .join(verts_in, "id")
         .select("id", "component")
-        .localCheckpoint()
     )
-    g2.unpersist()
-    return out
 
 
 def q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
