@@ -801,6 +801,39 @@ def q_attack_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attack_tolerance(g).orderBy("k")
 
 
+def q_random_failure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-failure percolation curve (giant component vs fraction
+    of surviving edges, md5-deterministic sampling) — the
+    attack_tolerance contrast."""
+    from approximate_pagerank_public_spark.operators.graphstats import (
+        random_failure_curve,
+    )
+
+    g = _graph(spark, sf_dir)
+    return random_failure_curve(g).orderBy("keep_pct")
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluating ANN quality: per-query hit count (and recall)
+    of the LSH top-5 against the exact cosine top-5 — both pipelines
+    already oracled; this composes them."""
+    exact = q_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    lsh = q_ann_lsh_topk(spark, sf_dir).select("query_id", "vec_id")
+    hits = (
+        exact.join(lsh, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    qids = exact.select("query_id").distinct()
+    return qids.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("hits", F.lit(0)).alias("hits"),
+        _stable6(F.coalesce("hits", F.lit(0)).cast("double") / F.lit(5.0)).alias(
+            "recall"
+        ),
+    )
+
+
 def q_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest path (in edges) ending at each SCC-condensation node —
     max-plus frontier relaxation over the condensation DAG (rounds =
@@ -3048,6 +3081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "critical_path": q_critical_path,
         "max_coverage": q_max_coverage,
         "attack_tolerance": q_attack_tolerance,
+        "random_failure": q_random_failure,
+        "ann_recall": q_ann_recall,
         "cc_star": q_cc_star,
         "component_sizes": q_component_sizes,
         "label_propagation": q_label_propagation,
@@ -4335,6 +4370,69 @@ def _attack_tolerance_oracle(ks=(0, 1, 4, 16)) -> str:
             "AS BIGINT) AS giant_size"
         )
     return "".join(parts)[:-2] + " " + " UNION ALL ".join(sels)
+
+
+def _random_failure_oracle(keep_pcts=(100, 75, 50, 25)) -> str:
+    """`operators/graphstats.py::random_failure_curve` — md5 percent
+    survival + per-point min-label CC over the survivors."""
+    e_sql = _duck_edges_sql()
+    parts = [
+        f"WITH RECURSIVE e AS MATERIALIZED ({e_sql}), ",
+        "und AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)), ",
+        "pairs AS MATERIALIZED (SELECT a, b, "
+        "CAST('0x' || substr(md5('rf:' || CAST(a AS VARCHAR) || ':' || "
+        "CAST(b AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS pct FROM "
+        "(SELECT src AS a, dst AS b FROM und WHERE src < dst)), ",
+    ]
+    sels = []
+    for keep in sorted((int(x) for x in keep_pcts), reverse=True):
+        parts.append(
+            f"s{keep} AS MATERIALIZED "
+            f"(SELECT a, b FROM pairs WHERE pct < {keep}), "
+        )
+        parts.append(
+            f"u{keep} AS MATERIALIZED (SELECT DISTINCT id FROM "
+            f"(SELECT a AS id FROM s{keep} UNION ALL SELECT b FROM s{keep})), "
+        )
+        parts.append(
+            f"y{keep} AS MATERIALIZED (SELECT a AS src, b AS dst FROM s{keep} "
+            f"UNION ALL SELECT b, a FROM s{keep}), "
+        )
+        parts.append(
+            f"r{keep}(id, lbl) AS (SELECT id, id FROM u{keep} "
+            f"UNION SELECT y{keep}.dst, r{keep}.lbl FROM r{keep} "
+            f"JOIN y{keep} ON r{keep}.id = y{keep}.src), "
+        )
+        parts.append(
+            f"c{keep} AS MATERIALIZED "
+            f"(SELECT id, min(lbl) AS comp FROM r{keep} GROUP BY id), "
+        )
+        sels.append(
+            f"SELECT CAST({keep} AS BIGINT) AS keep_pct, "
+            f"CAST((SELECT count(*) FROM s{keep}) AS BIGINT) AS kept_pairs, "
+            "CAST(coalesce((SELECT max(n) FROM "
+            f"(SELECT comp, count(*) AS n FROM c{keep} GROUP BY comp)), 0) "
+            "AS BIGINT) AS giant_size"
+        )
+    return "".join(parts)[:-2] + " " + " UNION ALL ".join(sels)
+
+
+def _ann_recall_oracle() -> str:
+    """Composes the exact-cosine and LSH oracles (both independently
+    hash-checked) into the per-query hit count."""
+    return (
+        f"WITH ex AS MATERIALIZED ({_cosine_topk_oracle()}), "
+        f"lsh AS MATERIALIZED ({_ann_lsh_oracle()}), "
+        "qids AS (SELECT DISTINCT query_id FROM ex), "
+        "h AS (SELECT e.query_id, count(*) AS hits FROM ex e JOIN lsh l "
+        "ON l.query_id = e.query_id AND l.vec_id = e.vec_id "
+        "GROUP BY e.query_id) "
+        "SELECT q.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits, "
+        "floor((CAST(coalesce(h.hits, 0) AS DOUBLE) / 5.0) * 1000000.0) "
+        "/ 1000000.0 AS recall "
+        "FROM qids q LEFT JOIN h ON h.query_id = q.query_id"
+    )
 
 
 def _max_coverage_oracle(k: int = 5) -> str:
@@ -7138,6 +7236,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "max_coverage": _max_coverage_oracle(5),
         "attack_tolerance": _attack_tolerance_oracle(),
+        "random_failure": _random_failure_oracle(),
+        "ann_recall": _ann_recall_oracle(),
         "sssp_dist": _sssp_oracle(0),
         "lang_id": _lang_id_oracle(),
         "eccentricity": (

@@ -614,3 +614,78 @@ def attack_tolerance(graph: Graph, ks=(0, 1, 4, 16)) -> DataFrame:
         ),
         "k long, removed long, giant_size long",
     )
+
+
+def random_failure_curve(graph: Graph, keep_pcts=(100, 75, 50, 25)) -> DataFrame:
+    """``(keep_pct, kept_pairs, giant_size)`` — the random-failure
+    percolation curve complementing :func:`attack_tolerance` (the
+    Albert–Barabási contrast: scale-free graphs survive random failure
+    but collapse under targeted attack).  Edge survival is a
+    deterministic md5 percent of the canonical pair (oracle-replayable,
+    sampling-invariant under growth).
+
+    Scale shape: the survival predicate is a codegen'd expression over
+    the canonical pair list; each curve point is one star-CC pass over
+    its survivors."""
+    from approximate_pagerank_public_spark.operators.components import (
+        star_components_edges,
+    )
+
+    e = graph.edges.select("src", "dst")
+    pairs = (
+        e.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .select(
+            "a",
+            "b",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.lit("rf"), F.col("a"), F.col("b"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(100),
+            ).alias("pct"),
+        )
+        .localCheckpoint()
+    )
+    rows = []
+    for keep in sorted((int(x) for x in keep_pcts), reverse=True):
+        surv = pairs.where(F.col("pct") < keep).select("a", "b")
+        kept = surv.count()
+        if kept == 0:
+            rows.append((keep, 0, 0))
+            continue
+        roots, _rounds = star_components_edges(
+            graph.spark, surv, graph.num_partitions
+        )
+        used = (
+            surv.select(F.col("a").alias("id"))
+            .unionAll(surv.select(F.col("b").alias("id")))
+            .distinct()
+        )
+        comp = used.join(roots, used["id"] == roots["a"], "left").select(
+            F.least(F.col("id"), F.coalesce("r", F.col("id"))).alias("component")
+        )
+        giant = (
+            comp.groupBy("component")
+            .agg(F.count("*").alias("n"))
+            .agg(F.max("n").alias("g"))
+            .first()["g"]
+        )
+        rows.append((keep, kept, int(giant)))
+    import pandas as pd
+
+    return graph.spark.createDataFrame(
+        pd.DataFrame(rows, columns=["keep_pct", "kept_pairs", "giant_size"]).astype(
+            "int64"
+        ),
+        "keep_pct long, kept_pairs long, giant_size long",
+    )

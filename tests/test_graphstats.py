@@ -333,3 +333,33 @@ def test_attack_tolerance_star_plus_triangle(spark):
         assert got == {0: (0, 5), 1: (1, 3), 2: (2, 2), 4: (4, 0)}
     finally:
         g.unpersist()
+
+
+def test_random_failure_curve_invariants(spark):
+    from approximate_pagerank_public_spark.operators.graphstats import (
+        random_failure_curve,
+    )
+    from approximate_pagerank_public_spark.plans.graph import Graph
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 60, 300)
+    dst = rng.integers(0, 60, 300)
+    keep = src != dst
+    g = Graph.from_edge_arrays(
+        spark, src[keep], dst[keep], num_vertices=60, num_partitions=4
+    )
+    try:
+        rows = {
+            int(r["keep_pct"]): (int(r["kept_pairs"]), int(r["giant_size"]))
+            for r in random_failure_curve(g, keep_pcts=(100, 50, 25)).collect()
+        }
+        n_pairs = (
+            g.edges.selectExpr("least(src,dst) a", "greatest(src,dst) b")
+            .where("a <> b").distinct().count()
+        )
+        assert rows[100][0] == n_pairs           # keep=100 keeps everything
+        assert rows[100][1] >= rows[50][1] >= rows[25][1]  # giant shrinks
+        assert rows[50][0] > rows[25][0]          # survivors shrink
+    finally:
+        g.unpersist()
