@@ -151,7 +151,13 @@ def _duck_bridges_ctes(e_sql: str) -> str:
         "  (SELECT DISTINCT component FROM comp) "
         "  UNION SELECT und.dst, lr.d + 1 FROM lr "
         "  JOIN und ON lr.id = und.src WHERE lr.d < 300), "
-        "lv AS MATERIALIZED (SELECT id, min(d) AS lvl FROM lr GROUP BY id), "
+        # loud-fail guard: a BFS level at the recursion cap means deeper
+        # vertices were silently truncated — error() instead of a wrong
+        # bridge set (levels are contiguous, so depth>300 always puts a
+        # vertex exactly at 300)
+        "lv AS MATERIALIZED (SELECT id, CASE WHEN min(d) >= 300 THEN "
+        "  CAST(error('bridges oracle: BFS depth cap (300) reached') "
+        "  AS BIGINT) ELSE min(d) END AS lvl FROM lr GROUP BY id), "
         "tree AS MATERIALIZED "
         "  (SELECT u.dst AS id, min(u.src) AS parent FROM und u "
         "  JOIN lv la ON la.id = u.src JOIN lv lb ON lb.id = u.dst "
@@ -7231,7 +7237,11 @@ def oracle_sql() -> dict[str, str]:
             "lp(id, d) AS (SELECT id, CAST(0 AS BIGINT) FROM nodes "
             "  UNION SELECT ce.dst, lp.d + 1 FROM lp "
             "  JOIN ce ON lp.id = ce.src WHERE lp.d < 300) "
-            "SELECT id AS scc, max(d) AS longest FROM lp GROUP BY id "
+            # loud-fail guard: a path length at the cap means longer
+            # paths were silently truncated
+            "SELECT id AS scc, CASE WHEN max(d) >= 300 THEN "
+            "CAST(error('critical_path oracle: depth cap (300) reached') "
+            "AS BIGINT) ELSE max(d) END AS longest FROM lp GROUP BY id "
             "ORDER BY scc"
         ),
         "max_coverage": _max_coverage_oracle(5),
@@ -7248,7 +7258,11 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT e.dst, r.dist + 1 FROM r JOIN e ON r.id = e.src "
             "  WHERE r.dist < 100), "
             "d AS (SELECT id, min(dist) AS dist FROM r GROUP BY id) "
-            "SELECT CAST(0 AS BIGINT) AS source, max(dist) AS ecc FROM d"
+            # same loud-fail guard as the bridges/critical_path caps
+            "SELECT CAST(0 AS BIGINT) AS source, "
+            "CASE WHEN max(dist) >= 100 THEN "
+            "CAST(error('eccentricity oracle: depth cap (100) reached') "
+            "AS BIGINT) ELSE max(dist) END AS ecc FROM d"
         ),
         "exact_dedup_events": (
             "WITH h AS (SELECT event_id, "
@@ -7408,8 +7422,10 @@ def oracle_sql() -> dict[str, str]:
             "  UNION SELECT und.dst, r.lbl FROM r JOIN und ON r.id = und.src), "
             "comp AS MATERIALIZED "
             "  (SELECT id, min(lbl) AS component FROM r GROUP BY id), "
-            "agg AS (SELECT CAST(sum(deg % 2) AS BIGINT) AS odd_degree, "
-            "  CAST(count(DISTINCT component) AS BIGINT) AS "
+            # coalesce mirrors the engine (edgeless graph: sum → NULL)
+            "agg AS (SELECT "
+            "  coalesce(CAST(sum(deg % 2) AS BIGINT), 0) AS odd_degree, "
+            "  coalesce(CAST(count(DISTINCT component) AS BIGINT), 0) AS "
             "  n_used_components FROM deg JOIN comp USING (id)) "
             "SELECT odd_degree, n_used_components, "
             "(odd_degree = 0 AND n_used_components = 1) AS has_circuit, "

@@ -156,6 +156,8 @@ def _forest_levels_distributed(
         state, state_ids = new, new_ids
         if improved == 0:
             return state, state_ids
+    # error path must not leak the rotated localCheckpoint state
+    free_local_ckpt(spark, state_ids)
     raise RuntimeError(  # pragma: no cover — max_iter default is huge
         f"forest-level BFS did not converge in {max_iter} rounds"
     )

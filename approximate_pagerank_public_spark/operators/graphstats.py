@@ -520,13 +520,20 @@ def euler_check(graph: Graph) -> DataFrame:
     )
     comp = connected_components(graph)
     used = deg.join(comp, "id")
+    # coalesce ONCE and derive the booleans from the coalesced values
+    # (an edgeless graph aggregates sum→NULL; deriving has_circuit from
+    # the raw aggregate diverged from the coalesced output column)
     agg = used.agg(
-        F.sum((F.col("deg") % 2).cast("long")).alias("odd_degree"),
-        F.countDistinct("component").alias("n_used_components"),
+        F.coalesce(
+            F.sum((F.col("deg") % 2).cast("long")), F.lit(0)
+        ).alias("odd_degree"),
+        F.coalesce(
+            F.countDistinct("component"), F.lit(0)
+        ).alias("n_used_components"),
     )
     return agg.select(
-        F.coalesce("odd_degree", F.lit(0)).alias("odd_degree"),
-        F.coalesce("n_used_components", F.lit(0)).alias("n_used_components"),
+        "odd_degree",
+        "n_used_components",
         (
             (F.col("odd_degree") == 0) & (F.col("n_used_components") == 1)
         ).alias("has_circuit"),

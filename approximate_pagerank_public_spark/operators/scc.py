@@ -512,26 +512,39 @@ def _reach_distributed(
     )
 
     reached, r_ids = local_ckpt(seeds.select("id").repartition(p, "id"))
-    frontier = reached
-    for _ in range(max_iter):
-        nxt, n_ids = local_ckpt(
-            edges.join(
-                frontier.select(F.col("id").alias("src")), "src"
+    frontier, f_ids = reached, None
+    try:
+        for _ in range(max_iter):
+            nxt, n_ids = local_ckpt(
+                edges.join(
+                    frontier.select(F.col("id").alias("src")), "src"
+                )
+                .select(F.col("dst").alias("id"))
+                .distinct()
+                .join(reached, "id", "left_anti")
+                .repartition(p, "id")
             )
-            .select(F.col("dst").alias("id"))
-            .distinct()
-            .join(reached, "id", "left_anti")
-            .repartition(p, "id")
-        )
-        if nxt.count() == 0:
-            free_local_ckpt(spark, n_ids)
-            return reached
-        new_reached, nr_ids = local_ckpt(
-            reached.unionAll(nxt).repartition(p, "id")
-        )
+            if f_ids is not None:
+                free_local_ckpt(spark, f_ids)
+            frontier, f_ids = nxt, n_ids
+            if nxt.count() == 0:
+                free_local_ckpt(spark, n_ids)
+                return reached
+            new_reached, nr_ids = local_ckpt(
+                reached.unionAll(nxt).repartition(p, "id")
+            )
+            free_local_ckpt(spark, r_ids)
+            reached, r_ids = new_reached, nr_ids
+    except Exception:
+        # release loop state on the error path (local_ckpt invariant:
+        # DataFrame.unpersist is a no-op for localCheckpoint blocks)
+        if f_ids is not None and f_ids is not r_ids:
+            free_local_ckpt(spark, f_ids)
         free_local_ckpt(spark, r_ids)
-        reached, r_ids = new_reached, nr_ids
-        frontier = nxt
+        raise
+    if f_ids is not None:
+        free_local_ckpt(spark, f_ids)
+    free_local_ckpt(spark, r_ids)
     raise RuntimeError(  # pragma: no cover
         f"reach propagation did not converge in {max_iter} rounds"
     )
@@ -575,7 +588,12 @@ def bowtie_decomposition(graph: Graph, mode: str = "auto") -> DataFrame:
         bwd = _reach_broadcast(graph.reversed_graph(), core_mask)
         und = graph.undirected()
         try:
-            wcc, _ = _cc_broadcast(und, 200)
+            # max_iter = |V| guarantees fixpoint (min-label propagation
+            # converges within the weak diameter < |V|); a fixed 200 cap
+            # could silently misclassify TENDRIL/DISCONNECTED on a
+            # high-diameter weak component (it only warned).  The
+            # relaxation is frontier-sparse, so the bound is free.
+            wcc, _ = _cc_broadcast(und, max(200, graph.num_vertices))
         finally:
             und.unpersist()
         corewc = int(wcc[int(np.flatnonzero(core_mask).min())])

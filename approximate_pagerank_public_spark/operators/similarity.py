@@ -918,6 +918,10 @@ def kcenter_seeds(embeddings: DataFrame, k: int = 8) -> DataFrame:
     )
     base = emb.select("vec_id", "v", _dot("v", "v").alias("aa"))
     first = base.orderBy("vec_id").first()
+    if first is None:  # empty corpus — no seeds to pick
+        return spark.createDataFrame(
+            [], "pos bigint, vec_id bigint, radius double"
+        )
     picked = [(1, int(first["vec_id"]), 0.0)]
     center_v, center_aa = list(first["v"]), float(first["aa"])
 
@@ -935,6 +939,8 @@ def kcenter_seeds(embeddings: DataFrame, k: int = 8) -> DataFrame:
         free_local_ckpt(spark, state_ids)
         state, state_ids = new, new_ids
         top = state.orderBy(F.col("mind2").desc(), F.col("vec_id").asc()).first()
+        if top is None:  # k exceeded the corpus — keep the picks so far
+            break
         picked.append(
             (pos, int(top["vec_id"]), float(np.floor(top["mind2"] * 1e6) / 1e6))
         )
