@@ -142,9 +142,17 @@ def densify_vertices(entity_edges: DataFrame) -> DataFrame:
         .union(entity_edges.select(F.col("dst_entity").alias("entity")))
         .distinct()
     )
-    spark = ents.sparkSession
+    return dense_ids(ents, "entity")
+
+
+def dense_ids(values: DataFrame, value_col: str) -> DataFrame:
+    """``(id, <value_col>)`` — dense 0..N-1 ids in global sorted order
+    over an already-DISTINCT value relation, without a global-sort
+    window (see :func:`densify_vertices` for the scale rationale).
+    Shared by the entity densifier and the SNAP edgelist remap."""
+    spark = values.sparkSession
     p = max(1, spark.sparkContext.defaultParallelism)
-    ranged = ents.repartitionByRange(p, "entity").withColumn(
+    ranged = values.repartitionByRange(p, value_col).withColumn(
         "_pid", F.spark_partition_id()
     )
     # localCheckpoint, not persist: a cache-evicted recompute could
@@ -159,12 +167,12 @@ def densify_vertices(entity_edges: DataFrame) -> DataFrame:
     off_df = spark.createDataFrame(
         [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
     )
-    w = Window.partitionBy("_pid").orderBy("entity")
+    w = Window.partitionBy("_pid").orderBy(value_col)
     out = (
         ranged.join(F.broadcast(off_df), "_pid")
         .select(
             (F.row_number().over(w) - 1 + F.col("_off")).cast("long").alias("id"),
-            "entity",
+            value_col,
         )
     )
     return out

@@ -78,14 +78,17 @@ def read_snap_edgelist(
     )
     id_map = None
     if densify:
+        from approximate_pagerank_public_spark.operators.etl import dense_ids
+
         ids = (
             raw.select(F.col("src").alias("orig"))
             .union(raw.select(F.col("dst").alias("orig")))
             .distinct()
         )
-        id_map = ids.select(
-            "orig", (F.dense_rank().over(Window.orderBy("orig")) - 1).cast("long").alias("id")
-        )
+        # partition-parallel dense ranks (range partitions + per-
+        # partition row_number + driver offsets) — a global-sort window
+        # here would funnel the whole id dictionary through one task
+        id_map = dense_ids(ids, "orig").select("orig", "id")
         m = F.broadcast(id_map)
         raw = (
             raw.join(m.withColumnRenamed("orig", "src").withColumnRenamed("id", "s2"), "src")
