@@ -1777,6 +1777,33 @@ def q_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simrank_mc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fogaras–Rácz MC SimRank (the Θ(V²)-free scale mode,
+    ``operators/simrank.py::simrank_mc``) over all 120 pairs of the 16
+    smallest cited entities: 16 coupled-reverse-walk fingerprints × 4
+    steps, md5 draws keyed on (fingerprint, step, VERTEX) so walks
+    coalesce, per-fingerprint scores in integer micro-units before the
+    cross-fingerprint sum — the oracle replays every hop verbatim."""
+    from approximate_pagerank_public_spark.operators.simrank import simrank
+
+    e = _edges(spark, sf_dir)
+    cand = (
+        e.select(F.col("dst").alias("id"))
+        .distinct()
+        .orderBy("id")
+        .limit(16)  # k-sized global sort — bounded by construction
+    )
+    pairs = (
+        cand.select(F.col("id").alias("a"))
+        .crossJoin(cand.select(F.col("id").alias("b")))
+        .where(F.col("a") < F.col("b"))
+    )
+    r = simrank(
+        e, iters=4, c=0.8, mode="mc", pairs=pairs, num_fingerprints=16
+    )
+    return r.select("a", "b", _stable6("s").alias("s"))
+
+
 def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-neighbors link prediction over non-adjacent pairs
     (operators/linkpred.py). Oracled columns are exact ints + one IEEE
@@ -3083,6 +3110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": q_containment,
         "prefix_join": q_prefix_join,
         "simrank": q_simrank,
+        "simrank_mc": q_simrank_mc,
         "spectral_embedding": q_spectral_embedding,
         "resource_alloc": q_resource_allocation,
         "peel_layers": q_peel_layers,
@@ -4959,6 +4987,75 @@ def _simrank_oracle(iters: int = 3, c: float = 0.8, k: int = 50) -> str:
         + "SELECT a, b, s FROM (SELECT a, b, s, row_number() OVER ("
         + "ORDER BY s DESC, a ASC, b ASC) AS rn FROM t6) "
         + f"WHERE rn <= {k}"
+    )
+
+
+def _simrank_mc_oracle(
+    iters: int = 4,
+    c: float = 0.8,
+    ls: int = 16,
+    k: int = 16,
+    seed: str = "srmc",
+) -> str:
+    """Hop-for-hop replay of ``simrank_mc``: ranked in-adjacency, the
+    60-bit md5 draw keyed on (seed, fingerprint, step, current vertex),
+    1:1 (vertex, rank) neighbor joins with the in-degree pre-joined,
+    halted-walk death, coalescing first-meet τ, and the integer
+    micro-unit score table (literals computed here, no SQL pow)."""
+    e_sql = _duck_edges_sql()
+    parts = [
+        f"WITH eraw AS MATERIALIZED ({e_sql}), ",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM eraw), ",
+        "ia AS MATERIALIZED (SELECT dst AS v, src AS nb, "
+        "row_number() OVER (PARTITION BY dst ORDER BY src) - 1 AS rnk, "
+        "count(*) OVER (PARTITION BY dst) AS ind FROM e), ",
+        "dind AS MATERIALIZED (SELECT DISTINCT v, ind FROM ia), ",
+        f"cand AS MATERIALIZED (SELECT id FROM "
+        f"(SELECT DISTINCT dst AS id FROM e) ORDER BY id LIMIT {k}), ",
+        f"w0 AS MATERIALIZED (SELECT x.id AS a, y.id AS b, "
+        f"l.range AS l, x.id AS ca, y.id AS cb, false AS dead, "
+        f"CAST(NULL AS INT) AS tau "
+        f"FROM cand x JOIN cand y ON x.id < y.id CROSS JOIN range({ls}) l), ",
+    ]
+    for t in range(1, iters + 1):
+        hv = (
+            "CAST(CAST(('0x' || substring(md5('{seed}:' || l || "
+            "':{t}:' || {cur}), 1, 15)) AS UBIGINT) AS BIGINT)"
+        )
+        hva = hv.format(seed=seed, t=t, cur="ca")
+        hvb = hv.format(seed=seed, t=t, cur="cb")
+        parts.append(
+            f"j{t} AS (SELECT h.a, h.b, h.l, h.ca, h.cb, h.dead, h.tau, "
+            f"na.nb AS _na, nb2.nb AS _nb FROM w{t - 1} h "
+            f"LEFT JOIN dind da ON da.v = h.ca "
+            f"LEFT JOIN dind db ON db.v = h.cb "
+            f"LEFT JOIN ia na ON na.v = h.ca AND na.rnk = ({hva} % da.ind) "
+            f"LEFT JOIN ia nb2 ON nb2.v = h.cb AND nb2.rnk = ({hvb} % db.ind)), "
+        )
+        parts.append(
+            f"w{t} AS MATERIALIZED (SELECT a, b, l, "
+            "CASE WHEN (tau IS NULL AND NOT dead) AND _na IS NOT NULL "
+            "AND _nb IS NOT NULL THEN _na ELSE ca END AS ca, "
+            "CASE WHEN (tau IS NULL AND NOT dead) AND _na IS NOT NULL "
+            "AND _nb IS NOT NULL THEN _nb ELSE cb END AS cb, "
+            "(dead OR ((tau IS NULL AND NOT dead) AND "
+            "(_na IS NULL OR _nb IS NULL))) AS dead, "
+            "COALESCE(tau, CASE WHEN (tau IS NULL AND NOT dead) AND "
+            "_na IS NOT NULL AND _nb IS NOT NULL AND _na = _nb "
+            f"THEN {t} END) AS tau FROM j{t}), "
+        )
+    # integer micro-unit table — same driver-side literals as the engine
+    cases = " ".join(
+        f"WHEN {t} THEN {int(round((c**t) * 1e6))}"
+        for t in range(1, iters + 1)
+    )
+    return (
+        "".join(parts)
+        + f"sc AS (SELECT a, b, CASE tau {cases} ELSE 0 END AS sci "
+        + f"FROM w{iters}), "
+        + "agg AS (SELECT a, b, sum(sci) AS t FROM sc GROUP BY a, b) "
+        + "SELECT a, b, floor((CAST(t AS DOUBLE) / "
+        + f"{float(ls) * 1e6!r}) * 1000000.0) / 1000000.0 AS s FROM agg"
     )
 
 
@@ -7284,6 +7381,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_coeff_oracle(),
         "link_pred": _link_pred_oracle(3),
         "simrank": _simrank_oracle(),
+        "simrank_mc": _simrank_mc_oracle(),
         "spectral_embedding": _spectral_oracle(),
         "resource_alloc": _resource_allocation_oracle(3),
         "peel_layers": _peel_layers_oracle(3),

@@ -778,44 +778,75 @@ def containment_pairs(
             salted_wedge_pairs(posting, center="shingle", endpoint="doc_id")
             .distinct()
         )
-    pairs = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    za = sizes.select(F.col("doc_id").alias("u"), F.col("sz").alias("src_sz"))
-    zb = sizes.select(F.col("doc_id").alias("v"), F.col("sz").alias("dst_sz"))
-    # size-filter prune BEFORE the exact-verify join, result-invariant:
-    # inter <= dst_sz, so containment src->dst >= bp/10000 needs
-    # 10000*dst_sz >= bp*src_sz — drops the hopeless direction of every
-    # size-skewed candidate without touching the shingle tables
-    pairs = (
-        pairs.join(za, "u")
-        .join(zb, "v")
+    # exact verify with per-doc sorted shingle ARRAYS + array_intersect
+    # — the prefix_join lesson applied here (was: a (pair × src-shingle)
+    # fan-out join re-joined on (dst, shingle); at 200k docs that
+    # explosion dominated the whole operator at 73-88 s). Shingles are
+    # DISTINCT per doc, so set-semantics array_intersect counts the
+    # same integer the join counted. Each UNORDERED pair is verified
+    # once and both directions are emitted from that single intersect
+    # (inline_outer over the two orientations), so the intersect is
+    # never evaluated twice per pair.
+    sharr = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("sa"),
+        F.count("*").cast("long").alias("sz"),
+    )
+    bp = F.lit(int(threshold_bp))
+    cand = (
+        und.join(
+            sharr.select(
+                F.col("doc_id").alias("u"),
+                F.col("sa").alias("_sau"),
+                F.col("sz").alias("_szu"),
+            ),
+            "u",
+        )
+        .join(
+            sharr.select(
+                F.col("doc_id").alias("v"),
+                F.col("sa").alias("_sav"),
+                F.col("sz").alias("_szv"),
+            ),
+            "v",
+        )
+        # size prune, result-invariant: inter <= min(szu, szv), so at
+        # least one direction must already be size-feasible
         .where(
-            F.col("dst_sz") * 10000 >= F.lit(int(threshold_bp)) * F.col("src_sz")
+            (F.col("_szv") * 10000 >= bp * F.col("_szu"))
+            | (F.col("_szu") * 10000 >= bp * F.col("_szv"))
         )
-    )
-    sa = sh.select(F.col("doc_id").alias("u"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("v"), "shingle")
-    inter = (
-        pairs.select("u", "v").join(sa, "u")
-        .join(sb, ["v", "shingle"])
-        .groupBy("u", "v")
-        .agg(F.count("*").cast("long").alias("inter"))
-    )
-    out = (
-        inter.join(za, "u")
-        .join(zb, "v")
         .select(
-            F.col("u").alias("src_id"),
-            F.col("v").alias("dst_id"),
-            "inter",
-            F.col("src_sz").cast("long").alias("src_sz"),
-            F.col("dst_sz").cast("long").alias("dst_sz"),
+            "u",
+            "v",
+            "_szu",
+            "_szv",
+            F.size(F.array_intersect("_sau", "_sav")).cast("long").alias("inter"),
         )
+    )
+    both = cand.select(
+        "inter",
+        F.inline_outer(
+            F.array(
+                F.struct(
+                    F.col("u").alias("src_id"),
+                    F.col("v").alias("dst_id"),
+                    F.col("_szu").alias("src_sz"),
+                    F.col("_szv").alias("dst_sz"),
+                ),
+                F.struct(
+                    F.col("v").alias("src_id"),
+                    F.col("u").alias("dst_id"),
+                    F.col("_szv").alias("src_sz"),
+                    F.col("_szu").alias("dst_sz"),
+                ),
+            )
+        ),
     )
     # integer-exact threshold cut (inter/src_sz >= bp/10000 without any
     # float in the filter); the reported ratio is ONE IEEE division,
     # stable6-truncated
-    return out.where(
-        F.col("inter") * 10000 >= F.lit(int(threshold_bp)) * F.col("src_sz")
+    return both.where(
+        F.col("inter") * 10000 >= bp * F.col("src_sz")
     ).select(
         "src_id",
         "dst_id",

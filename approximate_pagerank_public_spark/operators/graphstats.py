@@ -543,6 +543,116 @@ def euler_check(graph: Graph) -> DataFrame:
     )
 
 
+def _incremental_giant_curve(
+    spark, deltas, num_partitions: int
+) -> dict:
+    """Shared warm-start core for the robustness curves: process the
+    points SMALLEST edge set first; each later point contributes only
+    its DELTA pairs (the edges added relative to the previous point).
+
+    Adding edges can only MERGE components (never split them), so the
+    previous point's labels are a valid contraction basis: map the
+    delta's endpoints through the running ``(id, comp)`` labels, run
+    star-CC over the (tiny) contracted pair list, and fold the merge
+    map into the running ``(comp, n)`` size table. Per point this costs
+    one |delta|-sized join plus a star-CC over contracted pairs —
+    instead of a full from-scratch star-CC over the whole survivor
+    list (measured ~160 s/point at |E|=2·10⁷; the r4 verdict's
+    warm-start ask). Running from-scratch at the SMALLEST point keeps
+    every point's result exactly the exact CC — the curve values are
+    unchanged, only the work is incremental.
+
+    ``deltas``: ordered ``[(key, delta_df(a, b)), ...]``; returns
+    ``{key: giant_size}``. Label/size state rotates ``local_ckpt``
+    (the checkpoint-leak rule); the final state is freed too — only
+    the scalar curve leaves this function.
+    """
+    from approximate_pagerank_public_spark.operators.components import (
+        star_components_edges,
+    )
+    from ..plans.checkpoint import free_local_ckpt, local_ckpt
+
+    lab = units = None
+    lab_ids = units_ids = None
+    out: dict = {}
+    for key, delta in deltas:
+        d = delta.select("a", "b")
+        if lab is not None:
+            con = (
+                d.join(
+                    lab.select(F.col("id").alias("a"), F.col("comp").alias("_ca")),
+                    "a",
+                    "left",
+                )
+                .join(
+                    lab.select(F.col("id").alias("b"), F.col("comp").alias("_cb")),
+                    "b",
+                    "left",
+                )
+                .select(
+                    F.coalesce("_ca", F.col("a")).alias("a"),
+                    F.coalesce("_cb", F.col("b")).alias("b"),
+                )
+            )
+        else:
+            con = d
+        con = con.where(F.col("a") != F.col("b")).distinct()
+        new_ids = (
+            d.select(F.col("a").alias("id"))
+            .unionAll(d.select(F.col("b").alias("id")))
+            .distinct()
+        )
+        if lab is not None:
+            new_ids = new_ids.join(lab, "id", "left_anti")
+        roots = None
+        if con.limit(1).count() > 0:
+            roots, _rounds = star_components_edges(spark, con, num_partitions)
+
+        def _merge(df: DataFrame, col: str) -> DataFrame:
+            if roots is None:
+                return df
+            return df.join(roots, df[col] == roots["a"], "left").select(
+                *[c for c in df.columns if c != col],
+                F.least(F.col(col), F.coalesce("r", F.col(col))).alias(col),
+            )
+
+        base_units = (
+            units.select("comp", "n")
+            if units is not None
+            else spark.createDataFrame([], "comp long, n long")
+        )
+        new_units = _merge(
+            base_units.unionAll(
+                new_ids.select(
+                    F.col("id").alias("comp"), F.lit(1).cast("long").alias("n")
+                )
+            ),
+            "comp",
+        ).groupBy("comp").agg(F.sum("n").alias("n"))
+        base_lab = (
+            lab
+            if lab is not None
+            else spark.createDataFrame([], "id long, comp long")
+        )
+        new_lab = _merge(
+            base_lab.unionAll(new_ids.select("id", F.col("id").alias("comp"))),
+            "comp",
+        )
+        new_units, nu_ids = local_ckpt(new_units)
+        new_lab, nl_ids = local_ckpt(new_lab)
+        giant = new_units.agg(F.max("n").alias("g")).first()["g"]
+        out[key] = int(giant) if giant is not None else 0
+        if units_ids is not None:
+            free_local_ckpt(spark, units_ids)
+            free_local_ckpt(spark, lab_ids)
+        units, units_ids = new_units, nu_ids
+        lab, lab_ids = new_lab, nl_ids
+    if units_ids is not None:
+        free_local_ckpt(spark, units_ids)
+        free_local_ckpt(spark, lab_ids)
+    return out
+
+
 def attack_tolerance(graph: Graph, ks=(0, 1, 4, 16)) -> DataFrame:
     """``(k, removed, giant_size)`` — the Albert–Barabási targeted-
     attack curve: remove the ``k`` highest-degree vertices (undirected
@@ -552,15 +662,13 @@ def attack_tolerance(graph: Graph, ks=(0, 1, 4, 16)) -> DataFrame:
     surviving random failure).
 
     Scale shape: ONE degree aggregation picks the global top-max(k)
-    hit list (a tiny broadcastable set); each curve point is then one
-    large-star/small-star CC pass DIRECTLY over the surviving pair
-    list (no Graph/CSR rebuild) — the curve costs |ks| star-CC passes,
-    nothing quadratic.  ``removed`` echoes how many hit-list vertices
+    hit list (a tiny broadcastable set); the curve then runs WARM —
+    from the most-attacked point up, each point re-adds only the edges
+    incident to its restored hubs and merges them into the previous
+    point's component labels (:func:`_incremental_giant_curve`; adding
+    edges only merges components, so the values are exactly the
+    from-scratch CC). ``removed`` echoes how many hit-list vertices
     actually exist (k may exceed |V|)."""
-    from approximate_pagerank_public_spark.operators.components import (
-        star_components_edges,
-    )
-
     e = graph.edges.select("src", "dst")
     pairs = (
         e.select(
@@ -583,36 +691,33 @@ def attack_tolerance(graph: Graph, ks=(0, 1, 4, 16)) -> DataFrame:
         .limit(kmax)
         .collect()
     ]
-    rows = []
-    for k in sorted(int(x) for x in ks):
-        removed = hits[:k]
-        surv = pairs
-        if removed:
-            surv = pairs.where(
-                ~F.col("a").isin(removed) & ~F.col("b").isin(removed)
+    # smallest survivor set first (largest k); each later point adds
+    # back exactly the edges incident to its restored hubs
+    ks_desc = sorted({int(x) for x in ks}, reverse=True)
+    deltas = []
+    prev_k = None
+    for k in ks_desc:
+        keep_out = hits[:k]
+        alive = (
+            ~F.col("a").isin(keep_out) & ~F.col("b").isin(keep_out)
+            if keep_out
+            else F.lit(True)
+        )
+        if prev_k is None:
+            delta = pairs.where(alive)
+        else:
+            back = hits[k:prev_k]  # hubs restored at this point
+            delta = pairs.where(
+                (F.col("a").isin(back) | F.col("b").isin(back)) & alive
             )
-        if surv.limit(1).count() == 0:
-            rows.append((k, len(removed), 0))
-            continue
-        roots, _rounds = star_components_edges(
-            graph.spark, surv, graph.num_partitions
-        )
-        # only vertices still carrying an edge count toward the giant
-        used = (
-            surv.select(F.col("a").alias("id"))
-            .unionAll(surv.select(F.col("b").alias("id")))
-            .distinct()
-        )
-        comp = used.join(roots, used["id"] == roots["a"], "left").select(
-            F.least(F.col("id"), F.coalesce("r", F.col("id"))).alias("component")
-        )
-        giant = (
-            comp.groupBy("component")
-            .agg(F.count("*").alias("n"))
-            .agg(F.max("n").alias("g"))
-            .first()["g"]
-        )
-        rows.append((k, len(removed), int(giant)))
+        deltas.append((k, delta))
+        prev_k = k
+    giants = _incremental_giant_curve(
+        graph.spark, deltas, graph.num_partitions
+    )
+    rows = [
+        (k, len(hits[:k]), giants[k]) for k in sorted(int(x) for x in ks)
+    ]
     import pandas as pd
 
     return graph.spark.createDataFrame(
@@ -632,12 +737,11 @@ def random_failure_curve(graph: Graph, keep_pcts=(100, 75, 50, 25)) -> DataFrame
     sampling-invariant under growth).
 
     Scale shape: the survival predicate is a codegen'd expression over
-    the canonical pair list; each curve point is one star-CC pass over
-    its survivors."""
-    from approximate_pagerank_public_spark.operators.components import (
-        star_components_edges,
-    )
-
+    the canonical pair list, and survivor sets are NESTED
+    (``pct < 25 ⊂ pct < 50 ⊂ …``), so the curve runs warm from the
+    sparsest point up via :func:`_incremental_giant_curve` — each point
+    merges only its ``pct ∈ [prev, keep)`` delta into the previous
+    labels; values are exactly the from-scratch CC."""
     e = graph.edges.select("src", "dst")
     pairs = (
         e.select(
@@ -663,31 +767,27 @@ def random_failure_curve(graph: Graph, keep_pcts=(100, 75, 50, 25)) -> DataFrame
         )
         .localCheckpoint()
     )
-    rows = []
-    for keep in sorted((int(x) for x in keep_pcts), reverse=True):
-        surv = pairs.where(F.col("pct") < keep).select("a", "b")
-        kept = surv.count()
-        if kept == 0:
-            rows.append((keep, 0, 0))
-            continue
-        roots, _rounds = star_components_edges(
-            graph.spark, surv, graph.num_partitions
-        )
-        used = (
-            surv.select(F.col("a").alias("id"))
-            .unionAll(surv.select(F.col("b").alias("id")))
-            .distinct()
-        )
-        comp = used.join(roots, used["id"] == roots["a"], "left").select(
-            F.least(F.col("id"), F.coalesce("r", F.col("id"))).alias("component")
-        )
-        giant = (
-            comp.groupBy("component")
-            .agg(F.count("*").alias("n"))
-            .agg(F.max("n").alias("g"))
-            .first()["g"]
-        )
-        rows.append((keep, kept, int(giant)))
+    keeps_asc = sorted({int(x) for x in keep_pcts})
+    deltas = []
+    prev = None
+    for keep in keeps_asc:
+        cond = F.col("pct") < keep
+        if prev is not None:
+            cond = cond & (F.col("pct") >= prev)
+        deltas.append((keep, pairs.where(cond).select("a", "b")))
+        prev = keep
+    giants = _incremental_giant_curve(
+        graph.spark, deltas, graph.num_partitions
+    )
+    kept_counts: dict[int, int] = {}
+    run = 0
+    for keep, delta in deltas:
+        run += delta.count()
+        kept_counts[keep] = run
+    rows = [
+        (keep, kept_counts[keep], giants[keep])
+        for keep in sorted((int(x) for x in keep_pcts), reverse=True)
+    ]
     import pandas as pd
 
     return graph.spark.createDataFrame(

@@ -785,6 +785,9 @@ def _run_distributed_arrow_impl(
         if l1 <= tol:
             converged = True
             break
+    # the final state is materialized — reclaim the last superstep's
+    # spilled message files (the store itself stays for reuse)
+    store.clear_messages()
     if sources is None:
         out = state.select("id", F.col("r0").alias("rank"))
     else:

@@ -96,6 +96,18 @@ def main() -> None:
             n_docs=200_000,
             picks=[(int(r["doc_id"]), int(r["new_shingles"])) for r in rows],
         )
+    elif which == "containment":
+        from approximate_pagerank_public_spark.operators.dedup import (
+            containment_pairs,
+        )
+        from approximate_pagerank_public_spark.sources.synthetic_tables import (
+            synthesize_documents,
+        )
+
+        docs = synthesize_documents(spark, n_docs=200_000).localCheckpoint()
+        t0 = time.time()
+        out["n_pairs"] = containment_pairs(docs, threshold_bp=8000).count()
+        out["n_docs"] = 200_000
     elif which == "attack":
         from approximate_pagerank_public_spark.operators.graphstats import (
             attack_tolerance,

@@ -58,21 +58,15 @@ def main() -> None:
         state.where(F.size("pids") == 0).agg(*[F.sum(c).alias(c) for c in cols]).first()
         print(f"A dangling scan:          {time.perf_counter() - tA:6.2f}s", flush=True)
 
-        tB = time.perf_counter()
-        contribs = store.contribs(state, s, cpus)
-        outbox_df = state.select("id", "pids", *cols).mapInArrow(
-            store._last_outbox, "pid int, srcs binary, vals binary"
-        )
-        r = outbox_df.agg(
-            F.count("*").alias("n"),
-            (F.sum(F.length("srcs")) + F.sum(F.length("vals"))).alias("b"),
-        ).first()
-        print(f"B outbox pack ({r['n']} msgs, {(r['b'] or 0)/1e6:.0f} MB): "
-              f"{time.perf_counter() - tB:6.2f}s", flush=True)
-
         tC = time.perf_counter()
+        contribs = store.contribs(state, s, cpus)
         contribs.agg(F.count("*")).first()
-        print(f"C outbox+shuffle+spmv:    {time.perf_counter() - tC:6.2f}s", flush=True)
+        spilled = sum(
+            os.path.getsize(os.path.join(store._msg_dir, f))
+            for f in os.listdir(store._msg_dir)
+        )
+        print(f"C outbox+spill({spilled/1e6:.0f} MB)+manifest+spmv: "
+              f"{time.perf_counter() - tC:6.2f}s", flush=True)
 
         tD = time.perf_counter()
         alpha = 0.8
