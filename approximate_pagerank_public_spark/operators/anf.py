@@ -57,6 +57,8 @@ replayable-oracle idiom.
 from __future__ import annotations
 
 import math
+import os
+import uuid
 from dataclasses import dataclass
 
 import numpy as np
@@ -435,9 +437,14 @@ def _tiled_umax_u8(
 
 
 def _sketch_contribs(store, state: DataFrame, shuffle_partitions: int) -> DataFrame:
-    """One ANF superstep over a DistBlockStore: outbox pack (one packed
-    (pid, idxs, sketches) message per state partition x target block) →
-    token-routed shuffle → per-block scatter + tiled segment max.
+    """One ANF superstep over a DistBlockStore: outbox pack → sketch
+    payloads SPILLED to the store's shared FS (tmp+rename, one
+    idx/sketch file pair per (state partition, target block); only
+    manifests ride the shuffle — ANF payloads are 256 B/vertex, so at
+    8 blocks × 10⁶ vertices this keeps ~2 GB/round out of the
+    Python↔Arrow↔JVM shuffle round trip, same rationale as
+    ``DistBlockStore.contribs``) → token-routed manifest shuffle →
+    per-block scatter + tiled segment max.
     ``state`` must expose (id, pids, sk)."""
     import pyarrow as pa
 
@@ -447,8 +454,15 @@ def _sketch_contribs(store, state: DataFrame, shuffle_partitions: int) -> DataFr
     )
 
     block_dir = store.dir
+    store.clear_messages()
+    msg_dir = os.path.join(store.dir, f"msgs_{uuid.uuid4().hex}")
+    os.makedirs(msg_dir, exist_ok=True)
+    store._msg_dir = msg_dir
 
     def outbox(batches):
+        from pyspark import TaskContext
+
+        part = TaskContext.get().partitionId()
         flat_l, cnt_l, sk_l = [], [], []
         for b in batches:
             if b.num_rows == 0:
@@ -471,43 +485,44 @@ def _sketch_contribs(store, state: DataFrame, shuffle_partitions: int) -> DataFr
         fp = (fc >> 32).astype(np.int32)
         fi = (fc & 0xFFFFFFFF).astype(np.int32)
         brk = np.r_[0, np.flatnonzero(fp[1:] != fp[:-1]) + 1, len(fp)]
-        out_pid, out_idx, out_sk = [], [], []
+        out_pid, out_sf, out_kf = [], [], []
         for a, bnd in zip(brk[:-1], brk[1:]):
-            out_pid.append(int(fp[a]))
-            out_idx.append(fi[a:bnd].tobytes())
-            out_sk.append(
-                np.ascontiguousarray(sks[rep_rows[order[a:bnd]]]).tobytes()
-            )
+            pid = int(fp[a])
+            sf = f"{msg_dir}/m_{part}_{pid}_idx.npy"
+            kf = f"{msg_dir}/m_{part}_{pid}_sk.npy"
+            for path, arr in (
+                (sf, fi[a:bnd]),
+                (kf, np.ascontiguousarray(sks[rep_rows[order[a:bnd]]])),
+            ):
+                tmp = f"{path}.{uuid.uuid4().hex}.tmp.npy"
+                np.save(tmp, arr)
+                os.rename(tmp, path)
+            out_pid.append(pid)
+            out_sf.append(sf)
+            out_kf.append(kf)
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(out_pid, type=pa.int32()),
-                pa.array(out_idx, type=pa.binary()),
-                pa.array(out_sk, type=pa.binary()),
+                pa.array(out_sf, type=pa.string()),
+                pa.array(out_kf, type=pa.string()),
             ],
-            names=["pid", "srcs", "sks"],
+            names=["pid", "sfile", "kfile"],
         )
 
     def kernel(batches):
-        per_pid: dict[int, list[tuple[bytes, bytes]]] = {}
+        per_pid: dict[int, list[tuple[str, str]]] = {}
         for b in batches:
             pids = b.column("pid").to_pylist()
-            srcs = b.column("srcs").to_pylist()
-            sks = b.column("sks").to_pylist()
-            for p_, s_, v_ in zip(pids, srcs, sks):
+            sfs = b.column("sfile").to_pylist()
+            kfs = b.column("kfile").to_pylist()
+            for p_, s_, v_ in zip(pids, sfs, kfs):
                 per_pid.setdefault(p_, []).append((s_, v_))
-        for pid, msgs in per_pid.items():
+        for pid, files in per_pid.items():
             usrc, srcl, w, udst, starts, segmap, tb, sb = _load_dist_block(
                 block_dir, pid
             )
-            idx_cat = np.concatenate(
-                [np.frombuffer(m[0], dtype=np.int32) for m in msgs]
-            )
-            sk_cat = np.concatenate(
-                [
-                    np.frombuffer(m[1], dtype=np.uint8).reshape(-1, M)
-                    for m in msgs
-                ]
-            )
+            idx_cat = np.concatenate([np.load(sf) for sf, _ in files])
+            sk_cat = np.concatenate([np.load(kf) for _, kf in files], axis=0)
             if len(idx_cat) != len(usrc):  # pragma: no cover — invariant
                 raise RuntimeError(
                     f"block {pid}: {len(idx_cat)} message entries != "
@@ -526,7 +541,7 @@ def _sketch_contribs(store, state: DataFrame, shuffle_partitions: int) -> DataFr
             )
 
     msgs = state.select("id", "pids", "sk").mapInArrow(
-        outbox, "pid int, srcs binary, sks binary"
+        outbox, "pid int, sfile string, kfile string"
     )
     n_slots = max(1, int(shuffle_partitions))
     toks = _slot_tokens(n_slots)
@@ -560,11 +575,14 @@ def _anf_blocks(g: Graph, rounds: int) -> list[int]:
     )
     store_edges = rev.unionByName(loops).repartition(p, "dst")
     # ANF payloads are 256 B/vertex (vs PageRank's 64 B), so kernel
-    # parallelism beats message-volume minimization: the nb sweep at
-    # |E|=2e7 measured warm contribs 57.5 s at 3 blocks / 32.4 s at 8 /
-    # 36.3 s at 32 — target ~2.5M edges per block, floor of 4.
+    # parallelism beats message-volume minimization: the in-band nb
+    # sweep at |E|=2e7 measured warm contribs 57.5 s at 3 blocks /
+    # 32.4 s at 8 / 36.3 s at 32 — with the r5 file-spill the larger
+    # counts stop paying shuffle bytes, so the knob is env-tunable
+    # (SPARK_GRAFT_ANF_EDGES_PER_BLOCK) and capped at the core count.
     n_edges = g.num_edges + g.num_vertices
-    nb = max(4, min(p, -(-n_edges // 2_500_000)))
+    epb = int(os.environ.get("SPARK_GRAFT_ANF_EDGES_PER_BLOCK", 2_500_000))
+    nb = max(4, min(p, -(-n_edges // epb)))
     store = DistBlockStore(spark, store_edges, num_blocks=nb, num_edges=n_edges)
     try:
         routing = store.attach_routing(g.vertices)

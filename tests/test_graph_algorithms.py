@@ -436,3 +436,15 @@ def test_clique_percolation_communities(spark):
         a, b, c = t
         tids.add(int(hashlib.md5(f"{a}:{b}:{c}".encode()).hexdigest()[:15], 16))
     assert labels <= tids
+
+
+def test_louvain_driver_and_distributed_paths_bit_identical(g_rand, monkeypatch):
+    """The NumPy driver fast path and the distributed rounds must agree
+    bit-for-bit (same integer gains, same stay-first/smaller-label tie
+    order) — the coloring.py twin-parity discipline."""
+    import approximate_pagerank_public_spark.operators.labelprop as lp
+
+    drv = lp.louvain_rounds(g_rand, rounds=4).toPandas().sort_values("id")
+    monkeypatch.setattr(lp, "LOUVAIN_DRIVER_MAX_ROWS", 0)
+    dist = lp.louvain_rounds(g_rand, rounds=4).toPandas().sort_values("id")
+    assert (drv["label"].to_numpy() == dist["label"].to_numpy()).all()
