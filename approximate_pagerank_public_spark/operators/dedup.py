@@ -766,8 +766,42 @@ def containment_pairs(
     """
     from .triangles import salted_wedge_pairs
 
-    sh = shingles(docs, id_col, text_col, shingle_n)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # one gram shuffle total: collect each doc's DISTINCT shingles
+    # straight from the raw explode (collect_set ≡ shingles()'s per-doc
+    # distinct — shingle rows never carry cross-doc keys, so a separate
+    # global distinct pass is a second 14M-gram shuffle for nothing),
+    # cache the arrays, and derive the posting list by re-exploding
+    # them. The prior shape paid the distinct shuffle once per consumer
+    # (posting + verify) plus the collect AND a per-pair×per-shingle
+    # fan-out verify join — measured 73-88 s at 200k docs; this one
+    # runs 45-55 s, identical pairs. (Two measured dead ends, kept out:
+    # a candidate-doc semi-join before the collect serializes subtrees
+    # that otherwise overlap, and shuffle_hash hints on the verify join
+    # push ~0.5 GB of arrays through two exchanges — 147 s.)
+    from pyspark.storagelevel import StorageLevel
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(_normalized_text(text_col), " ").alias("toks"),
+    )
+    raw = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size("toks") - shingle_n, F.lit(0))
+                ),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, shingle_n)),
+            )
+        ).alias("shingle"),
+    )
+    sharr = (
+        raw.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("shingle")).alias("sa"))
+        .withColumn("sz", F.size("sa").cast("long"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sh = sharr.select("doc_id", F.explode("sa").alias("shingle"))
     posting = cap_bucket_size(sh, ["shingle"], "doc_id", cap, label="containment")
     if cap is not None:
         und = capped_posting_pairs(
@@ -786,11 +820,10 @@ def containment_pairs(
     # same integer the join counted. Each UNORDERED pair is verified
     # once and both directions are emitted from that single intersect
     # (inline_outer over the two orientations), so the intersect is
-    # never evaluated twice per pair.
-    sharr = sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("shingle")).alias("sa"),
-        F.count("*").cast("long").alias("sz"),
-    )
+    # never evaluated twice per pair. (A candidate-doc semi-join before
+    # the collect was measured SLOWER at 200k docs — it serializes the
+    # posting and array subtrees, and the collect is not the
+    # bottleneck; the cached sharr above serves both consumers.)
     bp = F.lit(int(threshold_bp))
     cand = (
         und.join(
