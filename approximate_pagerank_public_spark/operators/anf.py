@@ -575,13 +575,16 @@ def _anf_blocks(g: Graph, rounds: int) -> list[int]:
     )
     store_edges = rev.unionByName(loops).repartition(p, "dst")
     # ANF payloads are 256 B/vertex (vs PageRank's 64 B), so kernel
-    # parallelism beats message-volume minimization: the in-band nb
-    # sweep at |E|=2e7 measured warm contribs 57.5 s at 3 blocks /
-    # 32.4 s at 8 / 36.3 s at 32 — with the r5 file-spill the larger
-    # counts stop paying shuffle bytes, so the knob is env-tunable
-    # (SPARK_GRAFT_ANF_EDGES_PER_BLOCK) and capped at the core count.
+    # parallelism beats message-volume minimization. The in-band nb
+    # sweep at |E|=2e7 measured 32 blocks WORSE than 8 (36.3 vs
+    # 32.4 s — every extra block's sketches crossed the Arrow↔JVM
+    # shuffle); with the r5 file-spill the ordering flips (4-round
+    # probe at 2e7/32c: 8 blocks 36.2 s, 16 blocks 32.6, 32 blocks
+    # 32.0), so the default targets block count ≈ cores
+    # (SPARK_GRAFT_ANF_EDGES_PER_BLOCK overrides; cap at the task
+    # slots, floor 4).
     n_edges = g.num_edges + g.num_vertices
-    epb = int(os.environ.get("SPARK_GRAFT_ANF_EDGES_PER_BLOCK", 2_500_000))
+    epb = int(os.environ.get("SPARK_GRAFT_ANF_EDGES_PER_BLOCK", 1_000_000))
     nb = max(4, min(p, -(-n_edges // epb)))
     store = DistBlockStore(spark, store_edges, num_blocks=nb, num_edges=n_edges)
     try:

@@ -162,6 +162,40 @@ def main() -> None:
         json.dump(hist, open(path, "w"), indent=1)
         print(f"appended {len(results)} rows to BENCH_SCALING.json")
 
+    if "--bfs1-only" in sys.argv:
+        r = run_worker("bfs1", 32, v, e, to)
+        rec(
+            "bfs1-warm",
+            "single-source block BFS, warm protocol (5 runs, median): "
+            "gang-scheduled barrier min-relax + shm result columns",
+            r,
+        )
+        flush()
+        return
+
+    if "--arrow-large" in sys.argv:
+        # 4x the protocol-max size: at |E|=10^8 the r5 spill-path
+        # superstep is LATENCY-bound (~2.5 s of stage/driver floor vs
+        # ~9 core-seconds of work), so 8->32 efficiency understates the
+        # path; this rung shows the efficiency the same plan reaches
+        # once per-superstep work dominates the floor - the honest
+        # cluster-scale claim.
+        vL, eL = 2_000_000, 400_000_000
+        lo_l = run_worker("ppr", 8, vL, eL, 7200, iters=5, prmode="distributed-arrow")
+        hi_l = run_worker("ppr", 32, vL, eL, 7200, iters=5, prmode="distributed-arrow")
+        eff_l = None
+        if "et_per_sec" in lo_l and "et_per_sec" in hi_l:
+            eff_l = round(hi_l["et_per_sec"] / (4 * lo_l["et_per_sec"]), 3)
+        rec(
+            "ppr-supersteps-arrow-4e8",
+            "message-spill block path at |V|=2e6 |E|=4e8 (4x protocol "
+            "max): superstep work >> fixed floor, the regime a real "
+            "cluster superstep runs in",
+            {"lo": lo_l, "hi": hi_l, "scaling_efficiency": eff_l},
+        )
+        flush()
+        return
+
     if "--arrow-matched" in sys.argv:
         # the cluster-analogue experiment: blocks = 2x cores at EACH
         # parallelism level (a real cluster scales block count with
