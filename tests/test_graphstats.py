@@ -363,3 +363,60 @@ def test_random_failure_curve_invariants(spark):
         assert rows[50][0] > rows[25][0]          # survivors shrink
     finally:
         g.unpersist()
+
+
+def test_attack_tolerance_matches_union_find_from_scratch(spark):
+    """Randomized pin of the warm-start core: every curve point must
+    equal a from-scratch CC over its own survivor set (the incremental
+    contraction may only change the WORK, never the values)."""
+    import numpy as np
+
+    from approximate_pagerank_public_spark.operators.graphstats import (
+        attack_tolerance,
+    )
+    from approximate_pagerank_public_spark.plans.graph import Graph
+
+    def find(p, x):
+        while p[x] != x:
+            p[x] = p[p[x]]
+            x = p[x]
+        return x
+
+    rng = np.random.default_rng(17)
+    n = 200
+    src = rng.integers(0, n, 900)
+    dst = rng.integers(0, n, 900)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    g = Graph.from_edge_arrays(spark, src, dst, num_vertices=n, num_partitions=4)
+    try:
+        ks = (0, 1, 3, 7, 15)
+        got = {
+            int(r["k"]): int(r["giant_size"])
+            for r in attack_tolerance(g, ks=ks).collect()
+        }
+        deg = np.zeros(n, dtype=np.int64)
+        pairs = {(min(a, b), max(a, b)) for a, b in zip(src, dst)}
+        for a, b in pairs:
+            deg[a] += 1
+            deg[b] += 1
+        hits = sorted(range(n), key=lambda i: (-deg[i], i))
+        for k in ks:
+            removed = set(hits[:k])
+            surv = [(a, b) for a, b in pairs if a not in removed and b not in removed]
+            if not surv:
+                assert got[k] == 0
+                continue
+            par = list(range(n))
+            for a, b in surv:
+                ra, rb = find(par, a), find(par, b)
+                if ra != rb:
+                    par[rb] = ra
+            used = {v for e in surv for v in e}
+            sizes: dict = {}
+            for v in used:
+                r = find(par, v)
+                sizes[r] = sizes.get(r, 0) + 1
+            assert got[k] == max(sizes.values()), k
+    finally:
+        g.unpersist()
